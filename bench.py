@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set mirrors BASELINE.md's measured DuckDB yardsticks:
+Q1 pricing summary, Q3-style top-k, Q5 star join, window rank,
+1h tumbling agg, cosine knn — plus the LLM-pipeline flagships
+(exact dedup, minhash-LSH). One shared SparkSession (startup excluded,
+per BASELINE.md's amortization note); each query timed to full
+materialization via a count-collect of the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ocdb_server_spark.registry import load_all
+from ocdb_server_spark.session import get_spark
+
+HEADLINE = [
+    "op17_agg_groupby",          # TPC-H Q1 shape
+    "op42_win_row_number_topk_group",  # window rank top-3/customer
+    "op39_join_multiway_star",   # TPC-H Q5 shape
+    "op69_stream_tumbling",      # 1h tumbling agg
+    "op80_sim_cosine_knn",       # brute-force cosine top-10
+    "op75_dedup_exact",          # exact dedup cardinality
+    "op79_minhash_neardup",      # MinHash+LSH candidate pairs
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="ocdb_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = load_all()
+    # warm-up: JVM + parquet footers + codegen caches, not in the numbers
+    for name in HEADLINE:
+        ops[name].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = ops[name].fn(spark, sf_dir)
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

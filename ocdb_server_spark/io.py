@@ -1,0 +1,69 @@
+"""Table loading / catalog registration.
+
+The reference stores one MongoDB collection of Dataset documents and a
+disk file store (SURVEY.md §1.2); our serving layer is columnar
+Parquet read through the vectorized reader, so predicate pushdown and
+column pruning reach the scan (the reference's whole "compile query to
+Mongo filter" design collapses into Catalyst — SURVEY.md §4.1).
+
+At 100 TB these tables would be date/key-partitioned directories; the
+driver's testdata is one file per table, so ``load_tables`` simply
+reads each and registers a temp view. All operator code goes through
+here so a partitioned layout is a one-file change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it as a
+    nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
+    Truncate to µs with INTEGER division (a double division would lose
+    precision at 1e18 magnitudes) — same truncation DuckDB applies
+    casting TIMESTAMP_NS → TIMESTAMP, so the oracle agrees."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the requested tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

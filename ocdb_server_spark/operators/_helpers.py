@@ -1,0 +1,56 @@
+"""Shared helpers for oracle-deterministic operator implementations.
+
+The driver hash-compares Spark output against DuckDB at sf0.01
+(order-insensitive value hash). Floating-point aggregation is
+order-dependent, and Spark's partition order is nondeterministic, so
+any `SUM(double)` can differ in the last bits run-to-run *and* between
+engines. The fix used throughout this package: aggregate in exact
+DECIMAL arithmetic (order-independent), then cast the final value to
+DOUBLE — bit-identical in Spark and DuckDB. See SURVEY.md §4.2.3
+("semantic traps") and §7.3.
+
+At 100 TB this costs nothing: decimal sum is still a map-side partial
+aggregate + exchange on the group keys; only the accumulator type
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Cast to exact decimal for order-independent aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Exact decimal sum, surfaced as double (deterministic both engines)."""
+    return F.sum(dec(col, prec, scale)).cast("double")
+
+
+def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum / count, double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, prec, scale)).cast("double") / F.count(c)
+
+
+# DuckDB-side SQL fragments mirroring the helpers above (same names so the
+# paired oracle strings are easy to audit next to the Spark code).
+def sql_dsum(expr: str, prec: int = 18, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, prec: int = 18, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE) / COUNT({expr})"
+
+
+# Revenue expression used by several TPC-H-style ops: exact decimal
+# product so the sum is order-independent.
+#   extendedprice(12,2) * (1 - discount(3,2)) -> decimal(17,4), exact.
+def revenue_dec() -> Column:
+    return dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+
+
+SQL_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))"

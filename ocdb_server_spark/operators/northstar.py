@@ -1,0 +1,334 @@
+"""Dedup / similarity / text / multimodal — SURVEY.md §2.10
+(op75–op83), the north-star LLM-data-pipeline operators
+(BASELINE.json:6). No reference analog; these are what makes the
+engine useful on a 100 TB corpus.
+
+Scale design per family:
+- exact dedup: hash-groupBy — one shuffle on the fingerprint, never on
+  the payload (op75 hashes, then counts).
+- near-dedup: MinHash+LSH banding (op79) — candidate generation is a
+  groupBy on (band, band_hash), i.e. O(n·bands) shuffle rows, instead
+  of the O(n²) all-pairs join.
+- similarity: brute-force top-k (op80) stays exact at test scale; the
+  100 TB path is blocking (op81 blocks on the label/IVF-centroid key)
+  so the pairwise work is per-bucket.
+- vectors stay `array<float>` end-to-end — JVM higher-order functions,
+  no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.io import load_table, load_tables
+from ocdb_server_spark.registry import register
+
+# shared vector expressions (JVM higher-order functions)
+from ocdb_server_spark.functions.vector import dot as _dot, l2_norm as _norm, l2_norm_d as _norm_d
+
+# DuckDB side: unnest-in-lockstep zips two lists; SUM per vec_id gives the
+# dot/norm sums. Float fold order differs from Spark's left-to-right →
+# similarity values rounded to 6dp on BOTH sides, and ordering/thresholds
+# always applied to the ROUNDED value so row sets agree exactly.
+
+
+@register(
+    "op75_dedup_exact",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_text,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_rows
+    FROM documents
+    """,
+)
+def op75_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup cardinality over documents.text (sf0.1 plants 8
+    duplicate texts — FIXTURES.md). At 100 TB: groupBy on xxhash64(text)
+    fingerprints, not the text payload; here the distinct count is the
+    observable."""
+    d = load_table(spark, sf_dir, "documents")
+    dedup_count = d.dropDuplicates(["text"]).count()
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.lit(dedup_count).cast("bigint").alias("n_distinct_text"),
+        (F.count("*") - F.lit(dedup_count)).cast("bigint").alias("n_dup_rows"),
+    )
+
+
+@register(
+    "op76_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def op76_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup events by user keeping the latest row — the keep-latest
+    policy for re-crawled/re-ingested documents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    )
+
+
+@register(
+    "op77_text_wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def op77_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → word frequencies → top-20 (NS text analysis;
+    whitespace tokenizer per FIXTURES.md's space-separated corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "op78_text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def op78_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc count / avg chars / avg words — quality-scoring
+    shape stats (integer sums are exact, so double division is engine-
+    identical)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).cast("double")
+            / F.count("*")
+        ).alias("avg_words"),
+    )
+
+
+@register("op79_minhash_neardup", oracle=None)  # ROWS: LSH banding is approximate
+def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs (Broder '97; cf.
+    Spark MLlib MinHashLSH — reimplemented here as pure JVM column ops,
+    no MLlib dependency, no Python).
+
+    Pipeline (all built-ins): word 2-shingles → 16 minhashes (xxhash64
+    with per-function salt, min over shingles) → 4 bands of 4 →
+    explode bands → groupBy (band_idx, band_hash) → within-bucket pairs
+    (a < b) → distinct. The shuffle carries (doc_id, band) rows — n·4
+    rows — never the O(n²) pair space. Verified against planted
+    near-dups in tests/test_northstar.py; at sf0.01 the corpus has no
+    near-dups so an empty result is the correct output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        )
+    )
+    t = d.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
+    # 16 minhash values: min over shingles of xxhash64(salt_i ++ shingle)
+    minhashes = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
+            )
+            for i in range(16)
+        ]
+    )
+    sig = t.select("doc_id", minhashes.alias("mh"))
+    # 4 bands × 4 rows: band hash = xxhash64 of the band's joined values
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("mh"), b * 4 + j + 1).cast("string") for j in range(4)])).alias("band_hash"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+_OP80_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+z AS (SELECT e.vec_id,
+             CAST(unnest(e.embedding) AS DOUBLE) AS x,
+             CAST(unnest(q.qe) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0),
+s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+      FROM z GROUP BY vec_id)
+SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+FROM s
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("op80_sim_cosine_knn", oracle=_OP80_SQL)
+def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of the vec_id=0 query vector
+    (NS similarity search baseline). The query vector broadcasts; the
+    scan computes dot/norm with JVM higher-order functions and top-k
+    plans as TakeOrderedAndProject — linear scan, no shuffle. The IVF/
+    LSH-bucketed scale path is op81's blocking pattern."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    sim = F.bround(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        6,
+    )
+    return (
+        j.select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_OP81_SQL = """
+WITH z AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+      FROM z GROUP BY id_a, id_b, label)
+SELECT id_a, id_b, CAST(label AS BIGINT) AS label,
+       ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS sim
+FROM s
+WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) > 0.8
+"""
+
+
+@register("op81_sim_pairwise_threshold", oracle=_OP81_SQL)
+def op81_sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs within the same label with cosine > 0.8 — the
+    *blocked* self-join: the equi-key (label; at scale an LSH/IVF bucket
+    id) confines the quadratic work to each block. Threshold applied to
+    the rounded similarity so both engines keep identical row sets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.bround(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").cast("bigint").alias("label"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") > 0.8)
+    )
+
+
+@register(
+    "op82_multimodal_join",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label
+    """,
+)
+def op82_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: text + vector + label in one frame
+    (documents ⋈ embeddings on doc_id = vec_id), per-cluster stats.
+    The pattern that carries image/audio binary columns too — opaque
+    payload travels beside typed metadata (see sources/multimodal.py)."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    j = t["documents"].join(
+        t["embeddings"], F.col("doc_id") == F.col("vec_id"), "inner"
+    )
+    return j.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_OP83_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
+         MIN(first_x) AS first_x
+  FROM (SELECT vec_id, unnest(embedding) AS x, embedding[1] AS first_x
+        FROM embeddings)
+  GROUP BY vec_id)
+SELECT vec_id,
+       ROUND(nrm / nrm, 6) AS unit_norm,
+       ROUND(CAST(first_x AS DOUBLE) / nrm, 6) AS first_component
+FROM n
+"""
+
+
+@register("op83_vector_normalize", oracle=_OP83_SQL)
+def op83_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (HOF transform + aggregate);
+    observable: the normalized norm (≈1) and first component, rounded
+    6dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = _norm(F.col("embedding"))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    return e.select(
+        "vec_id",
+        F.bround(_norm_d(unit), 6).alias("unit_norm"),
+        F.bround(F.element_at(unit, 1), 6).alias("first_component"),
+    )

@@ -1,0 +1,114 @@
+"""Scans / sources / sinks — SURVEY.md §2.1 (op01–op05).
+
+Reference analog: the MongoDB full-collection fetch with optional
+projection (`ocdb/db/mongo_db_driver.py::MongoDbDriver.find_datasets`
+[U]) and the SeaBASS file reader (`ocdb/core/seabass/sb_file_reader.py`
+[U]). Here the scan IS the optimizer's job: Parquet vectorized reader
+with Catalyst predicate pushdown + column pruning (verify with
+``df.explain`` → `PushedFilters`, `ReadSchema`).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+@register(
+    "op01_scan_parquet",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def op01_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan + count (ref: empty-filter find_datasets)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "op02_scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 5
+    """,
+)
+def op02_scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan: 2 of 11 columns, filter pushed to the parquet reader.
+
+    The plan must show `ReadSchema: struct<l_orderkey,l_quantity,
+    l_extendedprice>` and `PushedFilters: [LessThan(l_quantity,5.0)]` —
+    at 100 TB this is the difference between reading 2 columns' pages
+    and reading the table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_extendedprice")
+
+
+@register("op03_source_csv_ingest", oracle=None)  # ROWS: no pre-registered view for the raw file
+def op03_source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeaBASS-style delimited ingest: header-driven delimiter, missing
+    token → NULL, typed records (ref: SbFileReader.read [U]).
+
+    Writes a deterministic fixture file, parses it with the
+    reader in ``ocdb_server_spark.sources.seabass`` (pure DataFrame ops:
+    split + element_at + casts; the header is tiny and bounded so its
+    parse is driver-side).
+    """
+    from ocdb_server_spark.sources.seabass import FIXTURE, read_seabass
+
+    d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "fixture.sb")
+    with open(path, "w") as f:
+        f.write(FIXTURE)
+    return read_seabass(spark, path)
+
+
+@register(
+    "op04_source_json_lines",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def op04_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the `events.props` JSON string column into typed values
+    (ref-adjacent: config/JSON handling in the ws layer [U])."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("op05_sink_parquet_roundtrip", oracle=None)  # ROWS: writes to tmp
+def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + re-read (ref: zip export of query hits,
+    store.py::download_store_files [U]).
+
+    Writes lineitem filtered to quantity>45 partitioned by
+    l_returnflag (the 100 TB layout choice: partition by a
+    low-cardinality pruning column), reads it back and counts per
+    partition — verifying partition discovery round-trips.
+    """
+    out = os.path.join(tempfile.gettempdir(), "ocdb_spark_sink_roundtrip")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.filter(F.col("l_quantity") > 45)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,185 @@
+"""Streaming operators, batch-equivalent declarations — SURVEY.md §2.9
+(op69–op74).
+
+The reference is strictly request/response batch (Tornado handlers →
+Mongo queries); streaming is a north-star addition. Per SURVEY.md
+§2.9's implementation rule, the `queries()` entry computes the
+batch-equivalent DataFrame (so the DuckDB oracle applies); the same
+logic executed as a real Structured Streaming query (readStream +
+availableNow trigger + memory sink) lives in
+`ocdb_server_spark.streaming.jobs` and is exercised by
+`tests/test_streaming.py`.
+
+Scale notes: tumbling/sliding windows are pure groupBy shuffles on
+(window, key); session windows and dedup are stateful — state is
+bounded by the watermark (op72/op73), which is the only thing that
+makes them runnable on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.operators._helpers import dsum, sql_dsum
+from ocdb_server_spark.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet timestamp[ns]; Spark truncates to µs on read.
+    # The oracle casts TIMESTAMP_NS → TIMESTAMP the same way.
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "op69_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 18, 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def op69_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling window count+sum per event_type
+    (`window(ts, '1 hour')`)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "op70_stream_sliding",
+    oracle=f"""
+    WITH g AS (
+      SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT)) AS half_slot,
+             value
+      FROM events
+    ),
+    exploded AS (
+      SELECT half_slot AS window_start, value FROM g
+      UNION ALL
+      SELECT half_slot - INTERVAL 30 MINUTE AS window_start, value FROM g
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 18, 6)} AS sum_value
+    FROM exploded
+    GROUP BY window_start
+    """,
+)
+def op70_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 30min — each event lands in exactly two
+    windows (starts at floor30(ts) and floor30(ts)−30min), which is how
+    the oracle enumerates them."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "op71_stream_session",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def op71_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30min gap (`session_window` —
+    works in batch groupBy too). Session end = last event + gap, per
+    Spark's definition; the oracle is the classic gaps-and-islands
+    (lag → new-session flag → running sum → group)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("op72_stream_watermark_late", oracle=None)  # ROWS: watermark not batch-expressible
+def op72_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-reformulated: treating event_id as
+    arrival order, a row is late-beyond-watermark if its ts is more
+    than 1h behind the max ts seen so far; late rows are dropped before
+    a tumbling aggregation. The true streaming behavior (state eviction,
+    dropped late rows) is asserted in tests/test_streaming.py with a
+    crafted out-of-order micro-batch sequence."""
+    ev = _events(spark, sf_dir)
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    marked = ev.withColumn("wm", F.max("ts").over(w) - F.expr("INTERVAL 1 HOUR"))
+    kept = marked.filter(F.col("wm").isNull() | (F.col("ts") >= F.col("wm")))
+    return (
+        kept.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@register("op73_stream_dedup_stateful", oracle=None)  # ROWS
+def op73_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on event_id (`dropDuplicatesWithinWatermark` in
+    the streaming rig). Batch equivalent: inject duplicates (every
+    100th event re-appears) and drop them; row count must equal the
+    original count."""
+    ev = _events(spark, sf_dir)
+    dups = ev.filter(F.col("event_id") % 100 == 0)
+    return ev.unionByName(dups).dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register("op74_stream_foreach_batch_upsert", oracle=None)  # ROWS
+def op74_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert end-state: latest value per user (the foreachBatch
+    merge sink's final table; streamed for real in tests). Batch
+    equivalent: row_number over arrival order desc = 1."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    )

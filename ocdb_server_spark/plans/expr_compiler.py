@@ -1,0 +1,328 @@
+"""Lucene-ish query-expression front-end → Catalyst Column compiler
+(SURVEY.md §3.1 stage 4-5, §7.4).
+
+Mirrors the *shape* of the reference's pipeline — tokenizer +
+recursive-descent parser into an AST (`ocdb/core/query/parser.py::
+QueryParser`, `QueryTokenizer` [U]; AST node classes PhraseQuery /
+FieldValueQuery / FieldRangeQuery / FieldWildcardQuery / UnaryOpQuery /
+BinaryOpQuery in `ocdb/core/query/query.py` [U]) and a visitor that
+compiles it (`ocdb/db/mongo_db_driver.py::QueryConverter` [U]) — but
+the compile target is a PySpark `Column` instead of a MongoDB filter
+document, so Catalyst gets a declarative predicate it can push into
+the parquet scan.
+
+Grammar (the reference's public query syntax):
+
+    expr     := or_expr
+    or_expr  := and_expr (OR and_expr)*
+    and_expr := unary (AND? unary)*          # juxtaposition = AND
+    unary    := NOT unary | '+' unary | '-' unary | primary
+    primary  := '(' expr ')' | term
+    term     := field ':' value | field ':' '[' v TO v ']' | value
+    value    := word (may contain * ? wildcards) | "quoted phrase"
+
+A bare (fieldless) term searches the designated default text fields,
+like the reference's PhraseQuery over metadata.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<lbrack>\[) |
+        (?P<rbrack>\]) |
+        (?P<quoted>"[^"]*") |
+        (?P<word>[^\s()\[\]:"]+) |
+        (?P<colon>:)
+    )""",
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise QuerySyntaxError(f"unexpected character at {i}: {s[i]!r}")
+        if m.end() == i:  # only whitespace consumed
+            break
+        kind = m.lastgroup or "word"
+        out.append(Token(kind, m.group(kind) if m.group(kind) else m.group(0), i))
+        i = m.end()
+    return out
+
+
+class QuerySyntaxError(ValueError):
+    """Parse error with position info (ref: parser error positions
+    covered by the reference's tokenizer tests [U])."""
+
+
+# ---------------------------------------------------------------------- AST
+
+
+class Query:
+    def accept(self, v: "QueryVisitor"):
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Fieldless free-text term searched over the default fields."""
+
+    text: str
+
+    def accept(self, v):
+        return v.visit_phrase(self)
+
+
+@dataclass(frozen=True)
+class FieldValueQuery(Query):
+    field: str
+    value: str
+
+    def accept(self, v):
+        return v.visit_field_value(self)
+
+
+@dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    field: str
+    lo: str
+    hi: str
+
+    def accept(self, v):
+        return v.visit_field_range(self)
+
+
+@dataclass(frozen=True)
+class FieldWildcardQuery(Query):
+    field: str
+    pattern: str  # contains * / ?
+
+    def accept(self, v):
+        return v.visit_field_wildcard(self)
+
+
+@dataclass(frozen=True)
+class UnaryOpQuery(Query):
+    op: str  # NOT | + | -
+    child: Query
+
+    def accept(self, v):
+        return v.visit_unary(self)
+
+
+@dataclass(frozen=True)
+class BinaryOpQuery(Query):
+    op: str  # AND | OR
+    left: Query
+    right: Query
+
+    def accept(self, v):
+        return v.visit_binary(self)
+
+
+class QueryVisitor:
+    def visit_phrase(self, q: PhraseQuery): ...
+    def visit_field_value(self, q: FieldValueQuery): ...
+    def visit_field_range(self, q: FieldRangeQuery): ...
+    def visit_field_wildcard(self, q: FieldWildcardQuery): ...
+    def visit_unary(self, q: UnaryOpQuery): ...
+    def visit_binary(self, q: BinaryOpQuery): ...
+
+
+# ------------------------------------------------------------------- parser
+
+
+class QueryParser:
+    """Recursive-descent parser (shape of the reference's QueryParser [U])."""
+
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    @classmethod
+    def parse(cls, s: str) -> Query:
+        p = cls(tokenize(s))
+        q = p._or_expr()
+        if p._peek() is not None:
+            t = p._peek()
+            raise QuerySyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+        return q
+
+    def _peek(self) -> Token | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> Token:
+        t = self._peek()
+        if t is None:
+            raise QuerySyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def _or_expr(self) -> Query:
+        left = self._and_expr()
+        while (t := self._peek()) and t.kind == "word" and t.text.upper() == "OR":
+            self._next()
+            left = BinaryOpQuery("OR", left, self._and_expr())
+        return left
+
+    def _and_expr(self) -> Query:
+        left = self._unary()
+        while (t := self._peek()) is not None:
+            if t.kind == "rparen" or (t.kind == "word" and t.text.upper() == "OR"):
+                break
+            if t.kind == "word" and t.text.upper() == "AND":
+                self._next()
+                left = BinaryOpQuery("AND", left, self._unary())
+            else:
+                left = BinaryOpQuery("AND", left, self._unary())  # juxtaposition
+        return left
+
+    def _unary(self) -> Query:
+        t = self._peek()
+        if t is not None and t.kind == "word" and t.text.upper() == "NOT":
+            self._next()
+            return UnaryOpQuery("NOT", self._unary())
+        if t is not None and t.kind == "word" and t.text in ("+", "-"):
+            self._next()
+            return UnaryOpQuery(t.text, self._unary())
+        return self._primary()
+
+    def _primary(self) -> Query:
+        t = self._next()
+        if t.kind == "lparen":
+            q = self._or_expr()
+            close = self._next()
+            if close.kind != "rparen":
+                raise QuerySyntaxError(f"expected ')' at {close.pos}")
+            return q
+        if t.kind == "quoted":
+            return PhraseQuery(t.text.strip('"'))
+        if t.kind == "word":
+            # leading +/- stuck to the word (Lucene style)
+            if t.text[0] in "+-" and len(t.text) > 1:
+                rest = Token("word", t.text[1:], t.pos + 1)
+                self.toks.insert(self.i, rest)
+                return UnaryOpQuery(t.text[0], self._primary())
+            nxt = self._peek()
+            if nxt is not None and nxt.kind == "colon":
+                self._next()  # consume ':'
+                return self._field_term(t.text)
+            if "*" in t.text or "?" in t.text:
+                return PhraseQuery(t.text)  # fieldless wildcard → phrase-ish
+            return PhraseQuery(t.text)
+        raise QuerySyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _field_term(self, field: str) -> Query:
+        t = self._next()
+        if t.kind == "lbrack":
+            lo = self._next()
+            to = self._next()
+            if not (to.kind == "word" and to.text.upper() == "TO"):
+                raise QuerySyntaxError(f"expected TO at {to.pos}")
+            hi = self._next()
+            rb = self._next()
+            if rb.kind != "rbrack":
+                raise QuerySyntaxError(f"expected ']' at {rb.pos}")
+            return FieldRangeQuery(field, lo.text, hi.text)
+        if t.kind == "quoted":
+            return FieldValueQuery(field, t.text.strip('"'))
+        if t.kind == "word":
+            if "*" in t.text or "?" in t.text:
+                return FieldWildcardQuery(field, t.text)
+            return FieldValueQuery(field, t.text)
+        raise QuerySyntaxError(f"expected value after '{field}:' at {t.pos}")
+
+
+# ----------------------------------------------------------------- compiler
+
+
+def _auto(value: str):
+    """Literal coercion: numbers compare numerically, else string."""
+    try:
+        return int(value)
+    except ValueError:
+        try:
+            return float(value)
+        except ValueError:
+            return value
+
+
+class ColumnCompiler(QueryVisitor):
+    """Compile the AST into a Catalyst Column (the Spark analog of the
+    reference's QueryConverter → Mongo filter [U])."""
+
+    def __init__(self, default_fields: list[str] | None = None):
+        self.default_fields = default_fields or []
+
+    def compile(self, q: Query) -> Column:
+        return q.accept(self)
+
+    def visit_phrase(self, q: PhraseQuery) -> Column:
+        if not self.default_fields:
+            raise QuerySyntaxError(
+                f"fieldless term {q.text!r} but no default text fields configured"
+            )
+        conds = [F.col(f).contains(q.text) for f in self.default_fields]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    def visit_field_value(self, q: FieldValueQuery) -> Column:
+        return F.col(q.field) == F.lit(_auto(q.value))
+
+    def visit_field_range(self, q: FieldRangeQuery) -> Column:
+        col = F.col(q.field)
+        lo, hi = q.lo, q.hi
+        conds = []
+        if lo != "*":
+            conds.append(col >= F.lit(_auto(lo)))
+        if hi != "*":
+            conds.append(col <= F.lit(_auto(hi)))
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def visit_field_wildcard(self, q: FieldWildcardQuery) -> Column:
+        # * → %, ? → _ (same translation the reference does into $regex)
+        like = q.pattern.replace("%", r"\%").replace("_", r"\_")
+        like = like.replace("*", "%").replace("?", "_")
+        return F.col(q.field).like(like)
+
+    def visit_unary(self, q: UnaryOpQuery) -> Column:
+        child = q.child.accept(self)
+        if q.op in ("NOT", "-"):
+            return ~child
+        return child  # '+' = required = plain AND semantics
+
+    def visit_binary(self, q: BinaryOpQuery) -> Column:
+        left, right = q.left.accept(self), q.right.accept(self)
+        return (left & right) if q.op == "AND" else (left | right)
+
+
+def compile_expr(expr: str, default_fields: list[str] | None = None) -> Column:
+    """Parse + compile a reference-syntax query expression to a Column."""
+    return ColumnCompiler(default_fields).compile(QueryParser.parse(expr))

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the configuration below is chosen to
+also be the right *shape* at cluster scale: AQE on (runtime coalescing
++ skew-join handling), Arrow for any Python exchange, and a shuffle
+partition count sized to the parallelism at hand rather than the 200
+default. On a real 1000-executor cluster the same builder is used with
+``master`` unset and ``spark.sql.shuffle.partitions`` raised to
+~2-3x total cores (or left to AQE's coalescing from a high initial
+number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ocdb_server_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+        # default; read as long and normalize to µs timestamps in io.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Tiny dims (region/nation/...) must always broadcast; default 10 MB
+        # threshold already covers them, keep it explicit for clarity.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

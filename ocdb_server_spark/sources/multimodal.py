@@ -1,0 +1,102 @@
+"""Multimodal binary columns: schema, partitioning, and Pandas-UDF
+plumbing for image/audio/video payloads (north-star requirement).
+
+Design: media are opaque `binary` columns traveling beside typed
+metadata — the same pattern op82 proves for text+vector. Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` stages so payload bytes never round-trip per-row.
+
+The image/audio codec libraries are NOT in this container, so the
+decode kernel is STUBBED: `decode_image_stub` raises
+NotImplementedError unless `fake=True`, in which case it produces a
+deterministic fake (width/height parsed from the synthetic payload
+header) — making the Spark-side plumbing (schema, batch iteration,
+partition sizing) real and testable (tests/test_multimodal.py).
+
+Scale notes: media tables partition by (modality, date); payloads cap
+at `spark.sql.files.maxPartitionBytes` granularity so one task never
+holds more than a few hundred MB of bytes; metadata-only queries prune
+the binary column entirely (columnar Parquet never reads it).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),  # opaque bytes
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def make_synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload = 8-byte header
+    (width:int32, height:int32) + filler — stands in for real encoded
+    bytes so the pipeline is end-to-end testable without codecs."""
+    rows = []
+    for i in range(n):
+        w, h = 64 + (i % 8) * 16, 48 + (i % 6) * 16
+        payload = struct.pack("<ii", w, h) + bytes((i % 251,)) * 128
+        rows.append((i, "image", "image/fake", payload, len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Decode kernel stub. Real implementation would call PIL/libvips —
+    not present in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True "
+            "to decode the synthetic header-only format"
+        )
+    w, h = struct.unpack_from("<ii", payload)
+    return w, h
+
+
+def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas decode stage: Arrow batches in, decoded metadata out.
+
+    The batch loop is the real plumbing a production decoder plugs
+    into; only the per-payload kernel is stubbed.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [decode_image_stub(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_bytes": pdf["n_bytes"],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)

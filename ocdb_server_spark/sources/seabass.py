@@ -1,0 +1,95 @@
+"""SeaBASS-style delimited-text ingest (SURVEY.md §2.1 op03, §3.2).
+
+Re-expresses the reference reader's semantics
+(`ocdb/core/seabass/sb_file_reader.py::SbFileReader` [U]):
+
+- `/begin_header` … `/end_header` key=value block;
+- `/delimiter=` chooses the field separator (comma | space | tab);
+- `/fields=` names the columns (the file's dynamic schema);
+- `/missing=` token (and below-detection-limit `/below_detection_limit=`)
+  maps to NULL;
+- records after the header parse to typed (double-where-possible) rows.
+
+Spark-first shape: the bounded header (dozens of lines) is read
+driver-side; the unbounded record body is parsed as a DataFrame —
+`spark.read.text` → filter → `split()` → per-field `element_at` +
+null-token mapping + cast, all JVM expressions. At 100 TB (many
+files) the same parse runs per-file via a file-path column and
+per-file headers resolved into a broadcast map; one file = this
+function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DELIMS = {"comma": ",", "space": " ", "tab": "\t"}
+
+# Deterministic fixture used by op03 and the unit tests — shaped like a
+# public SeaBASS example (header keys from the format spec; synthetic values).
+FIXTURE = """/begin_header
+/investigators=Jane_Doe
+/affiliations=Example_Lab
+/experiment=EXP2024
+/cruise=CR001
+/delimiter=comma
+/missing=-999
+/below_detection_limit=-888
+/fields=depth,chl,wt,sal
+/units=m,mg/m^3,degreesC,PSU
+/end_header
+1.0,0.52,12.3,35.1
+2.5,-999,12.1,35.0
+5.0,0.31,-999,34.9
+7.5,0.22,11.8,-888
+10.0,-888,11.5,34.7
+"""
+
+
+def parse_header(lines: list[str]) -> dict[str, str]:
+    """Parse `/key=value` header lines (between /begin_header and
+    /end_header) into a dict. Mirrors the reference's header scan."""
+    header: dict[str, str] = {}
+    for ln in lines:
+        ln = ln.strip()
+        if not ln.startswith("/"):
+            continue
+        if ln in ("/begin_header", "/end_header"):
+            continue
+        if "=" in ln:
+            k, v = ln[1:].split("=", 1)
+            header[k.strip().lower()] = v.strip()
+    return header
+
+
+def read_seabass(spark: SparkSession, path: str) -> DataFrame:
+    """Read one SeaBASS-style file into a typed DataFrame.
+
+    Header is bounded → driver-side parse of the first lines; the
+    record body is a distributed text scan parsed with JVM expressions
+    (split + element_at + null-token mapping + cast to double).
+    """
+    raw = spark.read.text(path)
+    # header: everything until /end_header — bounded, take() is safe.
+    head_lines = [r.value for r in raw.limit(200).collect()]
+    try:
+        end = next(i for i, ln in enumerate(head_lines) if ln.strip() == "/end_header")
+    except StopIteration:
+        raise ValueError(f"{path}: no /end_header in first 200 lines")
+    header = parse_header(head_lines[: end + 1])
+
+    delim = _DELIMS.get(header.get("delimiter", "comma"), ",")
+    fields = [f.strip() for f in header.get("fields", "").split(",") if f.strip()]
+    if not fields:
+        raise ValueError(f"{path}: missing /fields= header")
+    null_tokens = [t for t in (header.get("missing"), header.get("below_detection_limit")) if t]
+
+    body = raw.filter(~F.col("value").startswith("/")).filter(F.trim("value") != "")
+    parts = F.split(F.col("value"), delim)
+    cols = []
+    for i, name in enumerate(fields):
+        c = F.trim(F.element_at(parts, i + 1))
+        for tok in null_tokens:
+            c = F.nullif(c, F.lit(tok))
+        cols.append(c.cast("double").alias(name))
+    return body.select(*cols)

@@ -1,0 +1,182 @@
+"""Structured Streaming jobs for SURVEY.md §2.9 (op69–op74).
+
+The batch-equivalent DataFrames live in
+``operators/streaming_batch.py`` (those are what the DuckDB oracle
+checks); this module runs the SAME logic as real streaming queries —
+``readStream`` file source → transformation → memory sink, driven to
+completion with ``Trigger.AvailableNow`` — so tests can assert that
+streaming execution matches batch (and that watermarks actually drop
+late rows, which batch can't express).
+
+Scale notes: file-source streaming here stands in for Kafka; the
+operator graphs are identical. Watermarks bound all state (window and
+dedup state eviction), which is the requirement for unbounded input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import table_path
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(schema).parquet(table_path(sf_dir, "events"))
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if dict(stream.dtypes)["ts"] in ("bigint", "long")
+        else F.col("ts").cast("timestamp")
+    )
+    return stream.select(
+        "event_id", ts.alias("ts"), "user_id", "event_type", "value"
+    )
+
+
+def _run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink,
+    return the sink contents as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op69 as a streaming query: watermark + 1h tumbling windows."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, mode="complete")
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op71 as a streaming query: session windows, 30min gap."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, mode="complete")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op73 as a streaming query: dropDuplicatesWithinWatermark."""
+    ev = _stream_events(spark, sf_dir)
+    dd = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    return _run_to_memory(dd.select("event_id", "user_id"), mode="append")
+
+
+def stream_upsert_state(spark: SparkSession, sf_dir: str) -> dict[int, tuple]:
+    """op74 as a streaming query: foreachBatch keyed upsert into a
+    driver-side dict (stand-in for a MERGE-capable sink)."""
+    state: dict[int, tuple] = {}
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-batch latest per user, then merge into the keyed store
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id", "m.ts", "m.value")
+        )
+        for row in latest.collect():
+            cur = state.get(row["user_id"])
+            if cur is None or row["ts"] >= cur[0]:
+                state[row["user_id"]] = (row["ts"], row["value"])
+
+    ev = _stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return state
+
+
+def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int]:
+    """op72's streaming proof: two micro-batches where batch 2 contains
+    a row older than (max ts of batch 1 − 1h watermark). Returns
+    (rows_in_result_for_late_window, total_result_rows): the late row
+    must NOT extend its (already-finalized) window.
+
+    Uses an append-mode windowed aggregation over a file source fed one
+    file per micro-batch via maxFilesPerTrigger=1.
+    """
+    import os
+
+    from pyspark.sql import Row
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    b1 = [
+        Row(ts="2024-01-01 00:10:00", k="a"),
+        Row(ts="2024-01-01 03:00:00", k="a"),  # advances watermark to 02:00
+    ]
+    b2 = [Row(ts="2024-01-01 00:20:00", k="a")]  # late: < 02:00 watermark
+    df1 = spark.createDataFrame(b1).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    df2 = spark.createDataFrame(b2).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    df1.write.mode("overwrite").parquet(f"{tmp_dir}/f1")
+    # file modification order drives processing order with maxFilesPerTrigger
+    df2.write.mode("overwrite").parquet(f"{tmp_dir}/f2")
+
+    schema = df1.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_dir}/f*")
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = "wm" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    late_window = [r for r in out if str(r["ws"]).startswith("2024-01-01 00:")]
+    # n for the 00:00 window must count only the on-time 00:10 row
+    n_late_window = late_window[0]["n"] if late_window else -1
+    return n_late_window, len(out)
