@@ -148,30 +148,40 @@ def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups so an empty result is the correct output.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), " ")
+    # Materialize the token array BEFORE building shingles: referencing
+    # the split() expression inside a HOF lambda re-evaluates it per
+    # element (O(n_words²) re-splits — measured 5.5s of the sf0.1
+    # runtime). zip_with against the shifted slice is one pass.
+    w = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        F.filter(
+            F.zip_with(
+                F.col("w"),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            lambda s: s.contains(" "),  # drop the null-padded tail bigram
         )
     )
-    t = d.select("doc_id", shingles.alias("sh")).filter(F.size("sh") > 0)
-    # 16 minhash values: min over shingles of xxhash64(salt_i ++ shingle)
-    minhashes = F.array(
+    # Explode shingles once, hash each with 16 integer salts (one cheap
+    # xxhash64 per salt, no string building), then min() per doc —
+    # a map-side partial aggregate, so the shuffle carries 16 longs per
+    # doc regardless of document length. (A prior formulation — 16
+    # nested transforms over the shingle array per row — was 30× slower
+    # at sf0.1 and would blow up on long documents.)
+    sh = w.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
-            )
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
             for i in range(16)
         ]
     )
-    sig = t.select("doc_id", minhashes.alias("mh"))
-    # 4 bands × 4 rows: band hash = xxhash64 of the band's joined values
+    # 4 bands × 4 signature values: band hash = xxhash64 of the band's mins
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("mh"), b * 4 + j + 1).cast("string") for j in range(4)])).alias("band_hash"),
+                F.xxhash64(*[F.col(f"mh{b * 4 + j}") for j in range(4)]).alias("band_hash"),
             )
             for b in range(4)
         ]
