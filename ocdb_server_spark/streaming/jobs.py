@@ -24,7 +24,13 @@ from ocdb_server_spark.io import table_path
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(schema).parquet(table_path(sf_dir, "events"))
+    # The file stream source requires a *directory*; sf_dir holds one
+    # file per table, so scope the scan with pathGlobFilter.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     ts = (
         F.expr("timestamp_micros(ts div 1000)")
         if dict(stream.dtypes)["ts"] in ("bigint", "long")

@@ -1,0 +1,79 @@
+"""Structured Streaming execution tests (SURVEY.md §5.2.4).
+
+The oracle gate checks op69–op74's *batch-equivalent* DataFrames; these
+tests prove the same logic runs as real streaming queries (readStream →
+availableNow → memory sink) and produces identical results — plus the
+one behavior batch can't express: watermark-based late-row dropping
+(op72), asserted with a crafted two-micro-batch sequence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocdb_server_spark.registry import load_all
+from ocdb_server_spark.streaming import jobs
+
+OPS = load_all()
+
+
+def _rows(df, cols):
+    out = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    streamed = jobs.stream_tumbling(spark, sf_dir)
+    batch = OPS["op69_stream_tumbling"].fn(spark, sf_dir)
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_session_matches_batch(spark, sf_dir):
+    streamed = jobs.stream_session(spark, sf_dir)
+    batch = OPS["op71_stream_session"].fn(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    streamed = jobs.stream_dedup(spark, sf_dir)
+    batch = OPS["op73_stream_dedup_stateful"].fn(spark, sf_dir)
+    assert streamed.count() == batch.count()
+    assert _rows(streamed, ["event_id"]) == _rows(batch, ["event_id"])
+
+
+def test_stream_upsert_end_state_matches_batch(spark, sf_dir):
+    state = jobs.stream_upsert_state(spark, sf_dir)
+    batch = OPS["op74_stream_foreach_batch_upsert"].fn(spark, sf_dir)
+    expected = {
+        r["user_id"]: (r["last_ts"], r["last_value"]) for r in batch.collect()
+    }
+    assert set(state) == set(expected)
+    mism = {
+        u for u in expected
+        if state[u][0] != expected[u][0] or abs(state[u][1] - expected[u][1]) > 1e-9
+    }
+    assert not mism, f"{len(mism)} users diverge; e.g. {sorted(mism)[:3]}"
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """op72's streaming proof: a row arriving after the watermark passed
+    its window must not change that window's (already emitted) count."""
+    n_late_window, total = jobs.run_watermark_drop_demo(spark, str(tmp_path / "wm"))
+    # The 00:00 window holds exactly the one on-time row; the late
+    # 00:20 row from micro-batch 2 was dropped by the 1h watermark.
+    assert n_late_window == 1
+    assert total >= 1
+
+
+@pytest.mark.parametrize("op", ["op70_stream_sliding"])
+def test_sliding_window_batch_shape(spark, sf_dir, op):
+    """Every event lands in exactly two 1h/30min sliding windows, so
+    sum(n) across windows must equal 2 × event count."""
+    df = OPS[op].fn(spark, sf_dir)
+    from ocdb_server_spark.io import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = sum(r["n"] for r in df.collect())
+    assert total == 2 * n_events
