@@ -1,0 +1,84 @@
+"""Text-analysis column expressions (north-star LLM-pipeline ops).
+
+Everything here is a pure JVM expression over a text/tokens column —
+no Python UDFs, no shuffles — so each runs inside whole-stage codegen
+at scan speed. Shuffling ops built on these (near-dup joins etc.) live
+in operators/pipeline_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker words for the n-gram-heuristic language ID (op91): disjoint
+# token sets whose hit counts vote per language. With real corpora the
+# sets come from per-language frequency tables; the synthetic corpus
+# shares one vocabulary, so the point is the *deterministic, portable
+# scoring plumbing*, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("table", "row"),
+    "en": ("the", "a"),
+    "es": ("join", "filter"),
+    "fr": ("value", "data"),
+    "zh": ("hash", "scan"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(text), " ")
+
+
+def token_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in `words` (JVM filter, no explode)."""
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash (Charikar '02) of a token array, as one JVM
+    expression: per-token xxhash64, then for each bit position the
+    ±1 votes are summed and the sign becomes the signature bit.
+
+    Per-row compute is O(tokens × 64) long ops inside codegen; no
+    shuffle, no Python. Near-dup candidate pairing over the signature
+    is op88's job (chunk banding + bit_count verify)."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(i: int):
+        # factory closure: PySpark derives HOF arity from the lambda
+        # signature, so the merge lambda must take exactly (acc, h)
+        def merge(acc, h):
+            bit = F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
+        out = out + F.shiftleft(F.when(votes > 0, 1).otherwise(0).cast("long"), i)
+    return out
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03):
+    rolling k-gram hashes, minimum per sliding window, distinct set.
+    Guarantees any shared substring of length ≥ k + window − 1 yields a
+    shared fingerprint — the standard local dedup/plagiarism sketch.
+
+    Pure expression: sequence → substring hash → windowed array_min →
+    array_distinct. O(len) per row, codegen, no shuffle."""
+    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    return F.array_distinct(mins)

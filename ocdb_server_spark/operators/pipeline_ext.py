@@ -1,0 +1,449 @@
+"""Extended LLM-data-pipeline operators — op88–op95 (north-star
+additions beyond SURVEY.md §2.10's op75–op83: the remaining dedup /
+similarity / text-analysis families from BASELINE.json:6).
+
+Scale design per family:
+- SimHash (op88): signature is one 64-bit long per doc computed at scan
+  speed; candidate pairing shuffles (doc, 16-bit chunk) rows — the
+  pigeonhole banding for hamming ≤ 3 — never the O(n²) pair space.
+- n-gram Jaccard (op89): gram-frequency cap (drop grams in > max_df
+  docs) bounds the gram-join fanout, the standard guard against
+  stop-gram quadratic blowup at corpus scale.
+- embedding LSH (op90): 16 signed random hyperplanes → one int bucket
+  per vector; exact cosine only within buckets.
+- IVF ANN (op95): coarse centroids broadcast (index metadata, tiny);
+  probe top-nprobe clusters; exact cosine only inside probed clusters —
+  the scan prunes to nprobe/K of the corpus.
+- lang-ID / quality / token counts (op91–op93): pure per-row JVM
+  expressions, zero shuffle, run at scan speed on any corpus size.
+- winnowing fingerprints (op94): O(len) per row, the local sketch for
+  substring-level dedup.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    simhash64,
+    token_hits,
+    tokens,
+    winnow_fingerprints,
+)
+from ocdb_server_spark.functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------- op88
+
+
+@register("op88_simhash_neardup", oracle=None)  # ROWS: xxhash64 has no DuckDB equiv
+def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit signatures, pigeonhole
+    banding on 4 × 16-bit chunks (any pair with hamming ≤ 3 must share
+    a chunk), exact bit_count verification ≤ 3.
+
+    Signature generation is per-row codegen (functions/text.simhash64);
+    the shuffle carries (doc_id, chunk) rows. Verified against planted
+    near-dups in tests/test_pipeline_ext.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col("sh"), 16 * c)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for c in range(4)
+        ]
+    )
+    e = sig.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "sh", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- op89
+
+_OP89_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+capped AS (
+  SELECT * FROM grams
+  WHERE gram IN (SELECT gram FROM grams GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.1
+"""
+
+
+@register("op89_ngram_jaccard", oracle=_OP89_SQL)
+def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for same-source doc pairs with
+    J ≥ 0.1 — exact set-overlap near-dup scoring.
+
+    The gram join is blocked two ways: by the gram itself (only docs
+    sharing a gram ever meet) and by the max-df cap (grams appearing in
+    > 50 docs are dropped — the stop-gram guard that keeps the join
+    linear-ish at corpus scale). Threshold applied to the 6dp-rounded
+    value so both engines keep identical row sets."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+    tri = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                F.zip_with(
+                    F.col("w"),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+                F.slice(F.col("w"), 3, F.greatest(F.size("w") - 2, F.lit(0))),
+                lambda xy, z: F.concat_ws(" ", xy, z),
+            ),
+            # keep only complete trigrams (null-padded tails have < 2 spaces)
+            lambda s: F.size(F.split(s, " ")) == 3,
+        )
+    )
+    grams = w.select("doc_id", "source", F.explode(tri).alias("gram"))
+    capped = grams.withColumn(
+        "df", F.size(F.collect_set("doc_id").over(W.partitionBy("gram")))
+    ).filter(F.col("df") <= 50)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.bround(
+        F.col("n_shared").cast("double")
+        / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")),
+        6,
+    )
+    return (
+        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+# --------------------------------------------------------------- op90
+
+_N_TABLES = 4
+_PLANES_PER_TABLE = 8
+_DIM = 64
+_rng = random.Random(20260813)
+_PLANES: list[list[list[int]]] = [
+    [[_rng.choice((-1, 1)) for _ in range(_DIM)] for _ in range(_PLANES_PER_TABLE)]
+    for _ in range(_N_TABLES)
+]
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (Charikar '02), banded:
+    4 hash tables × 8 deterministic ±1 hyperplanes. A pair is a
+    candidate if it co-buckets in ANY table — for cosine 0.95 the
+    candidate probability is ≈ 0.9 vs ≈ 0.004 for a single 16-plane
+    table — then exact cosine ≥ threshold verifies.
+
+    Scale: the shuffle carries (id, table, bucket) rows — 4 per vector
+    — and the quadratic verify is confined to same-bucket vectors."""
+    buckets = []
+    for t, table in enumerate(_PLANES):
+        b = F.lit(0)
+        for i, plane in enumerate(table):
+            pl = F.array(*[F.lit(float(s)) for s in plane])
+            b = b + F.shiftleft(F.when(_dot(F.col(vec_col), pl) > 0, 1).otherwise(0), i)
+        buckets.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(F.array(*buckets)).alias("tb")
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = F.bround(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
+@register("op90_embedding_neardup_lsh", oracle=None)  # ROWS: LSH is approximate
+def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates over the embeddings table
+    (banded random-hyperplane LSH → exact cosine ≥ 0.8 verify; see
+    lsh_neardup_pairs). The driver corpus has NO pairs above 0.8 (max
+    off-diagonal cosine ≈ 0.51, measured) — empty output is the correct
+    answer here; recall on planted near-dups is proven in
+    tests/test_pipeline_ext.py."""
+    return lsh_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------- op91
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> list_contains([{lst}], t)))"
+
+
+_OP91_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_hits(LANG_MARKERS['de'])} AS s_de,
+         {_sql_hits(LANG_MARKERS['en'])} AS s_en,
+         {_sql_hits(LANG_MARKERS['es'])} AS s_es,
+         {_sql_hits(LANG_MARKERS['fr'])} AS s_fr,
+         {_sql_hits(LANG_MARKERS['zh'])} AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       lang AS actual_lang
+FROM s
+"""
+
+
+@register("op91_lang_id", oracle=_OP91_SQL)
+def op91_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token voting (n-gram heuristic): count
+    per-language marker hits, argmax with deterministic lang-ascending
+    tie-break, 'und' when no marker fires. Pure per-row expression —
+    zero shuffle, scan-speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scores = {
+        lang: token_hits(toks, words) for lang, words in sorted(LANG_MARKERS.items())
+    }
+    s = d.select("doc_id", F.col("lang").alias("actual_lang"), *[c.alias(f"s_{l}") for l, c in scores.items()])
+    g = lambda *ls: F.greatest(*[F.col(f"s_{x}") for x in ls]) if len(ls) > 1 else F.col(f"s_{ls[0]}")  # noqa: E731
+    pred = (
+        F.when(g("de", "en", "es", "fr", "zh") == 0, "und")
+        .when(F.col("s_de") >= g("en", "es", "fr", "zh"), "de")
+        .when(F.col("s_en") >= g("es", "fr", "zh"), "en")
+        .when(F.col("s_es") >= g("fr", "zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select("doc_id", pred.alias("pred_lang"), "actual_lang")
+
+
+# --------------------------------------------------------------- op92
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_OP92_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains([{_SQL_STOP}], t))) AS n_stop,
+         n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       0.5 * least(n_words, 100) / 100.0
+         + 0.25 * (1 - CAST(n_stop AS DOUBLE) / n_words)
+         + 0.25 * least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words / 8.0, 1.0)
+         AS quality
+FROM f
+"""
+
+
+@register("op92_quality_score", oracle=_OP92_SQL)
+def op92_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from shape features: length, average
+    word length (chars net of single-space separators), stopword ratio,
+    combined into a bounded [0,1] score. Feature ratios round to 6dp;
+    the composite score is deliberately UNROUNDED: its power-of-two
+    denominators produce exact decimal ties (e.g. 0.6640625) that
+    HALF_EVEN and HALF_UP break differently, while the raw IEEE double
+    — same ops, same order — is bit-identical across engines.
+    Pure per-row expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = token_hits(toks, STOPWORDS)
+    awl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    ratio = n_stop.cast("double") / n_words
+    quality = (
+        F.lit(0.5) * F.least(n_words, F.lit(100)) / 100.0
+        + F.lit(0.25) * (F.lit(1) - ratio)
+        + F.lit(0.25) * F.least(awl / 8.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.bround(awl, 6).alias("avg_word_len"),
+        F.bround(ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# --------------------------------------------------------------- op93
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_OP93_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("op93_token_count", oracle=_OP93_SQL)
+def op93_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs | digit runs | single punctuation) — the cheap
+    pre-tokenizer count used for corpus budgeting. Per-row regex in
+    codegen; zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------- op94
+
+
+@register("op94_doc_fingerprint", oracle=None)  # ROWS: xxhash64 not in DuckDB
+def op94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (rolling 5-gram hash, window
+    4): the substring-level dedup sketch. Observables: fingerprint
+    count + min/max (the set itself is exercised by the locality tests
+    in tests/test_pipeline_ext.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )
+
+
+# --------------------------------------------------------------- op95
+
+
+@register("op95_sim_ivf_knn", oracle=None)  # ROWS: IVF probe is approximate
+def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-10 cosine neighbors of the vec_id=0
+    query: 16 coarse centroids (deterministically seeded here; a
+    production index runs k-means — the query path is identical),
+    every vector assigned to its nearest centroid, the query probes its
+    nprobe=4 nearest centroids, exact cosine only inside probed
+    clusters.
+
+    Scale: centroids are index metadata (K × dim floats — broadcast);
+    assignment is one scan; the probe prunes the exact work to
+    ~nprobe/K of the corpus. Compare op80 (exact brute force) for
+    recall at test scale (tests/test_pipeline_ext.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    # assignment: argmax cosine over the broadcast centroid set
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("csim", _cosine(F.col("embedding"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    # probe list: the query's nprobe nearest centroids (index metadata →
+    # driver-side is legitimate; this is K rows, not data)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probes = [
+        r["cid"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .select("cid", _cosine(F.col("cvec"), F.col("qe")).alias("s"))
+        .orderBy(F.col("s").desc(), "cid")
+        .limit(4)
+        .collect()
+    ]
+    sim = F.bround(_cosine(F.col("embedding"), F.col("qe")), 6)
+    return (
+        assigned.filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )

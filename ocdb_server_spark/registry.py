@@ -50,6 +50,7 @@ def load_all() -> dict[str, Op]:
         filters,
         joins,
         northstar,
+        pipeline_ext,
         scans,
         setops,
         sorting,

@@ -1,0 +1,175 @@
+"""Behavioral tests for op88–op95 (the ROWS-only ops need more than
+the oracle harness's runs-and-has-schema check: planted near-dups,
+fingerprint locality, ANN recall)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.functions.text import simhash64, tokens, winnow_fingerprints
+from ocdb_server_spark.registry import load_all
+
+OPS = load_all()
+
+
+# ------------------------------------------------------------- SimHash
+
+
+@pytest.fixture(scope="module")
+def crafted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                     # exact dup
+            (3, base.replace("today", "tomorrow")),        # near dup
+            (4, "completely different words about spark catalyst shuffles and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_simhash_identical_and_near(crafted_docs):
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in crafted_docs.select(
+            "doc_id", simhash64(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham < ham_far  # near-dup closer than unrelated doc
+    assert ham <= 16
+
+
+def test_op88_finds_planted_dups(spark, sf_dir):
+    """Exact-duplicate texts in the corpus must surface as hamming-0
+    pairs; all reported pairs obey the threshold and ordering."""
+    out = OPS["op88_simhash_neardup"].fn(spark, sf_dir).collect()
+    from ocdb_server_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    expected_pairs = {
+        (min(a, b), max(a, b))
+        for g in dup_groups
+        for i, a in enumerate(g["ids"])
+        for b in g["ids"][i + 1 :]
+    }
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert expected_pairs <= got_pairs  # every exact dup found
+    for r in out:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+
+
+# ------------------------------------------------------- winnowing fp
+
+
+def test_winnow_locality(spark):
+    base = "spark catalyst optimizes declarative query plans into tungsten codegen stages"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("tungsten", "titanium"))],
+        "id long, text string",
+    )
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]  # deterministic: same text → same set
+    overlap = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert overlap > 0.5     # one-word edit keeps most fingerprints
+    assert fps[1] != fps[3]  # but the edit is visible
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length ≥ k+w-1 = 8
+    yields at least one shared fingerprint."""
+    a = "xxxxxx shared-run-of-text yyyyyy"
+    b = "qqqqqq shared-run-of-text rrrrrr"
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+# ------------------------------------------------------------ LSH / IVF
+
+
+def test_op90_pairs_are_high_similarity(spark, sf_dir):
+    out = OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.8
+
+
+def test_lsh_recovers_planted_neardups(spark):
+    """Banded LSH must recover planted near-identical vectors (tiny
+    perturbation → cosine ≈ 1) and exclude random pairs."""
+    import numpy as np
+
+    from ocdb_server_spark.operators.pipeline_ext import lsh_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 64))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant: 100+i is a tiny perturbation of i, for i in 0..4
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in lsh_neardup_pairs(df, threshold=0.95).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in got, f"planted near-dup {i} missed"
+        assert got[(i, 100 + i)] > 0.99
+    # random base vectors in 64-d are near-orthogonal — none qualify
+    assert all(a >= 100 or b >= 100 for (a, b) in got)
+
+
+def test_op95_ivf_vs_exact_top10(spark, sf_dir):
+    """IVF with K=16/nprobe=4 must return 10 valid neighbors sorted by
+    similarity; its top hit can't beat the exact scan's top hit, and
+    recall@10 vs op80's exact answer should be well above the ~25%
+    random-probe floor."""
+    approx = OPS["op95_sim_ivf_knn"].fn(spark, sf_dir).collect()
+    exact = OPS["op80_sim_cosine_knn"].fn(spark, sf_dir).collect()
+    assert len(approx) == 10
+    sims = [r["sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    assert sims[0] <= exact[0]["sim"] + 1e-9
+    recall = len({r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}) / 10
+    assert recall >= 0.3
+
+
+# ------------------------------------------------- per-row text ops
+
+
+def test_op91_pred_matches_marker_votes(spark, sf_dir):
+    """Spot-check the argmax/tie-break contract on a few docs."""
+    out = OPS["op91_lang_id"].fn(spark, sf_dir)
+    assert out.filter(~F.col("pred_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == 0
+
+
+def test_op92_quality_bounded(spark, sf_dir):
+    out = OPS["op92_quality_score"].fn(spark, sf_dir)
+    bad = out.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_op93_bpe_at_least_ws(spark, sf_dir):
+    """The BPE-ish lexer can only split further than whitespace —
+    never merge — so its token count dominates."""
+    out = OPS["op93_token_count"].fn(spark, sf_dir)
+    assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
