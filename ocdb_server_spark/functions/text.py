@@ -69,16 +69,27 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     Guarantees any shared substring of length ≥ k + window − 1 yields a
     shared fingerprint — the standard local dedup/plagiarism sketch.
 
-    Pure expression: sequence → substring hash → windowed array_min →
-    array_distinct. O(len) per row, codegen, no shuffle."""
+    The rolling min is computed by doubling — window 4 = pairwise min
+    with shift 1, then with shift 2 — so the expression stays O(len ·
+    log window) per row. (The naive `array_min(slice(grams, j, w))`
+    inside a transform re-evaluates the whole gram expression PER
+    ELEMENT: O(len²) — measured 25 s vs 0.7 s over sf0.1 documents.)
+    `least` is null-skipping, so zip_with's null tail padding is
+    harmless; the final slice trims to the complete windows."""
+    if window & (window - 1):
+        raise ValueError("window must be a power of two (doubling rolling-min)")
     n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
-    grams = F.transform(
+    m = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.xxhash64(text.substr(i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(0))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(grams, j, window)),
-    )
-    return F.array_distinct(mins)
+    shift = 1
+    while shift < window:
+        m = F.zip_with(
+            m,
+            F.slice(m, shift + 1, F.greatest(F.size(m) - shift, F.lit(0))),
+            lambda x, y: F.least(x, y),
+        )
+        shift *= 2
+    n_windows = F.greatest(n_grams - (window - 1), F.lit(0))
+    return F.array_distinct(F.slice(m, 1, n_windows))

