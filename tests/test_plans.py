@@ -1,0 +1,133 @@
+"""Physical-plan assertions (SURVEY.md §4, the 100 TB design gates).
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst plans them the way a 1000-executor cluster needs:
+filters reach the parquet reader, projections prune the scan, small
+dims broadcast, aggregations have map-side partials, top-k avoids the
+global sort, and partitioned windows never degenerate into a
+single-task sort. A regression here is invisible at sf0.001 and fatal
+at 100 TB — which is why they're plan assertions, not timings.
+
+NOTE: these run against COLD loads (no warm_cache) so the parquet
+scan is visible in the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocdb_server_spark.registry import load_all
+
+OPS = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """op07 equality filter must appear in PushedFilters on the scan."""
+    plan = _plan(OPS["op07_filter_eq"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "c_mktsegment" in pushed
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    """op02: ReadSchema must carry only the selected+filtered columns,
+    not the full 16-column lineitem schema."""
+    plan = _plan(OPS["op02_scan_projection_pushdown"].fn(spark, sf_dir))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 3 referenced columns — the untouched 13 stay unread
+    assert read.count(":") == 3, read
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    """op28: part must ship as a broadcast, never shuffle the fact."""
+    plan = _plan(OPS["op28_join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """op39 (flagship): every dimension of the 6-table star should
+    broadcast — the only shuffle is the final aggregation's."""
+    plan = _plan(OPS["op39_join_multiway_star"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_has_map_side_partial(spark, sf_dir):
+    """op17: HashAggregate(partial) below the exchange — the shuffle
+    carries one row per (partition × group), not the data."""
+    plan = _plan(OPS["op17_agg_groupby"].fn(spark, sf_dir))
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # partial agg must appear BELOW (after, in toString order) the exchange
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    """op51: orderBy().limit() must plan TakeOrderedAndProject, not a
+    full Sort of the whole table."""
+    plan = _plan(OPS["op51_topk_global"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_windows_are_partitioned(spark, sf_dir):
+    """Every window op must hash-partition before sorting — a global
+    (unpartitioned) window sort is the classic 100 TB killer."""
+    for name in (
+        "op42_win_row_number_topk_group",
+        "op45_win_running_sum",
+        "op46_win_moving_avg",
+    ):
+        plan = _plan(OPS[name].fn(spark, sf_dir))
+        assert "hashpartitioning" in plan, f"{name}: window not hash-partitioned"
+        assert "SinglePartition" not in plan.split("Window")[0], (
+            f"{name}: window runs on a single partition"
+        )
+
+
+def test_knn_is_single_pass_topk(spark, sf_dir):
+    """op80: brute-force knn = broadcast query vector + linear scan +
+    TakeOrderedAndProject; no shuffle of the embeddings."""
+    plan = _plan(OPS["op80_sim_cosine_knn"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_joins_plan_as_such(spark, sf_dir):
+    for name, kind in (
+        ("op32_join_left_semi", "LeftSemi"),
+        ("op33_join_left_anti", "LeftAnti"),
+    ):
+        plan = _plan(OPS[name].fn(spark, sf_dir))
+        assert kind in plan, f"{name}: expected {kind} join in plan"
+
+
+def test_minhash_shuffle_carries_signatures_not_text(spark, sf_dir):
+    """op79: after the signature aggregation, no plan node should carry
+    the raw text column — the shuffle payload is 16 longs per doc."""
+    plan = _plan(OPS["op79_minhash_neardup"].fn(spark, sf_dir))
+    partial_lines = [ln for ln in plan.splitlines() if "partial_min" in ln]
+    assert partial_lines, "expected a map-side partial_min aggregate"
+    for ln in partial_lines:
+        out = ln.split("output=[")[1] if "output=[" in ln else ln
+        assert "text#" not in out and "shingle#" not in out, (
+            "shuffle payload must be the 16 signature longs, got: " + out[:200]
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["op91_lang_id", "op92_quality_score", "op93_token_count"],
+)
+def test_per_row_text_ops_have_no_shuffle(spark, sf_dir, name):
+    """The per-row text-analysis ops must be shuffle-free scans."""
+    plan = _plan(OPS[name].fn(spark, sf_dir))
+    assert "Exchange" not in plan, f"{name}: unexpected shuffle"
