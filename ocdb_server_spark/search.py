@@ -1,0 +1,117 @@
+"""The reference's flagship search path, re-expressed over DataFrames
+(SURVEY.md §3.1: `GET /datasets` → RequestParams → DatasetQuery →
+QueryParser → QueryConverter → Mongo find/skip/limit/count).
+
+`DatasetQuery` mirrors the reference's typed param object
+(`ocdb/core/models/dataset_query.py` [U]); `find_datasets` mirrors
+`ocdb/ws/controllers/datasets.py::find_datasets` [U]. Stages 4–6 of
+the reference pipeline (parse → compile → execute) collapse into one
+Catalyst predicate: the expr compiles to a `Column`
+(plans/expr_compiler.py), bbox/time/set filters AND onto it, and
+execution is a parquet scan with every predicate pushed down — the
+Spark analog of "compile the whole query into the Mongo filter so the
+database does the work".
+
+Scale notes: `total_count` and the page both derive from ONE filtered
+frame; pagination is ORDER BY a unique key + LIMIT/OFFSET, which
+Spark plans as a partial top-(offset+count) per partition — no global
+sort materializes. Deep paging (offset ≫) degrades the same way it
+does in any engine; cursor-style paging (filter key > last_seen) is
+the 100 TB idiom and falls out of the same API (pass the cursor
+predicate as `expr`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ocdb_server_spark.plans.expr_compiler import compile_expr
+
+
+@dataclass(frozen=True)
+class DatasetQuery:
+    """Typed query params (reference: DatasetQuery [U]).
+
+    expr     — Lucene-ish query string (field:value, ranges, wildcards,
+               AND/OR/NOT), compiled by plans/expr_compiler.
+    region   — (x_min, y_min, x_max, y_max) bbox over two numeric
+               columns (the reference's lon/lat).
+    time     — (start, end) closed interval; rows overlap if their own
+               [t_start, t_end] intersects it.
+    pgroup   — membership filter (reference: product groups → $in).
+    offset/count — pagination (reference: skip/limit).
+    """
+
+    expr: str | None = None
+    region: tuple[float, float, float, float] | None = None
+    time: tuple[str, str] | None = None
+    pgroup: list[str] = field(default_factory=list)
+    offset: int = 0
+    count: int = 100
+
+
+@dataclass(frozen=True)
+class SearchColumns:
+    """Column bindings: which DataFrame columns play lon/lat/time/group
+    (the reference hard-codes these; a general engine binds them)."""
+
+    x: str | None = None
+    y: str | None = None
+    t_start: str | None = None
+    t_end: str | None = None  # defaults to t_start (point events)
+    group: str | None = None
+    order_key: str = "id"  # unique key for deterministic paging
+    default_text_fields: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class DatasetQueryResult:
+    """Reference: DatasetQueryResult [U] — total hit count + one page,
+    echoing the query."""
+
+    total_count: int
+    datasets: DataFrame
+    query: DatasetQuery
+
+
+def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
+    pred = F.lit(True)
+    if q.expr:
+        pred = pred & compile_expr(q.expr, list(cols.default_text_fields))
+    if q.region is not None:
+        if cols.x is None or cols.y is None:
+            raise ValueError("region filter needs SearchColumns.x/y bindings")
+        x_min, y_min, x_max, y_max = q.region
+        pred = (
+            pred
+            & F.col(cols.x).between(x_min, x_max)
+            & F.col(cols.y).between(y_min, y_max)
+        )
+    if q.time is not None:
+        if cols.t_start is None:
+            raise ValueError("time filter needs SearchColumns.t_start binding")
+        t_end = cols.t_end or cols.t_start
+        start, end = q.time
+        # interval overlap: row_start <= q_end AND row_end >= q_start
+        pred = pred & (F.col(cols.t_start) <= F.lit(end)) & (
+            F.col(t_end) >= F.lit(start)
+        )
+    if q.pgroup:
+        if cols.group is None:
+            raise ValueError("pgroup filter needs SearchColumns.group binding")
+        pred = pred & F.col(cols.group).isin(q.pgroup)
+    return pred
+
+
+def find_datasets(
+    df: DataFrame, q: DatasetQuery, cols: SearchColumns
+) -> DatasetQueryResult:
+    """One call = the reference's whole request lifecycle: compile every
+    param into a single Catalyst predicate, count the hits, return the
+    deterministic page."""
+    hits = df.filter(_predicate(q, cols))
+    total = hits.count()
+    page = hits.orderBy(cols.order_key).offset(q.offset).limit(q.count)
+    return DatasetQueryResult(total_count=total, datasets=page, query=q)

@@ -1,0 +1,126 @@
+"""End-to-end tests of the find_datasets search façade (SURVEY.md §3.1
+parity: expr + bbox + time + membership + pagination in one call),
+bound to the driver's orders/part tables since the testdata has no geo
+columns (same substitution op14 documents)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.search import (
+    DatasetQuery,
+    SearchColumns,
+    find_datasets,
+)
+
+PART_COLS = SearchColumns(
+    x="p_size",
+    y="p_retailprice",
+    order_key="p_partkey",
+    default_text_fields=("p_name", "p_type"),
+)
+
+
+@pytest.fixture(scope="module")
+def part(spark, sf_dir):
+    return load_table(spark, sf_dir, "part")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_expr_only(part):
+    res = find_datasets(part, DatasetQuery(expr="p_size:[1 TO 10]"), PART_COLS)
+    manual = part.filter(F.col("p_size").between(1, 10)).count()
+    assert res.total_count == manual
+    assert res.datasets.count() == min(manual, 100)
+
+
+def test_bbox_matches_manual_filter(part):
+    q = DatasetQuery(region=(5, 500.0, 20, 1200.0), count=10_000)
+    res = find_datasets(part, q, PART_COLS)
+    manual = part.filter(
+        F.col("p_size").between(5, 20) & F.col("p_retailprice").between(500.0, 1200.0)
+    ).count()
+    assert res.total_count == manual
+    assert res.datasets.count() == manual
+
+
+def test_expr_and_bbox_compose(part):
+    q = DatasetQuery(expr="p_brand:*Brand*", region=(1, 0.0, 25, 2000.0))
+    res = find_datasets(part, q, PART_COLS)
+    manual = part.filter(
+        F.col("p_brand").like("%Brand%")
+        & F.col("p_size").between(1, 25)
+        & F.col("p_retailprice").between(0.0, 2000.0)
+    ).count()
+    assert res.total_count == manual
+
+
+def test_time_overlap_and_membership(orders):
+    cols = SearchColumns(
+        t_start="o_orderdate",
+        group="o_orderpriority",
+        order_key="o_orderkey",
+    )
+    q = DatasetQuery(
+        time=("1995-01-01", "1995-12-31"),
+        pgroup=["1-URGENT", "2-HIGH"],
+        count=50,
+    )
+    res = find_datasets(orders, q, cols)
+    manual = orders.filter(
+        (F.col("o_orderdate") <= "1995-12-31")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    ).count()
+    assert res.total_count == manual
+    assert res.datasets.count() == min(manual, 50)
+
+
+def test_pagination_is_deterministic_partition(part):
+    q_all = DatasetQuery(expr="p_size:[1 TO 50]", count=10_000)
+    total = find_datasets(part, q_all, PART_COLS).total_count
+    seen = []
+    off, size = 0, 57
+    while off < total:
+        page = find_datasets(
+            part, DatasetQuery(expr="p_size:[1 TO 50]", offset=off, count=size), PART_COLS
+        ).datasets.collect()
+        seen.extend(r["p_partkey"] for r in page)
+        off += size
+    assert len(seen) == total
+    assert len(set(seen)) == total
+    assert seen == sorted(seen)
+
+
+def test_result_echoes_query(part):
+    q = DatasetQuery(expr="p_size:7")
+    res = find_datasets(part, q, PART_COLS)
+    assert res.query is q
+
+
+def test_missing_binding_raises(part):
+    with pytest.raises(ValueError, match="region"):
+        find_datasets(part, DatasetQuery(region=(0, 0, 1, 1)), SearchColumns(order_key="p_partkey"))
+
+
+def test_search_predicate_pushes_down(part):
+    """The whole composed query must reach the scan as pushed filters —
+    the design point of compiling params into one Catalyst predicate."""
+    q = DatasetQuery(expr="p_brand:*Brand*", region=(1, 0.0, 25, 2000.0))
+    from ocdb_server_spark.search import _predicate
+
+    plan = (
+        part.filter(_predicate(q, PART_COLS))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "p_size" in pushed and "p_retailprice" in pushed
