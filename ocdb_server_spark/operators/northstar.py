@@ -133,8 +133,9 @@ def op78_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op79_minhash_neardup", oracle=None)  # ROWS: LSH banding is approximate
-def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_neardup_pairs(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (Broder '97; cf.
     Spark MLlib MinHashLSH — reimplemented here as pure JVM column ops,
     no MLlib dependency, no Python).
@@ -144,10 +145,8 @@ def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode bands → groupBy (band_idx, band_hash) → within-bucket pairs
     (a < b) → distinct. The shuffle carries (doc_id, band) rows — n·4
     rows — never the O(n²) pair space. Verified against planted
-    near-dups in tests/test_northstar.py; at sf0.01 the corpus has no
-    near-dups so an empty result is the correct output.
-    """
-    d = load_table(spark, sf_dir, "documents")
+    near-dups in tests/test_northstar.py."""
+    d = d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # Materialize the token array BEFORE building shingles: referencing
     # the split() expression inside a HOF lambda re-evaluates it per
     # element (O(n_words²) re-splits — measured 5.5s of the sf0.1
@@ -202,6 +201,15 @@ def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@register("op79_minhash_neardup", oracle=None)  # ROWS: LSH banding is approximate
+def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over the documents table (see
+    minhash_neardup_pairs). At sf0.01 the corpus has no near-dups, so
+    an empty result is the correct output; sf0.1 plants 8 duplicate
+    texts (FIXTURES.md) which must all surface."""
+    return minhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
 _OP80_SQL = """
