@@ -47,6 +47,7 @@ def load_all() -> dict[str, Op]:
     """Import every operator module (side effect: fills REGISTRY)."""
     from ocdb_server_spark.operators import (  # noqa: F401
         aggregates,
+        components,
         filters,
         joins,
         northstar,

@@ -72,6 +72,18 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, mode="complete")
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op70 as a streaming query: 1h windows sliding every 30min."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return _run_to_memory(agg, mode="complete")
+
+
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op71 as a streaming query: session windows, 30min gap."""
     ev = _stream_events(spark, sf_dir)

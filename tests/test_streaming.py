@@ -29,6 +29,13 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    streamed = jobs.stream_sliding(spark, sf_dir)
+    batch = OPS["op70_stream_sliding"].fn(spark, sf_dir)
+    cols = ["window_start", "n"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
 def test_stream_session_matches_batch(spark, sf_dir):
     streamed = jobs.stream_session(spark, sf_dir)
     batch = OPS["op71_stream_session"].fn(spark, sf_dir)
