@@ -188,6 +188,10 @@ def minhash_neardup_pairs(
     exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
+    # Persist the band rows (16 bytes × 4 per doc): the self-join would
+    # otherwise run the shingle explode + 16-min aggregation twice. At
+    # cluster scale this is the signature table every pass reuses.
+    exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
