@@ -1,0 +1,90 @@
+"""Upsert-sink tests: keep-latest merge semantics and the dynamic
+partition overwrite property (untouched partitions' files are not
+rewritten)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.sinks import upsert_partitioned, write_partitioned
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    base = spark.createDataFrame(
+        [
+            (1, "a", 1, "p1"),
+            (2, "b", 1, "p1"),
+            (3, "c", 1, "p2"),
+            (4, "d", 1, "p3"),
+        ],
+        "id long, val string, version int, part string",
+    )
+    write_partitioned(base, path, "part")
+    return path
+
+
+def test_upsert_keeps_latest_per_key(spark, table):
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 2, "p1"),   # newer version of key 2
+            (5, "e", 1, "p2"),    # brand-new key in existing partition
+        ],
+        "id long, val string, version int, part string",
+    )
+    upsert_partitioned(spark, table, updates, keys=["id"], order_col="version", partition_col="part")
+    got = {
+        r["id"]: (r["val"], r["version"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        1: ("a", 1),
+        2: ("b2", 2),
+        3: ("c", 1),
+        4: ("d", 1),
+        5: ("e", 1),
+    }
+
+
+def test_stale_update_loses(spark, table):
+    updates = spark.createDataFrame(
+        [(1, "stale", 0, "p1")], "id long, val string, version int, part string"
+    )
+    upsert_partitioned(spark, table, updates, keys=["id"], order_col="version", partition_col="part")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert got[1] == "a"  # version 0 < 1 → existing row survives
+
+
+def test_untouched_partitions_not_rewritten(spark, table):
+    """p3's files must be byte-identical after an update touching only
+    p1 — the dynamic-overwrite property that bounds merge cost."""
+    p3_dir = os.path.join(table, "part=p3")
+    before = {
+        f: os.path.getmtime(os.path.join(p3_dir, f))
+        for f in os.listdir(p3_dir)
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(2, "b3", 3, "p1")], "id long, val string, version int, part string"
+    )
+    upsert_partitioned(spark, table, updates, keys=["id"], order_col="version", partition_col="part")
+    after = {
+        f: os.path.getmtime(os.path.join(p3_dir, f))
+        for f in os.listdir(p3_dir)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # same files, same mtimes: never rewritten
+    got = {r["id"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert got[2] == "b3" and got[4] == "d"
+
+
+def test_empty_update_is_noop(spark, table):
+    updates = spark.createDataFrame([], "id long, val string, version int, part string")
+    before = spark.read.parquet(table).count()
+    upsert_partitioned(spark, table, updates, keys=["id"], order_col="version", partition_col="part")
+    assert spark.read.parquet(table).count() == before
