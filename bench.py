@@ -37,7 +37,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="ocdb_bench")
+    # interactive profile: sub-second queries over a hot cache — AQE's
+    # per-shuffle stage materialization would add ~0.2 s/query with
+    # nothing to re-optimize at this scale (rationale in session.py;
+    # cluster-scale jobs use the default 'batch' profile).
+    spark = get_spark(app_name="ocdb_bench", profile="interactive")
     spark.sparkContext.setLogLevel("ERROR")
 
     ops = load_all()
