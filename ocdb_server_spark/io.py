@@ -51,6 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _CACHE.get((sf_dir, name))
     if cached is not None:
         return cached
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default. session.py sets this at build time, but the driver
+        # harness may hand us ITS OWN bare session — the conf is
+        # runtime-settable, so set it defensively before the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events(df)
