@@ -69,7 +69,10 @@ def op69_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op70_stream_sliding",
     oracle=f"""
     WITH g AS (
-      SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT)) AS half_slot,
+      -- make_timestamp(µs) keeps the value timezone-naive; to_timestamp
+      -- would return TIMESTAMPTZ and hash differently than Spark's
+      -- TIMESTAMP under the driver's value compare.
+      SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) * 1000000) AS half_slot,
              value
       FROM events
     ),
