@@ -49,8 +49,7 @@ def main() -> None:
     # have a single row group each, so cold scans run as ONE task; the
     # cache restores the parallelism a production multi-row-group file
     # gives for free, and mirrors BASELINE.md's warm-view methodology.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    warm_cache(spark, sf_dir, partitions=cpus)
+    warm_cache(spark, sf_dir)  # auto-sized partitions per table
     # warm-up: JVM + codegen caches, not in the numbers
     for name in HEADLINE:
         ops[name].fn(spark, sf_dir).count()

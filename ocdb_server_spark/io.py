@@ -63,17 +63,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Tables whose operators do heavy per-row work (shingling, hashing,
+# vector math) want more slices than their row count alone suggests.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def warm_cache(
     spark: SparkSession,
     sf_dir: str,
     names: tuple[str, ...] = TABLES,
-    partitions: int | None = None,
+    partitions: int | str | None = "auto",
 ) -> None:
     """Cache the given tables in memory, repartitioned for parallelism,
-    and serve them from load_table until clear_cache()."""
+    and serve them from load_table until clear_cache().
+
+    partitions: an int for a fixed slice count, None to keep the scan's
+    layout, or "auto" (default) to size each table by row count
+    (~25k rows/slice, clamped to [4, cores], with a higher floor for
+    compute-heavy text/vector tables) — a 4-task stage over 5 rows of
+    `region` wastes scheduling; a 4-task stage over 600k lineitems
+    wastes 28 idle cores."""
+    cores = spark.sparkContext.defaultParallelism
     for name in names:
         df = load_table(spark, sf_dir, name)
-        if partitions:
+        if partitions == "auto":
+            n = df.count()
+            p = max(4, min(cores, n // 25_000 or 4))
+            if name in _COMPUTE_HEAVY:
+                p = max(p, min(cores, 16))
+            df = df.repartition(p)
+        elif partitions:
             df = df.repartition(partitions)
         df = df.cache()
         df.count()  # materialize now so queries measure compute, not fill
