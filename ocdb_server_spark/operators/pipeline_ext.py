@@ -482,3 +482,101 @@ def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------- op97
+
+_OP97_SQL = """
+SELECT 'l_quantity' AS column_name,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+       CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+"""
+
+_PROFILE_COLS = ("l_quantity", "l_discount", "l_extendedprice")
+
+
+@register("op97_profile_columns", oracle=_OP97_SQL)
+def op97_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of numeric columns (null count, exact
+    distinct count, min, max) — the pre-training corpus audit step.
+
+    ONE scan computes every per-column statistic (a single aggregate
+    producing a struct per column, exploded to rows) — the oracle's
+    UNION ALL shape would scan once per column. At 100 TB the single
+    pass is the difference between an audit and three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------- op98
+
+_OP98_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
+           ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("op98_train_shard_assign", oracle=_OP98_SQL)
+def op98_train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle + sharding: every doc gets a
+    stable (shard, pos) from the md5 of its id — reproducible across
+    engines and runs, independent of input order.
+
+    Scale shape: shard = hash prefix mod n is per-row; pos is a window
+    PARTITIONED BY shard (n independent sorts, each 1/n of the data) —
+    never a single global sort. Writing `partitionBy(shard)` then
+    reading shard files in pos order streams a shuffled corpus without
+    ever materializing a total order."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("hh"))
+    shard = (F.conv(F.substring("hh", 1, 8), 16, 10).cast("bigint") % 8).alias("shard")
+    t = h.select("doc_id", "hh", shard)
+    w = W.partitionBy("shard").orderBy("hh", "doc_id")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

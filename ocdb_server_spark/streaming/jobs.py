@@ -140,35 +140,49 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> dict[int, tuple]:
 
 
 def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int]:
-    """op72's streaming proof: two micro-batches where batch 2 contains
-    a row older than (max ts of batch 1 − 1h watermark). Returns
-    (rows_in_result_for_late_window, total_result_rows): the late row
-    must NOT extend its (already-finalized) window.
+    """op72's streaming proof: a late row arriving after the watermark
+    passed its window must NOT extend that window. Returns
+    (rows_in_result_for_late_window, total_result_rows).
 
-    Uses an append-mode windowed aggregation over a file source fed one
-    file per micro-batch via maxFilesPerTrigger=1.
+    Batch layout (one file per micro-batch via maxFilesPerTrigger=1):
+      b1: 00:10 + 03:00 → watermark advances to 02:00 after b1
+      b2: 03:10         → spacer. Spark's LATE-ROW FILTER for batch N
+                          uses the watermark computed after batch N-2 —
+                          the filter lags state eviction by one batch
+                          (measured on 4.1: a late row in b2 is still
+                          merged, then evicted with its window) — so
+                          the drop only takes effect from b3 on.
+      b3: 00:20         → late: its window [00:00, 01:00) ends before
+                          the 02:00 filter watermark → dropped.
+    The 00:00 window therefore finalizes with exactly 1 row (00:10).
     """
     import os
+    import time as _time
 
     from pyspark.sql import Row
 
     os.makedirs(tmp_dir, exist_ok=True)
-    b1 = [
-        Row(ts="2024-01-01 00:10:00", k="a"),
-        Row(ts="2024-01-01 03:00:00", k="a"),  # advances watermark to 02:00
+    batches = [
+        ["2024-01-01 00:10:00", "2024-01-01 03:00:00"],
+        ["2024-01-01 03:10:00"],
+        ["2024-01-01 00:20:00"],  # late
     ]
-    b2 = [Row(ts="2024-01-01 00:20:00", k="a")]  # late: < 02:00 watermark
-    df1 = spark.createDataFrame(b1).select(
-        F.col("ts").cast("timestamp").alias("ts"), "k"
-    )
-    df2 = spark.createDataFrame(b2).select(
-        F.col("ts").cast("timestamp").alias("ts"), "k"
-    )
-    df1.write.mode("overwrite").parquet(f"{tmp_dir}/f1")
-    # file modification order drives processing order with maxFilesPerTrigger
-    df2.write.mode("overwrite").parquet(f"{tmp_dir}/f2")
-
-    schema = df1.schema
+    now = _time.time()
+    schema = None
+    for i, ts_list in enumerate(batches, start=1):
+        df = spark.createDataFrame([Row(ts=t, k="a") for t in ts_list]).select(
+            F.col("ts").cast("timestamp").alias("ts"), "k"
+        )
+        schema = df.schema
+        # exactly ONE part file per batch dir (a multi-part write would
+        # split the micro-batch under maxFilesPerTrigger=1), with pinned
+        # mtimes so same-tick writes can't flip the processing order
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_dir}/f{i}")
+        mtime = now - 60 * (len(batches) - i + 1)
+        base = os.path.join(tmp_dir, f"f{i}")
+        for fname in os.listdir(base):
+            if fname.endswith(".parquet"):
+                os.utime(os.path.join(base, fname), (mtime, mtime))
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

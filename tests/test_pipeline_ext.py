@@ -185,6 +185,22 @@ def test_op92_quality_bounded(spark, sf_dir):
     assert bad == 0
 
 
+def test_op98_shards_balanced_and_stable(spark, sf_dir):
+    """Shard assignment must be reproducible across calls, cover all
+    docs exactly once, and be roughly balanced (md5 is uniform)."""
+    a = OPS["op98_train_shard_assign"].fn(spark, sf_dir).collect()
+    b = OPS["op98_train_shard_assign"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    n = len(a)
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == n
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense positions
+        assert len(poss) > n / 8 * 0.5  # no shard under half the fair share
+
+
 def test_op93_bpe_at_least_ws(spark, sf_dir):
     """The BPE-ish lexer can only split further than whitespace —
     never merge — so its token count dominates."""
