@@ -212,3 +212,46 @@ def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int
     # n for the 00:00 window must count only the on-time 00:10 row
     n_late_window = late_window[0]["n"] if late_window else -1
     return n_late_window, len(out)
+
+
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count with explicit GroupState — the extension point
+    for stateful logic Spark's built-ins can't express (custom session
+    semantics, decaying counters, model state).
+
+    State is one integer per user (bounded by the key cardinality;
+    production code adds state timeouts for unbounded key spaces).
+    Emits the final count per user — must equal the batch groupBy
+    count (tests/test_streaming.py)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode memory sink keeps every emission; the LAST per user is
+    # the final state
+    sunk = _run_to_memory(out, mode="update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )

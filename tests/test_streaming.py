@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ocdb_server_spark.registry import load_all
 from ocdb_server_spark.streaming import jobs
 
@@ -84,3 +86,19 @@ def test_sliding_window_batch_shape(spark, sf_dir, op):
     n_events = load_table(spark, sf_dir, "events").count()
     total = sum(r["n"] for r in df.collect())
     assert total == 2 * n_events
+
+
+def test_stream_stateful_count_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running count must end at the batch
+    groupBy count for every user."""
+    from ocdb_server_spark.io import load_table
+
+    streamed = jobs.stream_stateful_running_count(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    s = {r["user_id"]: r["n_events"] for r in streamed.collect()}
+    b = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert s == b
