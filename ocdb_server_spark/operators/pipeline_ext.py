@@ -580,3 +580,47 @@ def op98_train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------- op99
+
+# per-language keep fractions (percent) — the training-mix rebalance
+_STRATA = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 100}
+
+_OP99_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_STRATA.items())
+)
+
+_OP99_SQL = f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         CASE {_OP99_CASE} ELSE 0 END AS keep_pct
+  FROM documents
+)
+WHERE bucket < keep_pct
+"""
+
+
+@register("op99_stratified_sample", oracle=_OP99_SQL)
+def op99_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix rebalancing:
+    keep a per-language fraction of documents, selected by a stable
+    hash bucket of the id (md5 prefix mod 100) rather than RNG — so the
+    sample is reproducible across engines, runs, and partitionings,
+    and a re-run after new data arrives keeps exactly the old rows plus
+    a proportional slice of the new. Pure per-row expressions, zero
+    shuffle; full DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    keep = F.lit(0)
+    for lang, pct in sorted(_STRATA.items()):
+        keep = F.when(F.col("lang") == lang, pct).otherwise(keep)
+    return d.select("doc_id", "lang", bucket.alias("b"), keep.alias("k")).filter(
+        F.col("b") < F.col("k")
+    ).select("doc_id", "lang")

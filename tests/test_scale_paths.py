@@ -81,3 +81,52 @@ def test_salted_topk_skewed_key(spark):
     assert len(hot) == 5
     assert [v for v, _ in hot] == [8995.0, 8996.0, 8997.0, 8998.0, 8999.0]
     assert all(len(v) == 5 for v in got.values())
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """SURVEY §7.2's co-location claim, proven: orders and lineitem
+    written bucketed on the join key join WITHOUT an Exchange on either
+    side — at 100 TB that shuffle is the star join's dominant cost."""
+    import uuid
+
+    from ocdb_server_spark.io import load_table
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        # hint('merge'): at test scale Catalyst would broadcast these
+        # tiny tables; at 100 TB both sides are large and SMJ is the
+        # natural plan — the hint recreates that shape so the
+        # no-Exchange property of bucketing is what's under test
+        j = spark.table(f"{db}.lineitem_b").hint("merge").join(
+            spark.table(f"{db}.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and the co-located join is still correct
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
