@@ -1,0 +1,71 @@
+"""Golden snapshot for ROWS-only operators (the 13 ops the DuckDB
+oracle can't hash-check). Records row count, column names, and an
+order-insensitive value hash at sf0.001 so a future refactor that
+silently changes their semantics fails here instead of shipping.
+
+Regenerate deliberately after an intended semantics change:
+    python -m tests.test_rows_snapshot   # rewrites the snapshot file
+
+Nondeterministic-by-design ops are excluded (none currently: LSH/
+minhash/simhash outputs are deterministic given the fixed testdata —
+salts and planes are hardcoded, not RNG)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from ocdb_server_spark.registry import load_all
+
+SNAPSHOT = os.path.join(os.path.dirname(__file__), "rows_snapshot_sf0.001.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+# op05 writes/reads tmp state and op74's arrival-order reformulation
+# depends on row order only via max(ts, event_id) — both deterministic;
+# everything rows-only is snapshotted.
+ROWS_OPS = sorted(name for name, op in load_all().items() if op.oracle is None)
+
+
+def _fingerprint(df) -> dict:
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    canon = sorted(
+        "|".join("\x00" if row[c] is None else repr(row[c]) for c in cols)
+        for row in rows
+    )
+    digest = hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+    return {"n_rows": len(rows), "columns": cols, "hash": digest}
+
+
+def _load_snapshot() -> dict:
+    with open(SNAPSHOT) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name", ROWS_OPS)
+def test_rows_op_matches_snapshot(name, spark):
+    snap = _load_snapshot()
+    assert name in snap, f"{name} missing from snapshot — regenerate deliberately"
+    got = _fingerprint(load_all()[name].fn(spark, SF_DIR))
+    assert got == snap[name], (
+        f"{name} drifted from golden snapshot: {got} != {snap[name]} — "
+        "if the change is intended, regenerate via python -m tests.test_rows_snapshot"
+    )
+
+
+def _regenerate() -> None:
+    from ocdb_server_spark.session import get_spark
+
+    spark = get_spark(app_name="rows_snapshot", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    snap = {name: _fingerprint(load_all()[name].fn(spark, SF_DIR)) for name in ROWS_OPS}
+    with open(SNAPSHOT, "w") as f:
+        json.dump(snap, f, indent=2, sort_keys=True)
+    print(f"wrote {SNAPSHOT} with {len(snap)} entries")
+
+
+if __name__ == "__main__":
+    _regenerate()
