@@ -1,0 +1,172 @@
+"""Relational-completeness extensions — SURVEY.md §2.13 (op100–op103).
+
+Pivot/unpivot reshaping, correlated scalar subqueries, and arg-max
+aggregation. The reference has no analog for any of these (MongoDB-era
+search service — SURVEY.md §1.1); all rows are RC: a general engine a
+reference user migrates onto needs them, and each maps to a built-in
+Catalyst construct (no UDFs, no shuffles beyond the required agg/join
+exchange).
+
+100 TB notes per op are in the docstrings; the common theme: pivot and
+arg-max stay one partial+final hash aggregate (one shuffle of one row
+per group per partition); unpivot is a zero-shuffle per-row expansion;
+the correlated subquery decorrelates into an aggregate + equi-join on
+the correlation key rather than a per-row re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table, load_tables
+from ocdb_server_spark.operators._helpers import dsum, sql_dsum
+from ocdb_server_spark.registry import register
+
+_PRIORITIES = (
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_notspec"),
+    ("5-LOW", "p5_low"),
+)
+
+
+@register(
+    "op100_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+           CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_notspec,
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def op100_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority, priorities as columns.
+
+    Lowered to conditional aggregation (one SUM(CASE) per pivot value)
+    rather than `DataFrame.pivot`: even with an explicit value list,
+    `.pivot()` plans TWO aggregates — groupBy(status, priority) count,
+    exchange, then a `pivotfirst` re-aggregation with a second
+    exchange (verified on the executed plan, Spark 4.1). The
+    conditional form is one partial+final hash aggregate whose shuffle
+    carries 5 counters per (status × input partition) — the plan shape
+    the DuckDB `COUNT(*) FILTER` oracle uses, and the one you want at
+    100 TB. Pivot values are EXPLICIT: inferring them would add a full
+    distinct-collect pass over the table before planning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0))
+            .cast("bigint")
+            .alias(a)
+            for v, a in _PRIORITIES
+        ]
+    )
+
+
+@register(
+    "op101_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def op101_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part metrics → long (partkey, metric, value).
+
+    `DataFrame.unpivot` is a zero-shuffle per-row expansion (an
+    `Expand` node feeding the same scan) — at 100 TB it streams
+    through whole-stage codegen with no exchange, unlike the UNION-ALL
+    oracle formulation which would scan the table once per metric.
+    Values are cast to a common DOUBLE up front (unpivot requires one
+    value type; the oracle mirrors the cast).
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        ).unpivot(
+            ids=["p_partkey"],
+            values=["size", "retailprice"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )
+
+
+@register(
+    "op102_subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 >
+          (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def op102_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders worth more than half their
+    customer's lifetime total.
+
+    Expressed as SQL so Catalyst's subquery decorrelation does the
+    rewrite: the per-row correlated SUM becomes one hash aggregate on
+    the correlation key joined back on o_custkey — i.e. at 100 TB it
+    costs one agg + one equi-join shuffle, not a re-scan per outer row
+    (SURVEY.md §4.1 "subquery decorrelation — built-in"). Exact
+    DECIMAL accumulation keeps the threshold comparison
+    order-independent and bit-identical to DuckDB (_helpers.py).
+    """
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 >
+              (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "op103_agg_argmax",
+    oracle=f"""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_acctbal) AS top_customer,
+           MAX(c_acctbal) AS top_acctbal,
+           arg_min(c_name, c_acctbal) AS bottom_customer,
+           {sql_dsum('c_acctbal')} AS seg_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def op103_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min: per-segment best/worst customer by balance in
+    ONE aggregate (`max_by`/`min_by`), not a window + filter.
+
+    The window formulation (rank per segment, keep rank 1) shuffles
+    every row on the partition key and sorts each partition; `max_by`
+    is a partial+final aggregate (Spark 4 plans it as SortAggregate —
+    its accumulator isn't a fixed-width mutable buffer — but the
+    partial phase still runs map-side), so the shuffle carries one
+    candidate row per (segment × input partition). At 100 TB that is
+    the difference between exchanging the whole table and exchanging
+    kilobytes. Acctbal values are unique per segment in the testdata
+    (verified at sf0.001/0.01/0.1), so arg-max is deterministic and
+    hash-matches DuckDB's arg_max.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("top_customer"),
+        F.max("c_acctbal").alias("top_acctbal"),
+        F.min_by("c_name", "c_acctbal").alias("bottom_customer"),
+        dsum("c_acctbal").alias("seg_balance"),
+    )

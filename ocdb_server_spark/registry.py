@@ -52,6 +52,7 @@ def load_all() -> dict[str, Op]:
         joins,
         northstar,
         pipeline_ext,
+        relational_ext,
         scans,
         setops,
         sorting,

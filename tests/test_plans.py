@@ -131,3 +131,41 @@ def test_per_row_text_ops_have_no_shuffle(spark, sf_dir, name):
     """The per-row text-analysis ops must be shuffle-free scans."""
     plan = _plan(OPS[name].fn(spark, sf_dir))
     assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """op100: the conditional-aggregation lowering = one partial+final
+    hash aggregate (one shuffle) — unlike `DataFrame.pivot`, which
+    plans a second pivotfirst aggregate + exchange even with explicit
+    values; no distinct-value pass, no per-priority re-scan."""
+    plan = _plan(OPS["op100_pivot"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_unpivot_is_shuffle_free_expand(spark, sf_dir):
+    """op101: unpivot plans as an Expand over the scan — zero
+    exchanges, unlike the UNION-ALL oracle shape which re-scans the
+    table per metric."""
+    plan = _plan(OPS["op101_unpivot"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_correlated_subquery_decorrelates_to_join(spark, sf_dir):
+    """op102: Catalyst must rewrite the per-row correlated SUM into an
+    aggregate joined on the correlation key — the optimized plan has a
+    Join + Aggregate and NO remaining scalar-subquery node."""
+    opt = _optimized(OPS["op102_subquery_correlated"].fn(spark, sf_dir))
+    assert "Join" in opt, opt
+    assert "scalar-subquery" not in opt, opt
+
+
+def test_argmax_is_partial_aggregate_not_window(spark, sf_dir):
+    """op103: max_by/min_by plan as a partial+final aggregate (Spark 4
+    chooses SortAggregate for these functions) — the shuffle carries
+    one candidate per (segment × partition), never the whole table
+    through a window sort."""
+    plan = _plan(OPS["op103_agg_argmax"].fn(spark, sf_dir))
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
