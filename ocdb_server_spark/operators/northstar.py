@@ -354,3 +354,53 @@ def op83_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bround(_norm_d(unit), 6).alias("unit_norm"),
         F.bround(F.element_at(unit, 1), 6).alias("first_component"),
     )
+
+
+@register("op104_multimodal_decode", oracle=None)
+def op104_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline end-to-end: encode a payload
+    column derived from `documents`, decode it with the Arrow-batched
+    mapInPandas stage, aggregate decoded dimensions.
+
+    ROWS-only: the payload column has no DuckDB-side table. The encode
+    stage packs a (width, height) header derived deterministically
+    from doc_id into opaque bytes — standing in for real media bytes —
+    then sources/multimodal.py's decode stage (the REAL plumbing a
+    production codec plugs into: schema, Arrow batch iteration, stubbed
+    per-payload kernel) recovers them. Both stages are mapInPandas with
+    zero shuffle; the only exchange is the final small aggregation.
+    At 100 TB the payload bytes stream batch-by-batch through Arrow —
+    never row-at-a-time pickling, never a shuffle of the binary column.
+    """
+    import struct
+
+    import pandas as pd
+
+    from ocdb_server_spark.sources.multimodal import MEDIA_SCHEMA, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        for pdf in it:
+            w = (64 + (pdf["doc_id"] % 8) * 16).astype("int32")
+            h = (48 + (pdf["doc_id"] % 6) * 16).astype("int32")
+            payloads = [
+                struct.pack("<ii", int(wi), int(hi)) + b"\xab" * int(nc % 64)
+                for wi, hi, nc in zip(w, h, pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "image",
+                    "mime": "image/fake",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    assets = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    decoded = decode_images(assets, fake=True)
+    return decoded.groupBy("width", "height").agg(
+        F.count("*").cast("bigint").alias("n_assets"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
