@@ -39,7 +39,15 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # batch: one reducer per core — the cluster-scale shape (raised
+        # to ~2-3x total cores on a real cluster, AQE coalesces down).
+        # interactive: sub-second queries over hot cached data shuffle
+        # kilobytes; 8 reducers saturate that while 32 adds ~0.3 s of
+        # empty-task scheduling across a 7-query run (measured at
+        # sf0.1: 1.97 s → 1.65 s total). AQE coalescing would do this
+        # sizing automatically but costs per-stage materialization
+        # latency — the same trade documented for the profile split.
+        shuffle_partitions = cpus if profile == "batch" else min(8, cpus)
 
     adaptive = "true" if profile == "batch" else "false"
     builder = (
