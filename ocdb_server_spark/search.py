@@ -48,6 +48,7 @@ class DatasetQuery:
     region: tuple[float, float, float, float] | None = None
     time: tuple[str, str] | None = None
     pgroup: list[str] = field(default_factory=list)
+    pname: list[str] = field(default_factory=list)
     offset: int = 0
     count: int = 100
 
@@ -64,6 +65,11 @@ class SearchColumns:
     group: str | None = None
     order_key: str = "id"  # unique key for deterministic paging
     default_text_fields: tuple[str, ...] = ()
+    # Product-group resolution (reference: ocdb/res/product-groups.json
+    # [U] maps group name → field-name list; find_datasets expands
+    # pgroup params through it before filtering). Keys are group names,
+    # values the member names matched against `group`'s column.
+    pgroup_map: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -98,10 +104,22 @@ def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
         pred = pred & (F.col(cols.t_start) <= F.lit(end)) & (
             F.col(t_end) >= F.lit(start)
         )
-    if q.pgroup:
+    members = list(q.pname)
+    for g in q.pgroup:
+        # Expand groups through the mapping (reference semantics:
+        # unknown group → no members, contributes nothing); a group
+        # named like a literal member still matches itself when no
+        # mapping is configured.
+        members.extend(cols.pgroup_map.get(g, () if cols.pgroup_map else (g,)))
+    if q.pgroup or q.pname:
         if cols.group is None:
-            raise ValueError("pgroup filter needs SearchColumns.group binding")
-        pred = pred & F.col(cols.group).isin(q.pgroup)
+            raise ValueError("pgroup/pname filter needs SearchColumns.group binding")
+        # A requested filter whose groups all resolved empty matches
+        # NOTHING (not everything) — dropping the predicate would leak
+        # the whole table to a typo'd group name.
+        # dedup, stable order → deterministic IN-list in the pushed filter
+        seen = dict.fromkeys(members)
+        pred = pred & (F.col(cols.group).isin(list(seen)) if seen else F.lit(False))
     return pred
 
 

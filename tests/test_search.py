@@ -124,3 +124,36 @@ def test_search_predicate_pushes_down(part):
     )
     pushed = plan.split("PushedFilters:")[1][:400]
     assert "p_size" in pushed and "p_retailprice" in pushed
+
+
+def test_pgroup_map_expansion(orders):
+    """Reference semantics: pgroup names resolve through the
+    product-group mapping (ocdb/res/product-groups.json [U]) into
+    member names; pname unions in literal members; an unknown group
+    contributes nothing when a mapping is configured."""
+    cols = SearchColumns(
+        group="o_orderpriority",
+        order_key="o_orderkey",
+        pgroup_map={"rush": ("1-URGENT", "2-HIGH"), "empty_group": ()},
+    )
+    manual = orders.filter(
+        F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH", "5-LOW"])
+    ).count()
+    res = find_datasets(
+        orders, DatasetQuery(pgroup=["rush"], pname=["5-LOW"], count=10), cols
+    )
+    assert res.total_count == manual
+    # unknown group under a configured mapping matches nothing
+    assert (
+        find_datasets(orders, DatasetQuery(pgroup=["nope"], count=10), cols).total_count
+        == 0
+    )
+    # duplicate members across pgroup and pname dedup cleanly
+    res2 = find_datasets(
+        orders,
+        DatasetQuery(pgroup=["rush"], pname=["1-URGENT"], count=10),
+        cols,
+    )
+    assert res2.total_count == orders.filter(
+        F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    ).count()
