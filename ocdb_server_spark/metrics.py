@@ -1,0 +1,124 @@
+"""Query profiler: execute a DataFrame and read back the per-node SQL
+metrics Spark collected — shuffle bytes/records, scan rows/bytes, agg
+peak memory, output rows — as plain Python data.
+
+"Measure, don't guess" as an engine feature: the plan-string
+assertions in tests/test_plans.py prove the SHAPE of a plan (pushdown,
+broadcast, partial agg); this module proves its ARITHMETIC — e.g. that
+op17's shuffle carries 6 records while its scan reads 600 k rows, the
+quantitative form of "the shuffle carries one row per (partition ×
+group), not the data". The reference has no analog (MongoDB's
+explain() plays the same role there — SURVEY.md §4.1); this is the
+Spark-native replacement, reading the same SQLMetric values the Spark
+UI renders.
+
+Works with and without AQE: AdaptiveSparkPlan and QueryStage wrappers
+are unwrapped to the final executed physical plan. Driver-side only —
+a few py4j calls per plan node after the action completes; nothing is
+added to the executors' hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class NodeMetrics:
+    name: str
+    depth: int
+    metrics: dict[str, int]
+
+
+@dataclass(frozen=True)
+class QueryProfile:
+    nodes: list[NodeMetrics]
+    # headline totals (0 when the plan has no such node)
+    scan_rows: int = 0
+    scan_bytes: int = 0
+    shuffle_records_written: int = 0
+    shuffle_bytes_written: int = 0
+    num_exchanges: int = 0
+    output_rows: int = 0
+    peak_memory: int = 0
+    extra: dict[str, int] = field(default_factory=dict)
+
+    def summary(self) -> str:
+        return (
+            f"scan {self.scan_rows} rows / {self.scan_bytes} B → "
+            f"{self.num_exchanges} exchange(s) carrying "
+            f"{self.shuffle_records_written} records / "
+            f"{self.shuffle_bytes_written} B → {self.output_rows} rows out "
+            f"(peak agg/join memory {self.peak_memory} B)"
+        )
+
+
+def _unwrap(p):
+    """Strip adaptive-execution wrappers down to the real physical node."""
+    name = p.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return _unwrap(p.executedPlan())
+    if name.endswith("QueryStage"):
+        return _unwrap(p.plan())
+    if name.startswith("ReusedExchange"):
+        return _unwrap(p.child())
+    return p
+
+
+def _walk(p, depth: int, out: list[NodeMetrics]) -> None:
+    p = _unwrap(p)
+    m = p.metrics()
+    it = m.iterator()
+    vals: dict[str, int] = {}
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    out.append(NodeMetrics(name=p.nodeName(), depth=depth, metrics=vals))
+    children = p.children()
+    for i in range(children.size()):
+        _walk(children.apply(i), depth + 1, out)
+
+
+def profile(df: DataFrame, materialize: bool = True) -> QueryProfile:
+    """Execute `df` (collect) and return its measured metrics.
+
+    Uses collect() rather than a noop write because metrics attach to
+    the DataFrame's OWN query execution; a write action builds a new
+    plan and leaves this one unexecuted. Profile small/aggregated
+    frames (or add a limit) — this is a diagnostic tool, not a sink.
+    """
+    if materialize:
+        df.collect()
+    nodes: list[NodeMetrics] = []
+    _walk(df._jdf.queryExecution().executedPlan(), 0, nodes)
+
+    scan_rows = scan_bytes = 0
+    shuffle_recs = shuffle_bytes = exchanges = peak = 0
+    output_rows = 0
+    for n in nodes:
+        if n.name.startswith("Scan"):
+            scan_rows += n.metrics.get("numOutputRows", 0)
+            scan_bytes += n.metrics.get("filesSize", 0)
+        elif n.name == "Exchange":
+            exchanges += 1
+            shuffle_recs += n.metrics.get("shuffleRecordsWritten", 0)
+            shuffle_bytes += n.metrics.get("shuffleBytesWritten", 0)
+        elif n.name == "InMemoryTableScan":
+            scan_rows += n.metrics.get("numOutputRows", 0)
+        peak = max(peak, n.metrics.get("peakMemory", 0))
+    for n in nodes:  # first node (outermost) with an output-rows metric
+        if "numOutputRows" in n.metrics:
+            output_rows = n.metrics["numOutputRows"]
+            break
+    return QueryProfile(
+        nodes=nodes,
+        scan_rows=scan_rows,
+        scan_bytes=scan_bytes,
+        shuffle_records_written=shuffle_recs,
+        shuffle_bytes_written=shuffle_bytes,
+        num_exchanges=exchanges,
+        output_rows=output_rows,
+        peak_memory=peak,
+    )
