@@ -624,3 +624,86 @@ def op99_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", bucket.alias("b"), keep.alias("k")).filter(
         F.col("b") < F.col("k")
     ).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------- op105
+
+_OP105_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains([{_SQL_STOP}], t))) AS n_stop,
+         n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+         0.5 * least(n_words, 100) / 100.0
+           + 0.25 * (1 - CAST(n_stop AS DOUBLE) / n_words)
+           + 0.25 * least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words / 8.0, 1.0)
+           AS quality
+  FROM f
+),
+k AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality
+  FROM q WHERE quality >= 0.5
+  GROUP BY md5(text)
+),
+h AS (
+  SELECT doc_id, quality, md5(CAST(doc_id AS VARCHAR)) AS hh FROM k
+)
+SELECT doc_id, quality,
+       CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
+           ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("op105_corpus_clean_pipeline", oracle=_OP105_SQL)
+def op105_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pipeline as ONE lazy
+    plan: quality-score → threshold filter → exact dedup → deterministic
+    shard/position assignment. Composes op92 (scoring), op75 (dedup)
+    and op98 (sharding) semantics into the shape a 100 TB ingest run
+    executes nightly.
+
+    Scale design, stage by stage: scoring is per-row at scan speed
+    (zero shuffle); the dedup groups by md5(text) so the ONLY shuffle
+    of the corpus carries 16-byte digests + ids — never document text;
+    shard assignment is per-row hashing; position is a window
+    partitioned by shard (8 independent sorts of 1/8 of the survivors,
+    no global sort). Quality stays UNROUNDED (op92's IEEE-parity rule:
+    same ops, same order → bit-identical across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = token_hits(toks, STOPWORDS)
+    awl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    quality = (
+        F.lit(0.5) * F.least(n_words, F.lit(100)) / 100.0
+        + F.lit(0.25) * (F.lit(1) - n_stop.cast("double") / n_words)
+        + F.lit(0.25) * F.least(awl / 8.0, F.lit(1.0))
+    )
+    scored = d.select("doc_id", "text", quality.alias("quality")).filter(
+        F.col("quality") >= 0.5
+    )
+    kept = (
+        scored.groupBy(F.md5(F.col("text")).alias("th"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("quality").alias("quality"))
+        .drop("th")
+    )
+    h = kept.select(
+        "doc_id", "quality", F.md5(F.col("doc_id").cast("string")).alias("hh")
+    )
+    shard = (F.conv(F.substring("hh", 1, 8), 16, 10).cast("bigint") % 8).alias("shard")
+    t = h.select("doc_id", "quality", "hh", shard)
+    w = W.partitionBy("shard").orderBy("hh", "doc_id")
+    return t.select(
+        "doc_id",
+        "quality",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
