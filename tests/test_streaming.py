@@ -102,3 +102,32 @@ def test_stream_stateful_count_matches_batch(spark, sf_dir):
     s = {r["user_id"]: r["n_events"] for r in streamed.collect()}
     b = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert s == b
+
+
+def test_checkpointed_ingest_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Run the resumable ingest, drop MORE files into the source, run
+    it AGAIN with the same checkpoint: the second run must pick up only
+    the new files — every event_id lands in the sink exactly once.
+    (Kill-and-rerun is the crash-recovery contract of the checkpoint.)"""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.streaming.jobs import stream_ingest_resumable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream_ingest_resumable(spark, src, ckpt, out, schema=schema)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    stream_ingest_resumable(spark, src, ckpt, out, schema=schema)
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # nothing lost...
+    assert got.select("event_id").distinct().count() == ev.count()  # ...nothing twice
