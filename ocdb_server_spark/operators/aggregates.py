@@ -301,3 +301,24 @@ def op26_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
     )
+
+
+@register("op107_agg_approx_percentile", oracle=None)  # ROWS: sketch-based
+def op107_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's built-in quantile sketch
+    (approx_percentile with accuracy 10000), alongside the exact values
+    so the snapshot pins the sketch's behavior on this data.
+
+    The scale path op26's exact percentile can't take: exact
+    percentile_approx=1.0 needs a global sort or full value collection
+    per group; the sketch is a bounded-memory mergeable summary — one
+    partial per partition, merged on the driver-side final agg, O(1)
+    rows shuffled. At 100 TB exact quantiles are off the table; this is
+    the operator a production pipeline actually runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").alias(
+            "approx_q"
+        ),
+        F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("exact_q"),
+    )

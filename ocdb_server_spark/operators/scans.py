@@ -112,3 +112,57 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@register("op106_sink_formats_roundtrip", oracle=None)  # ROWS: writes to tmp
+def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: the same filtered frame written and re-read as
+    CSV (with header+schema), JSON-lines, and ORC; one output row per
+    format with row count and a value checksum that must agree across
+    all three (and with the in-memory source).
+
+    CSV and JSON are the interchange formats the reference serves
+    (SeaBASS tables, JSON API payloads — SURVEY.md §3); ORC covers the
+    other columnar family a migrating user may hold. Scale note: all
+    three writers shard per-partition (one file per task) — the sink
+    parallelizes like the parquet path; CSV/JSON lose types (restored
+    via explicit schema on read) and columnar pruning, which is why
+    parquet stays the serving layout (§7.2).
+    """
+    import os as _os
+    import tempfile as _tmp
+
+    base = _os.path.join(_tmp.gettempdir(), "ocdb_spark_fmt_roundtrip")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    frames = []
+    for fmt in ("csv", "json", "orc"):
+        out = f"{base}/{fmt}"
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(out)
+            back = (
+                spark.read.option("header", "true").schema(src.schema).csv(out)
+            )
+        elif fmt == "json":
+            w.json(out)
+            back = spark.read.schema(src.schema).json(out)
+        else:
+            w.orc(out)
+            back = spark.read.orc(out)
+        frames.append(
+            back.agg(
+                F.lit(fmt).alias("format"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_orderkey") + F.col("o_custkey"))
+                .cast("bigint")
+                .alias("key_checksum"),
+            )
+        )
+    out_df = frames[0]
+    for f in frames[1:]:
+        out_df = out_df.unionByName(f)
+    return out_df
