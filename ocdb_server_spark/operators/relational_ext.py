@@ -170,3 +170,94 @@ def op103_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", "c_acctbal").alias("bottom_customer"),
         dsum("c_acctbal").alias("seg_balance"),
     )
+
+
+@register(
+    "op108_regression_agg",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(p_size AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(p_size AS DECIMAL(9,0)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(p_size AS DECIMAL(9,0)) * CAST(p_size AS DECIMAL(9,0))) AS DOUBLE) AS sxx
+      FROM part
+    )
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           CAST(n AS BIGINT) AS n_points
+    FROM s
+    """,
+)
+def op108_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression of retailprice on size as ONE aggregate
+    pass (the moments method: n, Σx, Σy, Σxy, Σx²), not Spark's
+    `regr_slope`/`regr_intercept` — those accumulate doubles in
+    partition order, which is nondeterministic across runs and engines.
+    The moments are exact DECIMAL sums (order-independent, bit-stable —
+    _helpers.py discipline); the slope/intercept arithmetic then runs
+    in doubles on identical inputs in both engines. One map-side
+    partial + one exchange of 5 numbers regardless of table size."""
+    p = load_table(spark, sf_dir, "part")
+    moments = p.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("p_size").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("p_size").cast("decimal(9,0)")
+            * F.col("p_retailprice").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("p_size").cast("decimal(9,0)") * F.col("p_size").cast("decimal(9,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moments.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.col("n").cast("bigint").alias("n_points"),
+    )
+
+
+@register(
+    "op109_date_spine_gaps",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    od AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT spine.d AS missing_date
+    FROM spine LEFT JOIN od ON spine.d = od.d
+    WHERE od.d IS NULL
+    """,
+)
+def op109_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine generation + gap detection: materialize the calendar
+    (sequence → explode, no source table) and anti-join the distinct
+    order dates to find days with NO orders — the time-series
+    completeness check every reporting pipeline runs.
+
+    Scale shape: the spine is O(days) rows built driver-free from a
+    one-row sequence; the distinct-dates side aggregates BEFORE the
+    join, so the anti-join probes days × 1 — never the orders table.
+    The spine side is tiny and broadcasts."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-06-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("missing_date")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    return spine.join(od, spine.missing_date == od.d, "left_anti")
