@@ -51,6 +51,7 @@ class DatasetQuery:
     pname: list[str] = field(default_factory=list)
     offset: int = 0
     count: int = 100
+    geojson: bool = False
 
 
 @dataclass(frozen=True)
@@ -132,4 +133,21 @@ def find_datasets(
     hits = df.filter(_predicate(q, cols))
     total = hits.count()
     page = hits.orderBy(cols.order_key).offset(q.offset).limit(q.count)
+    if q.geojson:
+        # Reference parity: geojson=True adds each hit's location as a
+        # GeoJSON Point (the reference attaches per-dataset lon/lat
+        # point lists to the result — SURVEY.md §3.1 step 7). Built as
+        # a JSON string column inside codegen; rows without the x/y
+        # bindings' columns are a caller error surfaced here.
+        if cols.x is None or cols.y is None:
+            raise ValueError("geojson output needs SearchColumns.x/y bindings")
+        page = page.withColumn(
+            "geojson",
+            F.to_json(
+                F.struct(
+                    F.lit("Point").alias("type"),
+                    F.array(F.col(cols.x), F.col(cols.y)).alias("coordinates"),
+                )
+            ),
+        )
     return DatasetQueryResult(total_count=total, datasets=page, query=q)

@@ -169,3 +169,18 @@ def test_argmax_is_partial_aggregate_not_window(spark, sf_dir):
     plan = _plan(OPS["op103_agg_argmax"].fn(spark, sf_dir))
     assert "partial_max_by" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_regression_is_single_pass(spark, sf_dir):
+    """op108: the moments method = ONE aggregate over the scan, one
+    exchange of 5 numbers — never a second pass per statistic."""
+    plan = _plan(OPS["op108_regression_agg"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_date_spine_join_broadcasts(spark, sf_dir):
+    """op109: the generated spine (O(days) rows) must broadcast into
+    the anti-join — the orders side never shuffles on the join key."""
+    plan = _plan(OPS["op109_date_spine_gaps"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

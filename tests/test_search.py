@@ -157,3 +157,25 @@ def test_pgroup_map_expansion(orders):
     assert res2.total_count == orders.filter(
         F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
     ).count()
+
+
+def test_geojson_output(part):
+    """geojson=True attaches a GeoJSON Point per hit (reference: the
+    per-dataset location lists of §3.1 step 7)."""
+    import json
+
+    q = DatasetQuery(expr="p_size:[1 TO 5]", count=5, geojson=True)
+    res = find_datasets(part, q, PART_COLS)
+    rows = res.datasets.collect()
+    assert rows and all("geojson" in r.asDict() for r in rows)
+    g = json.loads(rows[0]["geojson"])
+    assert g["type"] == "Point" and len(g["coordinates"]) == 2
+    # bindings missing -> explicit error, not a silent omission
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        find_datasets(
+            part,
+            DatasetQuery(geojson=True),
+            SearchColumns(order_key="p_partkey"),
+        )
