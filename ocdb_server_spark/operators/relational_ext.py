@@ -16,7 +16,7 @@ the correlation key rather than a per-row re-scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ocdb_server_spark.io import load_table, load_tables
 from ocdb_server_spark.operators._helpers import dsum, sql_dsum
@@ -261,3 +261,83 @@ def op109_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return spine.join(od, spine.missing_date == od.d, "left_anti")
+
+
+@register(
+    "op110_histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def op110_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bin = floor(x/width)).
+
+    The binning expression is per-row arithmetic fused into the scan;
+    the aggregate shuffles one row per (bin × partition) — a histogram
+    over 100 TB costs one scan + a kilobyte exchange. Bin ids from
+    floor-division are bit-stable across engines (same IEEE divide and
+    floor on identical doubles), unlike width_bucket variants whose
+    edge handling differs by dialect."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "op111_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    g AS (
+      SELECT o_custkey, d,
+             CAST(d - (row_number() OVER (PARTITION BY o_custkey ORDER BY d))::INT AS DATE) AS grp
+      FROM d
+    )
+    SELECT o_custkey,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_islands,
+           CAST(MAX(cnt) AS BIGINT) AS longest_streak_days
+    FROM (SELECT o_custkey, grp, COUNT(*) AS cnt FROM g GROUP BY o_custkey, grp)
+    GROUP BY o_custkey
+    """,
+)
+def op111_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per customer, the number of runs of
+    CONSECUTIVE order days and the longest streak — the classic
+    "consecutive activity" analysis (row_number-difference grouping).
+
+    Scale shape: one window partitioned by customer (independent sorts
+    of small per-key slices, never global), then two hash aggregates;
+    everything after the distinct is keyed by customer so the three
+    shuffles all hash-partition on the same key and AQE/exchange reuse
+    collapses them on a cluster. Batch counterpart of the session
+    windows in op71 (30-min gap sessionization of events)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("d")
+    g = d.select(
+        "o_custkey",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = g.groupBy("o_custkey", "grp").agg(F.count("*").alias("cnt"))
+    return runs.groupBy("o_custkey").agg(
+        F.countDistinct("grp").cast("bigint").alias("n_islands"),
+        F.max("cnt").cast("bigint").alias("longest_streak_days"),
+    )
