@@ -341,3 +341,36 @@ def op111_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("grp").cast("bigint").alias("n_islands"),
         F.max("cnt").cast("bigint").alias("longest_streak_days"),
     )
+
+
+@register(
+    "op112_salted_topk",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def op112_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof top-3 events per user via the two-phase salted window
+    (functions/skew.py): phase 1 ranks within (user, partition-salt) so
+    a hot key's rows split across up to 16 tasks; phase 2 re-ranks the
+    ≤ 3×16 survivors. Row-identical to the direct single-window top-k
+    (the oracle) — but at 100 TB no task ever sorts a whole hot key's
+    rows. events.user_id is uniform in the testdata; the op exists to
+    keep the skew path exercised and hash-checked, not because this
+    data needs it (SURVEY.md §4.2.2)."""
+    from ocdb_server_spark.functions.skew import salted_topk_per_key
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return salted_topk_per_key(
+        ev,
+        keys=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id")],
+        k=3,
+    )
