@@ -374,3 +374,31 @@ def op112_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("value").desc(), F.col("event_id")],
         k=3,
     )
+
+
+@register(
+    "op113_bool_aggs",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           CAST(COUNT(*) FILTER (c_acctbal < 0) AS BIGINT) AS n_negative,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def op113_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: universal/existential quantifiers and a
+    filtered count per group (`bool_and`/`bool_or`/`count_if`) — the
+    assertion-style aggregations data-quality checks run (op84's rule
+    semantics folded to one row per group). Single partial+final hash
+    aggregate; the shuffle carries 2 booleans + 2 counters per group
+    per partition."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.count_if(F.col("c_acctbal") < 0).cast("bigint").alias("n_negative"),
+        F.count("*").cast("bigint").alias("n"),
+    )
