@@ -45,9 +45,29 @@ def table_path(sf_dir: str, name: str) -> str:
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _tune_bare_session(spark: SparkSession) -> None:
+    """The driver harness hands us ITS OWN bare session. On such a
+    session every shuffle runs at the 200-partition default, and this
+    testdata's single-row-group files give 1-task scans — so each query
+    pays seconds of empty-task scheduling, which is what cut the
+    round-1 correctness sweep off at 50/113 queries. If the session
+    still has the stock default, drop shuffle parallelism to 8 (plenty
+    for sf≤0.1 row counts) and let AQE coalesce further. A session that
+    was explicitly configured (ours sets 32 in session.py) is left
+    alone. Runtime-settable confs only — same pattern as nanosAsLong."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # never let a conf quirk break a read
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
+    _tune_bare_session(spark)
     cached = _CACHE.get((sf_dir, name))
     if cached is not None:
         return cached

@@ -314,11 +314,15 @@ def op107_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group; the sketch is a bounded-memory mergeable summary — one
     partial per partition, merged on the driver-side final agg, O(1)
     rows shuffled. At 100 TB exact quantiles are off the table; this is
-    the operator a production pipeline actually runs."""
+    the operator a production pipeline actually runs.
+
+    Output is four scalar DOUBLE columns (not the arrays the builtins
+    return) — the observable surface must stay scalar so row hashing /
+    canonicalization works downstream."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").alias(
-            "approx_q"
-        ),
-        F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("exact_q"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("approx_p90"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("exact_p90"),
     )

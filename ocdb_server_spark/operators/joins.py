@@ -249,15 +249,21 @@ def op37_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts",
         F.lit(1).alias("tag"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None)
+        .cast("struct<p_ts:timestamp,p_value:double>")
+        .alias("p"),
     )
+    # One struct column, not independent (p_ts, p_value) windows: a
+    # purchase row with NULL value must still be THE match (with a NULL
+    # value), never a frankenrow pairing the newest ts with an older
+    # row's value — ASOF matches whole rows.
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.lit(None).cast("bigint").alias("event_id"),
         "user_id", "ts",
         F.lit(0).alias("tag"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
+        F.struct(
+            F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+        ).alias("p"),
     )
     u = clicks.unionByName(purchases)
     w = (
@@ -267,11 +273,12 @@ def op37_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = u.select(
         "event_id", "user_id", "ts", "tag",
-        F.last("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
-        F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+        F.last("p", ignorenulls=True).over(w).alias("lp"),
     )
     return filled.filter(F.col("tag") == 1).select(
-        "event_id", "ts", "purchase_ts", "purchase_value"
+        "event_id", "ts",
+        F.col("lp.p_ts").alias("purchase_ts"),
+        F.col("lp.p_value").alias("purchase_value"),
     )
 
 

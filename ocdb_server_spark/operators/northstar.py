@@ -47,11 +47,15 @@ def op75_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, not the text payload; here the distinct count is the
     observable."""
     d = load_table(spark, sf_dir, "documents")
-    dedup_count = d.dropDuplicates(["text"]).count()
+    # Single lazy agg — count + countDistinct in one pass (partial
+    # aggregation map-side; countDistinct expands to a two-phase agg
+    # under the hood). No eager job at plan-build time.
     return d.agg(
         F.count("*").alias("n_docs"),
-        F.lit(dedup_count).cast("bigint").alias("n_distinct_text"),
-        (F.count("*") - F.lit(dedup_count)).cast("bigint").alias("n_dup_rows"),
+        F.count_distinct(F.col("text")).cast("bigint").alias("n_distinct_text"),
+        (F.count("*") - F.count_distinct(F.col("text")))
+        .cast("bigint")
+        .alias("n_dup_rows"),
     )
 
 

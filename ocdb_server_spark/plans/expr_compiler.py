@@ -61,6 +61,11 @@ def tokenize(s: str) -> list[Token]:
     while i < len(s):
         m = _TOKEN_RE.match(s, i)
         if not m:
+            # The alternation needs a real token after \s*, so a
+            # whitespace-only tail ('a ', 'name:foo ') fails to match.
+            # Trailing whitespace is valid input, not a syntax error.
+            if s[i:].isspace():
+                break
             raise QuerySyntaxError(f"unexpected character at {i}: {s[i]!r}")
         if m.end() == i:  # only whitespace consumed
             break

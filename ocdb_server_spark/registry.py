@@ -44,22 +44,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> dict[str, Op]:
-    """Import every operator module (side effect: fills REGISTRY)."""
+    """Import every operator module (side effect: fills REGISTRY).
+
+    Import order = registry iteration order = the order the driver's
+    correctness sweep visits queries. Cheapest families first (pure
+    column expressions, single-shuffle aggs/joins) so a wall-clock
+    budget certifies the most operators before the expensive iterative
+    / streaming / ANN families run — insurance against a repeat of the
+    round-1 sweep cutoff at 50/113."""
     from ocdb_server_spark.operators import (  # noqa: F401
-        aggregates,
-        components,
         filters,
+        sorting,
+        setops,
+        functions,
+        windows,
+        scans,
+        aggregates,
         joins,
+        relational_ext,
+        udfs,
         northstar,
         pipeline_ext,
-        relational_ext,
-        scans,
-        setops,
-        sorting,
-        functions,
+        components,
         streaming_batch,
-        udfs,
-        windows,
     )
 
     return REGISTRY

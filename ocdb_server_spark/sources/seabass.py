@@ -23,7 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-_DELIMS = {"comma": ",", "space": " ", "tab": "\t"}
+# F.split takes a Java regex. /delimiter=space means "whitespace runs"
+# in SeaBASS (aligned tables pad with consecutive spaces — a literal
+# ' ' split would emit empty tokens and shift every later field).
+_DELIMS = {"comma": ",", "space": r"\s+", "tab": "\t"}
 
 # Deterministic fixture used by op03 and the unit tests — shaped like a
 # public SeaBASS example (header keys from the format spec; synthetic values).
@@ -85,7 +88,9 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
     null_tokens = [t for t in (header.get("missing"), header.get("below_detection_limit")) if t]
 
     body = raw.filter(~F.col("value").startswith("/")).filter(F.trim("value") != "")
-    parts = F.split(F.col("value"), delim)
+    # trim before splitting so a leading-aligned field doesn't produce
+    # an empty first token under the \s+ delimiter
+    parts = F.split(F.trim(F.col("value")), delim)
     cols = []
     for i, name in enumerate(fields):
         c = F.trim(F.element_at(parts, i + 1))

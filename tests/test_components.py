@@ -64,8 +64,9 @@ def test_op96_clusters_cover_exact_dups(spark, sf_dir):
         .filter(F.size("ids") > 1)
         .collect()
     )
+    # members is a comma-joined string (canonicalizer-safe surface)
     clusters = {
-        r["canonical_doc_id"]: set(r["members"])
+        r["canonical_doc_id"]: {int(m) for m in r["members"].split(",")}
         for r in OPS["op96_dedup_components"].fn(spark, sf_dir).collect()
     }
     for g in groups:
