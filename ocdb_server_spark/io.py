@@ -57,9 +57,13 @@ def _tune_bare_session(spark: SparkSession) -> None:
     alone. Runtime-settable confs only — same pattern as nanosAsLong."""
     try:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            # Only the never-configured case: our own sessions
+            # (session.py) pick shuffle partitions AND an AQE stance per
+            # profile — the interactive profile deliberately disables
+            # AQE, so don't override a configured session's choice.
             spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     except Exception:
         pass  # never let a conf quirk break a read
 

@@ -49,6 +49,25 @@ class DatasetQuery:
     time: tuple[str, str] | None = None
     pgroup: list[str] = field(default_factory=list)
     pname: list[str] = field(default_factory=list)
+    # Remaining reference params (find_datasets signature [U]) — each a
+    # plain column predicate over a SearchColumns binding:
+    # mtype    — measurement type; 'all' (default) disables the filter.
+    # wlmode   — wavelength mode ('all' | 'multispectral' |
+    #            'hyperspectral'); 'all' disables.
+    # shallow  — tri-state over a boolean column: 'no' (default)
+    #            excludes shallow rows, 'yes' includes them,
+    #            'exclusively' returns only them.
+    # wdepth   — (min, max) closed range over a numeric depth column.
+    # status   — dataset status equality (reference: PUBLISHED etc.).
+    # pmode    — product mode; 'contains' (default) applies the
+    #            pgroup/pname membership filter, 'dont_apply' skips it
+    #            (reference semantics: products not constrained).
+    mtype: str = "all"
+    wlmode: str = "all"
+    shallow: str = "no"
+    wdepth: tuple[float, float] | None = None
+    status: str | None = None
+    pmode: str = "contains"
     offset: int = 0
     count: int = 100
     geojson: bool = False
@@ -64,6 +83,11 @@ class SearchColumns:
     t_start: str | None = None
     t_end: str | None = None  # defaults to t_start (point events)
     group: str | None = None
+    mtype: str | None = None
+    wlmode: str | None = None
+    shallow: str | None = None  # boolean column
+    wdepth: str | None = None  # numeric depth column
+    status: str | None = None
     order_key: str = "id"  # unique key for deterministic paging
     default_text_fields: tuple[str, ...] = ()
     # Product-group resolution (reference: ocdb/res/product-groups.json
@@ -105,6 +129,36 @@ def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
         pred = pred & (F.col(cols.t_start) <= F.lit(end)) & (
             F.col(t_end) >= F.lit(start)
         )
+    if q.mtype != "all":
+        if cols.mtype is None:
+            raise ValueError("mtype filter needs SearchColumns.mtype binding")
+        pred = pred & (F.col(cols.mtype) == q.mtype)
+    if q.wlmode != "all":
+        if q.wlmode not in ("multispectral", "hyperspectral"):
+            raise ValueError(f"invalid wlmode {q.wlmode!r}")
+        if cols.wlmode is None:
+            raise ValueError("wlmode filter needs SearchColumns.wlmode binding")
+        pred = pred & (F.col(cols.wlmode) == q.wlmode)
+    if q.shallow != "yes":
+        if q.shallow not in ("no", "exclusively"):
+            raise ValueError(f"invalid shallow {q.shallow!r}")
+        if cols.shallow is not None:
+            # tri-state over the boolean binding; with no binding the
+            # dataset has no shallow flag and the default is a no-op
+            # (reference datasets without the flag are never shallow).
+            want = q.shallow == "exclusively"
+            pred = pred & (F.coalesce(F.col(cols.shallow), F.lit(False)) == want)
+        elif q.shallow == "exclusively":
+            raise ValueError("shallow='exclusively' needs SearchColumns.shallow binding")
+    if q.wdepth is not None:
+        if cols.wdepth is None:
+            raise ValueError("wdepth filter needs SearchColumns.wdepth binding")
+        lo, hi = q.wdepth
+        pred = pred & F.col(cols.wdepth).between(lo, hi)
+    if q.status is not None:
+        if cols.status is None:
+            raise ValueError("status filter needs SearchColumns.status binding")
+        pred = pred & (F.col(cols.status) == q.status)
     members = list(q.pname)
     for g in q.pgroup:
         # Expand groups through the mapping (reference semantics:
@@ -112,7 +166,7 @@ def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
         # named like a literal member still matches itself when no
         # mapping is configured.
         members.extend(cols.pgroup_map.get(g, () if cols.pgroup_map else (g,)))
-    if q.pgroup or q.pname:
+    if (q.pgroup or q.pname) and q.pmode != "dont_apply":
         if cols.group is None:
             raise ValueError("pgroup/pname filter needs SearchColumns.group binding")
         # A requested filter whose groups all resolved empty matches

@@ -159,6 +159,80 @@ def test_pgroup_map_expansion(orders):
     ).count()
 
 
+def test_reference_param_surface(orders):
+    """The remaining reference find_datasets params (mtype, wlmode,
+    shallow, wdepth, status, pmode — SURVEY.md §1.2 row 3) compose into
+    the same single predicate, bound to testdata columns: status →
+    o_orderstatus, wdepth → o_totalprice range, mtype →
+    o_orderpriority, plus derived wlmode/shallow columns."""
+    df = orders.withColumn(
+        "wl",
+        F.when(F.col("o_orderkey") % 2 == 0, "multispectral").otherwise(
+            "hyperspectral"
+        ),
+    ).withColumn("sh", F.col("o_orderkey") % 3 == 0)
+    cols = SearchColumns(
+        order_key="o_orderkey",
+        group="o_orderpriority",
+        mtype="o_orderpriority",
+        wlmode="wl",
+        shallow="sh",
+        wdepth="o_totalprice",
+        status="o_orderstatus",
+    )
+    q = DatasetQuery(
+        mtype="1-URGENT",
+        wlmode="multispectral",
+        shallow="exclusively",
+        wdepth=(1000.0, 100000.0),
+        status="F",
+        count=10_000,
+    )
+    manual = df.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("wl") == "multispectral")
+        & F.col("sh")
+        & F.col("o_totalprice").between(1000.0, 100000.0)
+        & (F.col("o_orderstatus") == "F")
+    ).count()
+    res = find_datasets(df, q, cols)
+    assert res.total_count == manual and manual > 0
+    # shallow='no' (default) excludes flagged rows
+    res_no = find_datasets(df, DatasetQuery(count=10_000), cols)
+    assert res_no.total_count == df.filter(~F.col("sh")).count()
+    # shallow='yes' disables the filter entirely
+    res_yes = find_datasets(df, DatasetQuery(shallow="yes", count=10_000), cols)
+    assert res_yes.total_count == df.count()
+    # pmode='dont_apply' skips the membership filter but keeps others
+    res_pm = find_datasets(
+        df,
+        DatasetQuery(pgroup=["1-URGENT"], pmode="dont_apply", shallow="yes", count=10_000),
+        cols,
+    )
+    assert res_pm.total_count == df.count()
+    # default 'contains' still applies it
+    res_ct = find_datasets(
+        df, DatasetQuery(pgroup=["1-URGENT"], shallow="yes", count=10_000), cols
+    )
+    assert res_ct.total_count == df.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    # validation: bad enum values and missing bindings raise
+    with pytest.raises(ValueError, match="wlmode"):
+        find_datasets(df, DatasetQuery(wlmode="nope"), cols)
+    with pytest.raises(ValueError, match="shallow"):
+        find_datasets(df, DatasetQuery(shallow="maybe"), cols)
+    bare = SearchColumns(order_key="o_orderkey")
+    with pytest.raises(ValueError, match="mtype"):
+        find_datasets(df, DatasetQuery(mtype="x"), bare)
+    with pytest.raises(ValueError, match="status"):
+        find_datasets(df, DatasetQuery(status="F"), bare)
+    with pytest.raises(ValueError, match="wdepth"):
+        find_datasets(df, DatasetQuery(wdepth=(0.0, 1.0)), bare)
+    # no shallow binding: default is a no-op, 'exclusively' is an error
+    assert find_datasets(df, DatasetQuery(count=10), bare).total_count == df.count()
+    with pytest.raises(ValueError, match="shallow"):
+        find_datasets(df, DatasetQuery(shallow="exclusively"), bare)
+
+
 def test_geojson_output(part):
     """geojson=True attaches a GeoJSON Point per hit (reference: the
     per-dataset location lists of §3.1 step 7)."""
