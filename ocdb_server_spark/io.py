@@ -103,16 +103,20 @@ def warm_cache(
 
     partitions: an int for a fixed slice count, None to keep the scan's
     layout, or "auto" (default) to size each table by row count
-    (~25k rows/slice, clamped to [4, cores], with a higher floor for
-    compute-heavy text/vector tables) — a 4-task stage over 5 rows of
-    `region` wastes scheduling; a 4-task stage over 600k lineitems
-    wastes 28 idle cores."""
+    (~10k rows/slice, clamped to [8, cores], with a higher floor for
+    compute-heavy text/vector tables). Measured at sf0.1 on local[32]:
+    scheduling-bound stages (window over orders, tumbling agg over
+    events) bottom out at 8-16 slices, while the decimal-aggregation
+    scan of 600k lineitems keeps improving up to 24-32 — 10k rows/slice
+    with an 8-slice floor lands each table near its measured optimum
+    (orders 150k -> 15 slices: 135 -> 105 ms for the window top-k;
+    events 100k -> 10: 133 -> 90 ms for the tumbling agg)."""
     cores = spark.sparkContext.defaultParallelism
     for name in names:
         df = load_table(spark, sf_dir, name)
         if partitions == "auto":
             n = df.count()
-            p = max(4, min(cores, n // 25_000 or 4))
+            p = max(8, min(cores, n // 10_000 or 8))
             if name in _COMPUTE_HEAVY:
                 p = max(p, min(cores, 16))
             df = df.repartition(p)
