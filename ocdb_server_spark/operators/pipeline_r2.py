@@ -1,0 +1,483 @@
+"""Round-2 pipeline extensions — SURVEY.md §2.16 (op114–op121).
+
+Second batch of training-data-pipeline and analytics operators on top
+of the op75–op99/op104–op105 families: the TPC-H Q3 shape (the one
+BASELINE.md yardstick that had no matching operator), training-sequence
+packing, benchmark-contamination detection, lexicon PII scrubbing,
+repetition scoring, a quality funnel, per-language TF-IDF terms, and
+event-sessionized funnel analysis.
+
+Like the rest of the package, every op is pure DataFrame/Catalyst code
+(no Python UDFs in any hot path), outputs are canonicalizer-safe
+(scalars only, no DECIMAL — see tests/test_gate_shape.py), and
+floating-point observables are either bit-identical IEEE expressions
+on both engines or bround(6)-stabilized (SURVEY.md §4.2.3).
+
+The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
+has no analog for any of these; they're the "what a 100 TB training
+pipeline needs" axis of the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.operators._helpers import SQL_REVENUE_DEC, revenue_dec
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op114: TPC-H Q3 shape — the BASELINE.md "Q3-style join+agg+top-10"
+# yardstick (54.9 ms DuckDB at sf0.1) previously had no operator.
+# --------------------------------------------------------------------------
+
+_OP114_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("op114_join_topk_revenue", oracle=_OP114_SQL)
+def op114_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per order, top-10. (The testdata's orders table has no
+    o_shippriority column, so the grouping is (l_orderkey,
+    o_orderdate).) Plan shape at scale: both joins shuffle on the
+    order key after the segment/date filters push to the scans; the
+    top-10 is TakeOrderedAndProject (per-partition heap + driver merge
+    of 10-row heads, never a global sort). Revenue aggregates in exact
+    decimal (order-independent) and surfaces as double; the orderkey
+    tiebreak makes the returned SET deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# op115: training-sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+_OP115_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, tokens,
+         SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT source,
+       CAST(FLOOR((cum - tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS n_tokens
+FROM c
+GROUP BY source, pack_id
+"""
+
+
+@register("op115_seq_pack", oracle=_OP115_SQL)
+def op115_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences:
+    within each source shard, in doc_id order, a document joins the
+    pack its running token count (exclusive of itself) falls in.
+    This is the contiguous-fill formulation: pack boundaries are
+    determined by a per-shard window cumsum — one shuffle on source,
+    no global sort, so 100 TB packs shard-parallel (the same
+    per-shard-window pattern as op98's train_shard_assign). Output is
+    the pack manifest (docs + tokens per pack), which is what a
+    dataloader consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("source", "doc_id", tokens.alias("tokens"))
+    c = t.withColumn("cum", F.sum("tokens").over(w))
+    pack = F.floor((F.col("cum") - F.col("tokens")) / float(_PACK_BUDGET)).cast(
+        "bigint"
+    )
+    return (
+        c.withColumn("pack_id", pack)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op116: benchmark-contamination detection
+# --------------------------------------------------------------------------
+
+_OP116_SQL = """
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT DISTINCT array_to_string(ws[t.i:t.i+2], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+      WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id, lang, array_to_string(ws[t.i:t.i+2], ' ') AS gram
+      FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+      WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, c.lang,
+       CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS overlap_grams
+FROM c JOIN b ON c.gram = b.gram
+GROUP BY c.doc_id, c.lang
+"""
+
+
+@register("op116_contamination_overlap", oracle=_OP116_SQL)
+def op116_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share
+    word 3-grams with a held-out benchmark set (here: doc_id % 97 = 0,
+    the driver-data stand-in for an eval suite). The benchmark side
+    deduplicates its grams FIRST (distinct before the join — at scale
+    the benchmark is tiny and broadcasts); the corpus side explodes
+    grams and joins on the gram, so shuffle volume is corpus-grams ×
+    match-rate, never corpus × benchmark. At 100 TB the gram string
+    would be xxhash64'd before the join (same trick as op75's digest
+    groupBy) — kept as the raw string here so the oracle is
+    SQL-expressible. Reports distinct overlapping grams per document
+    (the DataComp/Dolma-style decontamination signal)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("gram").cast("bigint").alias("overlap_grams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# op117: lexicon-based PII scrubbing
+# --------------------------------------------------------------------------
+
+_PII_PAT = r"\b(customer|key|value)\b"
+
+_OP117_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_PII_PAT}'))) AS BIGINT) AS total_hits,
+       CAST(SUM(length(text) -
+                length(regexp_replace(text, '{_PII_PAT}', '[X]', 'g'))) AS BIGINT)
+         AS chars_removed
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("op117_pii_scrub", oracle=_OP117_SQL)
+def op117_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based scrub pass: count and redact occurrences of a
+    deny-list of terms (stand-ins for a name/credential lexicon — the
+    testdata corpus has no real emails/SSNs to match). Pure per-row
+    JVM regex (regexp_count / regexp_replace), zero shuffle before the
+    5-group aggregate, so it streams at scan speed at any scale; the
+    same shape handles the real PII regex battery (emails, phones,
+    IP addresses) by swapping the pattern. Reports per-language hit
+    and removed-character totals — the audit numbers a scrub job logs."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), _PII_PAT, "[X]")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(_PII_PAT)))
+        .cast("bigint")
+        .alias("total_hits"),
+        F.sum(F.length("text") - F.length(scrubbed))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op118: repetition scoring
+# --------------------------------------------------------------------------
+
+_OP118_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents)
+SELECT doc_id, lang, n_words, n_distinct,
+       1 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS rep_ratio
+FROM r
+WHERE 1 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.5
+"""
+
+
+@register("op118_repetition_ratio", oracle=_OP118_SQL)
+def op118_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: fraction of duplicated words per
+    document (1 - distinct/total), filtering to the repetitive tail
+    (> 0.5 — Gopher-style repetition filters use exactly this family
+    of signals). Per-row expressions only, zero shuffle. The ratio is
+    a single IEEE divide of two integers, bit-identical in Spark and
+    DuckDB, so both the values and the > 0.5 row set hash-match
+    without rounding (SURVEY.md §4.2.3's "same-IEEE-ops" rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("bigint")
+    n_distinct = F.size(F.array_distinct(ws)).cast("bigint")
+    r = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+    )
+    ratio = 1 - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    return r.withColumn("rep_ratio", ratio).filter(F.col("rep_ratio") > 0.5)
+
+
+# --------------------------------------------------------------------------
+# op119: quality funnel
+# --------------------------------------------------------------------------
+
+_OP119_SQL = """
+WITH q AS (
+  SELECT n_chars >= 200 AS len_ok,
+         n_chars >= 200 AND lang <> 'zh' AS lang_ok,
+         n_chars >= 200 AND lang <> 'zh'
+           AND 1 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) <= 0.65 AS rep_ok,
+         n_chars >= 200 AND lang <> 'zh'
+           AND 1 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) <= 0.65
+           AND len(string_split(text,' ')) >= 60 AS final_ok
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (len_ok) AS BIGINT) AS n_len_ok,
+       CAST(COUNT(*) FILTER (lang_ok) AS BIGINT) AS n_lang_ok,
+       CAST(COUNT(*) FILTER (rep_ok) AS BIGINT) AS n_rep_ok,
+       CAST(COUNT(*) FILTER (final_ok) AS BIGINT) AS n_final
+FROM q
+"""
+
+
+@register("op119_quality_funnel", oracle=_OP119_SQL)
+def op119_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel report: how many documents survive each
+    successive quality gate (length ≥ 200 chars → language filter →
+    repetition ≤ 0.65 → ≥ 60 tokens). One conditional-count aggregate
+    over a zero-shuffle scan — the one-pass funnel every filtering run
+    reports before committing a training mix. Cascading AND conditions
+    (each stage implies the previous) keep the funnel monotone."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    rep = 1 - F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast("double")
+    len_ok = F.col("n_chars") >= 200
+    lang_ok = len_ok & (F.col("lang") != "zh")
+    rep_ok = lang_ok & (rep <= 0.65)
+    final_ok = rep_ok & (F.size(ws) >= 60)
+
+    def cnt(cond, name):
+        return F.count(F.when(cond, 1)).cast("bigint").alias(name)
+
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        cnt(len_ok, "n_len_ok"),
+        cnt(lang_ok, "n_lang_ok"),
+        cnt(rep_ok, "n_rep_ok"),
+        cnt(final_ok, "n_final"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op120: per-language TF-IDF terms
+# --------------------------------------------------------------------------
+
+_OP120_SQL = """
+WITH words AS (
+  SELECT doc_id, lang, w.word AS word
+  FROM documents, UNNEST(string_split(text, ' ')) AS w(word)),
+df AS (
+  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words GROUP BY word),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+tf AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY lang, word),
+scored AS (
+  SELECT tf.lang, tf.word, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS score
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score DESC, word) AS rnk
+  FROM scored)
+SELECT lang, word, tf, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("op120_tfidf_terms", oracle=_OP120_SQL)
+def op120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per language by TF-IDF (tf = term
+    occurrences within the language slice, idf = ln(N/df) over the
+    whole corpus). Two hash aggregates over the exploded words (both
+    map-side partial) + a broadcast of the tiny df table + a
+    partitioned top-k window — no global sort, and the explode carries
+    one word per row so the shuffle is O(tokens), the same budget as
+    op77's wordcount. Scores are bround(6)-stabilized: ln() may differ
+    between libm and the JVM in the last ulp, and 6 dp is the
+    cross-engine-stable observable (same rule as op80's cosine)."""
+    d = load_table(spark, sf_dir, "documents")
+    # N as a broadcast 1-row frame, not an eager .count() literal — the
+    # plan stays lazy and re-reads fresh data (the op75 round-1 lesson).
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    df_t = words.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").cast("bigint").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            "tf",
+            F.bround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "word", "tf", "score", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# op121: sessionized event funnel
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 24 * 3600
+
+_OP121_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_SESSION_GAP_SEC * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+f AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM sess GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (t_click > t_view) AS BIGINT) AS n_view_click,
+       CAST(COUNT(*) FILTER (t_buy > t_click AND t_click > t_view) AS BIGINT)
+         AS n_full_funnel
+FROM f
+"""
+
+
+@register("op121_session_funnel", oracle=_OP121_SQL)
+def op121_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event stream by inactivity gap (24 h — the
+    testdata's users act on a daily cadence) and report the
+    view → click → purchase conversion funnel over first-touch
+    timestamps per session. Session assignment is the gaps-and-islands
+    cumsum (op111's pattern) partitioned by user — all three windows
+    and the session aggregate share ONE shuffle on user_id (Catalyst
+    reuses the partitioning), then a single-row global rollup. The
+    batch twin of op71's streaming session windows; at 100 TB this is
+    the canonical "shuffle once by entity, window within" shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-precision gap on both engines (a seconds cast would truncate
+    # and flip strict > comparisons that land within 1 s of the gap).
+    gap_ok = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        > _SESSION_GAP_SEC * 1_000_000
+    )
+    new_s = F.when(
+        F.lag("ts").over(w).isNull() | gap_ok, F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = e.withColumn("new_s", new_s).withColumn("sid", F.sum("new_s").over(cum))
+
+    def first_ts(etype, name):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts"))).alias(name)
+
+    f = sess.groupBy("user_id", "sid").agg(
+        first_ts("view", "t_view"),
+        first_ts("click", "t_click"),
+        first_ts("purchase", "t_buy"),
+    )
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )

@@ -62,6 +62,7 @@ def load_all() -> dict[str, Op]:
         aggregates,
         joins,
         relational_ext,
+        pipeline_r2,
         udfs,
         northstar,
         pipeline_ext,
