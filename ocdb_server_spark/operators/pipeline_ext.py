@@ -247,6 +247,11 @@ def lsh_neardup_pairs(
     sig = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(F.array(*buckets)).alias("tb")
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    # Persist before the self-join: the 32 hyperplane dots per vector
+    # are the expensive part, and an unpersisted self-join would
+    # compute them TWICE (same trap as op88's signature table —
+    # SURVEY.md §4.2.2). 4 rows/vector × (id, vec, table, bucket).
+    sig = sig.persist()
     a, b = sig.alias("a"), sig.alias("b")
     sim = F.bround(_cosine(F.col("a.v"), F.col("b.v")), 6)
     return (
