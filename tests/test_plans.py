@@ -184,3 +184,48 @@ def test_date_spine_join_broadcasts(spark, sf_dir):
     the anti-join — the orders side never shuffles on the join key."""
     plan = _plan(OPS["op109_date_spine_gaps"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    """op114: the top-10 must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global Sort, and the
+    segment/date filters must push to the scans."""
+    plan = _plan(OPS["op114_join_topk_revenue"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+    pushed = plan.split("PushedFilters:")
+    assert any("c_mktsegment" in p[:300] for p in pushed[1:]), plan
+
+
+def test_seq_pack_windows_by_shard(spark, sf_dir):
+    """op115: the pack-assignment cumsum must be a window PARTITIONED
+    by source (shard-parallel), never an empty-partition global
+    window."""
+    plan = _plan(OPS["op115_seq_pack"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "windowspecdefinition(source" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """op116: the deduped benchmark gram set must BROADCAST into the
+    corpus-gram join — the corpus side never shuffles on the gram."""
+    plan = _plan(OPS["op116_contamination_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin [gram" in plan, plan
+
+
+def test_tfidf_uses_window_group_limit(spark, sf_dir):
+    """op120: the per-language top-5 must use Spark 4's
+    WindowGroupLimit (partial top-k BEFORE the shuffle) and the df/N
+    sides must broadcast."""
+    plan = _plan(OPS["op120_tfidf_terms"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_session_funnel_single_entity_shuffle(spark, sf_dir):
+    """op121: both session windows and the per-session aggregate must
+    share ONE hashpartitioning(user_id) exchange; the only other
+    exchange is the single-row global rollup."""
+    plan = _plan(OPS["op121_session_funnel"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange") == 2, plan
