@@ -1,11 +1,13 @@
-"""Round-2 pipeline extensions — SURVEY.md §2.16 (op114–op121).
+"""Round-2 pipeline extensions — SURVEY.md §2.16 (op114–op126).
 
 Second batch of training-data-pipeline and analytics operators on top
 of the op75–op99/op104–op105 families: the TPC-H Q3 shape (the one
 BASELINE.md yardstick that had no matching operator), training-sequence
 packing, benchmark-contamination detection, lexicon PII scrubbing,
-repetition scoring, a quality funnel, per-language TF-IDF terms, and
-event-sessionized funnel analysis.
+repetition scoring, a quality funnel, per-language TF-IDF terms,
+event-sessionized funnel analysis, geo nearest-neighbors, bounded-frame
+EWMA, Pareto concentration, cohort retention, and the count-distinct
+re-aggregation pattern.
 
 Like the rest of the package, every op is pure DataFrame/Catalyst code
 (no Python UDFs in any hot path), outputs are canonicalizer-safe
@@ -480,4 +482,263 @@ def op121_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_full_funnel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op122: geo nearest-neighbors (haversine)
+# --------------------------------------------------------------------------
+
+# The testdata has no geo columns (same situation as op14's bbox);
+# deterministic integer arithmetic derives a (lat, lon) per customer so
+# both engines compute bit-identical coordinates.
+_LAT_SQL = "(c_custkey % 18000) / 100.0 - 90"
+_LON_SQL = "((c_custkey * 7) % 36000) / 100.0 - 180"
+_QLAT, _QLON = 40.7, -74.0  # query point
+_EARTH_KM = 6371.0
+
+_OP122_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+d AS (
+  SELECT c_custkey, lat, lon,
+         ROUND(2 * {_EARTH_KM} * asin(sqrt(
+             pow(sin(radians(lat - ({_QLAT})) / 2), 2)
+             + cos(radians({_QLAT})) * cos(radians(lat))
+               * pow(sin(radians(lon - ({_QLON})) / 2), 2))), 6) AS dist_km
+  FROM pts)
+SELECT c_custkey, lat, lon, dist_km
+FROM d
+ORDER BY dist_km, c_custkey
+LIMIT 10
+"""
+
+
+@register("op122_geo_knn", oracle=_OP122_SQL)
+def op122_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 nearest customers to a query point by haversine distance —
+    the geo nearest-station query of the reference's domain (SeaBASS
+    measurements carry lat/lon; the testdata doesn't, so coordinates
+    derive from c_custkey by exact integer arithmetic, op14's proxy
+    convention). Linear scan + TakeOrderedAndProject top-k: no
+    shuffle, no index needed until the corpus is so large a geohash
+    bucket prune (op81's blocking pattern on a geohash prefix) pays.
+    Distance is bround(6)-stabilized BEFORE the order-by: sin/cos/asin
+    may differ between libm and the JVM in the final ulp, and ordering
+    on the rounded value with the c_custkey tiebreak keeps the top-k
+    SET cross-engine deterministic (SURVEY.md §4.2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 18000) / 100.0 - 90
+    lon = ((F.col("c_custkey") * 7) % 36000) / 100.0 - 180
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    dlat = F.radians(F.col("lat") - F.lit(_QLAT)) / 2
+    dlon = F.radians(F.col("lon") - F.lit(_QLON)) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(_QLAT)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlon), 2)
+    )
+    dist = F.bround(2 * _EARTH_KM * F.asin(F.sqrt(h)), 6)
+    return (
+        pts.withColumn("dist_km", dist)
+        .orderBy("dist_km", "c_custkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# op123: time-decayed engagement (EWMA over a bounded frame)
+# --------------------------------------------------------------------------
+
+_DECAY = 0.9
+_TAPS = 10  # bounded frame: last 10 events
+
+
+def _ewma_weights() -> list[float]:
+    return [_DECAY**k for k in range(_TAPS)]
+
+
+_OP123_SQL = f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         {' + '.join(
+             f"coalesce(lag(value, {k}) OVER "
+             f"(PARTITION BY user_id ORDER BY ts, event_id), 0.0) * {w!r}"
+             for k, w in enumerate(_ewma_weights())
+         )} AS decayed
+  FROM events)
+SELECT user_id, event_id, ROUND(decayed, 6) AS decayed_value
+FROM w
+"""
+
+
+@register("op123_ewma_decay", oracle=_OP123_SQL)
+def op123_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: for each event, the
+    exponentially weighted sum of the user's last 10 event values
+    (decay 0.9 per step). Implemented as 10 lag taps with weights
+    computed ONCE in Python and injected as identical double literals
+    into both engines — no libm pow() at query time, so every product
+    and the left-to-right sum are bit-identical IEEE sequences in
+    Spark and DuckDB. All 10 lags share ONE user_id window sort (one
+    shuffle), and the frame is bounded, so cost stays O(taps × rows)
+    at any scale — the recursive-EWMA formulation would need either an
+    unbounded frame or per-row state."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    decayed = None
+    for k, wt in enumerate(_ewma_weights()):
+        term = F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) * F.lit(wt)
+        decayed = term if decayed is None else decayed + term
+    return e.select(
+        "user_id", "event_id", F.round(decayed, 6).alias("decayed_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# op124: Pareto share (top-decile concentration)
+# --------------------------------------------------------------------------
+
+_OP124_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT s, NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+  FROM spend)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (decile = 1) AS BIGINT) AS n_top,
+       CAST(CAST(SUM(CASE WHEN decile = 1 THEN s END) AS DOUBLE)
+            / CAST(SUM(s) AS DOUBLE) AS DOUBLE) AS top_share
+FROM b
+"""
+
+
+@register("op124_pareto_share", oracle=_OP124_SQL)
+def op124_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration analysis: what share of total spend comes
+    from the top decile of customers. Per-customer spend aggregates in
+    exact decimal (order-independent); the decile assignment is an
+    NTILE over (spend DESC, custkey) — the unique tiebreak makes the
+    boundary deterministic in both engines; the share is ONE double
+    divide of two exact decimal totals. Shape at scale: hash agg on
+    custkey + a window over the (small) per-customer aggregate +
+    single-row rollup — the window input is |customers|, not |orders|."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    w = W.orderBy(F.col("s").desc(), "o_custkey")
+    b = spend.select("s", F.ntile(10).over(w).alias("decile"))
+    return b.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.count(F.when(F.col("decile") == 1, 1)).cast("bigint").alias("n_top"),
+        (
+            F.sum(F.when(F.col("decile") == 1, F.col("s"))).cast("double")
+            / F.sum("s").cast("double")
+        ).cast("double").alias("top_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op125: cohort retention
+# --------------------------------------------------------------------------
+
+_OP125_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register("op125_cohort_retention", oracle=_OP125_SQL)
+def op125_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, and
+    for each later week the count still active — the standard product
+    retention triangle. Both date_trunc('week') (Monday start in Spark
+    and DuckDB) and the week offset (integer day arithmetic / 7) are
+    exact. Shape: two aggregates over ONE user_id-partitioned pass
+    (first-seen min + distinct active weeks) joined on user_id, then a
+    small cohort×offset rollup; nothing touches raw event rows after
+    the first aggregation, so the retention triangle costs O(users ×
+    active-weeks), not O(events), downstream."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    j = activity.join(first_seen, "user_id")
+    offset = (
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return (
+        j.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# op126: count-distinct rollup (pre-aggregated distinct pairs)
+# --------------------------------------------------------------------------
+
+_OP126_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS daily_users
+  FROM pairs GROUP BY event_type, day)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.daily_users) AS BIGINT) AS sum_daily_distinct,
+       t.total_users
+FROM daily d
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+      FROM events GROUP BY event_type) t
+  ON d.event_type = t.event_type
+GROUP BY d.event_type, t.total_users
+"""
+
+
+@register("op126_distinct_rollup", oracle=_OP126_SQL)
+def op126_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-distinct re-aggregation pattern: daily distinct users
+    per event type, rolled up alongside the true month-level distinct
+    (which is NOT the sum of dailies — the output shows both, the
+    classic dashboard trap). Scale shape: ONE distinct pre-aggregation
+    on (type, day, user) — a map-side-combinable group-by — feeds the
+    daily counts, so raw events are touched once; the exact total
+    distinct reuses the same exchange. This is the exact-arithmetic
+    baseline op20's HLL sketch approximates at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    daily = pairs.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("daily_users")
+    )
+    total = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("total_users")
+    )
+    return (
+        daily.join(total, "event_type")
+        .groupBy("event_type", "total_users")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("daily_users").cast("bigint").alias("sum_daily_distinct"),
+        )
+        .select("event_type", "n_days", "sum_daily_distinct", "total_users")
     )
