@@ -229,3 +229,31 @@ def test_session_funnel_single_entity_shuffle(spark, sf_dir):
     plan = _plan(OPS["op121_session_funnel"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_geo_knn_is_single_pass_topk(spark, sf_dir):
+    """op122: linear scan + TakeOrderedAndProject — no shuffle, no
+    global sort."""
+    plan = _plan(OPS["op122_geo_knn"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ewma_taps_share_one_window_sort(spark, sf_dir):
+    """op123: all 10 lag taps must evaluate in ONE Window operator over
+    one user_id exchange — never one sort per tap."""
+    plan = _plan(OPS["op123_ewma_decay"].fn(spark, sf_dir))
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_pareto_window_runs_over_customer_agg(spark, sf_dir):
+    """op124: the NTILE window input must be the per-customer
+    aggregate (partial+final agg BEFORE the window), so the single-
+    partition sort sees |customers| rows, never raw orders."""
+    plan = _plan(OPS["op124_pareto_share"].fn(spark, sf_dir))
+    # plan prints top-down: the per-customer decimal agg must sit BELOW
+    # the window (i.e., execute before it)
+    agg_pos = plan.find("partial_sum(cast(o_totalprice")
+    win_pos = plan.find("Window [")
+    assert agg_pos > win_pos > -1, plan
