@@ -742,3 +742,108 @@ def op126_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_days", "sum_daily_distinct", "total_users")
     )
+
+
+# --------------------------------------------------------------------------
+# op128: corpus bigram frequencies
+# --------------------------------------------------------------------------
+
+_OP128_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT array_to_string(ws[t.i:t.i+1], ' ') AS bigram
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY bigram)
+SELECT bigram, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rnk
+FROM c
+ORDER BY rnk
+LIMIT 20
+"""
+
+
+@register("op128_top_bigrams", oracle=_OP128_SQL)
+def op128_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (op77's unigram wordcount, one order up —
+    the co-occurrence statistics a tokenizer/vocab build reads). The
+    explode carries one bigram per row (O(tokens) shuffle, same budget
+    as op77), the count is a map-side-partial hash agg, and the global
+    top-20 runs over the AGGREGATED vocab (vocab-bounded, not
+    corpus-bounded), with rank made deterministic by the bigram
+    tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "bigram")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# op129: month-over-month growth
+# --------------------------------------------------------------------------
+
+_OP129_SQL = """
+WITH m AS (
+  SELECT n_name,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, month)
+SELECT n_name, month, revenue,
+       lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS prev_revenue,
+       (revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month))
+         / lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS mom_pct
+FROM m
+"""
+
+
+@register("op129_mom_growth", oracle=_OP129_SQL)
+def op129_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the standard
+    trend-report shape. Monthly revenue aggregates in exact decimal
+    and surfaces as double, so the lag and the growth ratio are single
+    IEEE ops on identical inputs in both engines (first month per
+    nation is NULL). Scale shape: one shuffled agg down to
+    nation×month grain, then a window over that tiny frame — the
+    window never sees order rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "n_name",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )

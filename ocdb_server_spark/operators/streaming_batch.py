@@ -186,3 +186,35 @@ def op74_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
     )
+
+
+@register(
+    "op127_stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 18, 6)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def op127_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (user_id = c_custkey), aggregated per
+    (segment, event_type). In Structured Streaming this is the
+    canonical stream⋈static pattern — the dimension broadcasts into
+    every micro-batch with no state store involved (streamed for real
+    in tests/test_streaming.py via streaming/jobs.stream_static_join).
+    Batch equivalent: broadcast hash join + one partial+final agg;
+    value sums in exact decimal (order-independent across
+    micro-batches AND partitions)."""
+    ev = _events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("value", 18, 6).alias("sum_value"),
+        )
+    )

@@ -293,3 +293,20 @@ def stream_ingest_resumable(
     finally:
         if q.isActive:
             q.stop()
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op127 as a streaming query: the event stream enriched by the
+    STATIC customer dimension (stream⋈static broadcast join — no state
+    store) and aggregated per (segment, event_type)."""
+    ev = _stream_events(spark, sf_dir)
+    c = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return _run_to_memory(agg, mode="complete")

@@ -131,3 +131,10 @@ def test_checkpointed_ingest_resumes_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing lost...
     assert got.select("event_id").distinct().count() == ev.count()  # ...nothing twice
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    streamed = jobs.stream_static_join(spark, sf_dir)
+    batch = OPS["op127_stream_static_join"].fn(spark, sf_dir)
+    cols = ["c_mktsegment", "event_type", "n"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
