@@ -408,3 +408,58 @@ def op104_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_assets"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+@register("op130_multimodal_frame_sample", oracle=None)
+def op130_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: encode a synthetic
+    multi-frame payload per document (header + n_frames × frame_size
+    bytes, both derived deterministically from doc_id), then the
+    sources/multimodal.sample_frames mapInPandas stage emits every
+    4th frame's (asset_id, frame_idx, frame_crc), aggregated to
+    per-asset frame counts + a combined crc checksum.
+
+    ROWS-only: the payload has no DuckDB-side table; deterministic, so
+    golden-snapshotted in tests/test_rows_snapshot.py. Same scale
+    contract as op104: payload bytes stream through Arrow batches
+    inside one task, zero shuffle of binary data — only fixed-width
+    sampled-frame rows (and here, their small aggregate) continue."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from ocdb_server_spark.sources.multimodal import MEDIA_SCHEMA, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        for pdf in it:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_frames = 2 + int(did) % 7
+                frame_size = 16 + int(nc) % 16
+                body = b"".join(
+                    bytes(((int(did) + k) % 251,)) * frame_size
+                    for k in range(n_frames)
+                )
+                rows.append(
+                    (
+                        int(did),
+                        "video",
+                        "video/fake",
+                        _struct.pack("<ii", n_frames, frame_size) + body,
+                        8 + n_frames * frame_size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "mime", "payload", "n_bytes"]
+            )
+
+    assets = docs.filter(F.col("doc_id") < 48).mapInPandas(
+        encode, schema=MEDIA_SCHEMA
+    )
+    frames = sample_frames(assets, every=4)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("frame_crc").cast("bigint").alias("crc_sum"),
+    )

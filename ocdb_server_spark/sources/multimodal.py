@@ -100,3 +100,44 @@ def decode_images(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_crc", LongType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
+    """mapInPandas frame-sampling stage: every k-th frame of each
+    "video" payload, emitted as (asset_id, frame_idx, frame_crc).
+
+    The synthetic payload layout is an 8-byte header (n_frames:int32,
+    frame_size:int32) followed by n_frames × frame_size frame bytes; a
+    real implementation would seek with pyav/ffmpeg — the per-frame
+    kernel is the only stub, the Arrow batch loop, the explode shape
+    (one output row per sampled frame) and the zero-shuffle contract
+    are the production plumbing. Payload bytes never leave the task
+    that read them; only fixed-width (id, idx, crc) rows continue
+    downstream."""
+    import zlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, crcs = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_frames, frame_size = struct.unpack_from("<ii", payload)
+                for k in range(0, n_frames, every):
+                    off = 8 + k * frame_size
+                    frame = payload[off : off + frame_size]
+                    ids.append(aid)
+                    idxs.append(k)
+                    crcs.append(zlib.crc32(frame))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_crc": crcs}
+            ).astype({"asset_id": "int64", "frame_idx": "int32", "frame_crc": "int64"})
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
