@@ -847,3 +847,186 @@ def op129_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# op131: daily resample + forward fill
+# --------------------------------------------------------------------------
+
+_OP131_SQL = """
+WITH spine AS (
+  SELECT CAST(g.d AS DATE) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                       INTERVAL 1 DAY) AS g(d)),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+grid AS (
+  SELECT u.user_id, s.day, d.value
+  FROM users u CROSS JOIN spine s
+  LEFT JOIN (SELECT user_id, day, value FROM daily WHERE rn = 1) d
+    ON d.user_id = u.user_id AND d.day = s.day)
+SELECT user_id, day,
+       last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS ffill_value
+FROM grid
+"""
+
+
+@register("op131_resample_ffill", oracle=_OP131_SQL)
+def op131_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event series onto a daily grid and
+    forward-fill gaps with the last observed value — the time-series
+    regularization every feature store runs before model training.
+    The spine generates from a literal range (no source scan), the
+    per-day last observation is a row_number dedup, and the fill is
+    last_value(IGNORE NULLS) over a user-partitioned window. Carried
+    values are untouched doubles (no arithmetic), so cross-engine
+    equality is exact. Scale: grid is users × days (not events); the
+    fill window shares the user_id partitioning with the dedup — at
+    100 TB this is one shuffle on user plus a broadcast of the spine."""
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(0, 30).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "day"
+        )
+    )
+    users = e.select("user_id").distinct()
+    wd = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    grid = users.crossJoin(F.broadcast(spine)).join(daily, ["user_id", "day"], "left")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(wf).alias("ffill_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op132: edit-distance near-dup verification
+# --------------------------------------------------------------------------
+
+_OP132_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(n_chars // 10 AS BIGINT) AS cb
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         / greatest(length(a.text), length(b.text)) AS edit_ratio
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.nw = b.nw AND a.cb = b.cb AND a.doc_id < b.doc_id
+WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        / greatest(length(a.text), length(b.text)) <= 0.7
+"""
+
+
+@register("op132_editdist_neardup", oracle=_OP132_SQL)
+def op132_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs blocked on
+    (lang, word count, n_chars/10 bucket) — blocks cap at ~18 docs at
+    sf0.1, ~10.7k candidate pairs total — then exact Levenshtein with
+    a relative threshold (dist / max-length ≤ 0.7; the character-level
+    lens that complements op79/op88/op89's token-level signatures).
+    Both engines implement the same classical DP, so distances and the
+    single IEEE divide are identical. Scale: the O(len²) verify runs
+    ONLY inside blocks (the same contain-the-quadratic contract as
+    op89's gram blocking); at 100 TB the blocking key tightens (add a
+    content prefix hash) before block sizes grow."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nw"),
+        F.floor(F.col("n_chars") / 10).cast("bigint").alias("cb"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    ratio = lev.cast("double") / F.greatest(
+        F.length(F.col("a.text")), F.length(F.col("b.text"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.nw") == F.col("b.nw"))
+            & (F.col("a.cb") == F.col("b.cb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lev.cast("bigint").alias("edit_dist"),
+            ratio.alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= 0.7)
+    )
+
+
+# --------------------------------------------------------------------------
+# op133: training-export manifest with content digests
+# --------------------------------------------------------------------------
+
+_OP133_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+              AS BIGINT) AS shard,
+         md5(text) AS doc_digest,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(doc_digest, '' ORDER BY doc_digest)) AS content_digest
+FROM h
+GROUP BY shard
+"""
+
+
+@register("op133_export_manifest", oracle=_OP133_SQL)
+def op133_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest: per shard (op98's md5 assignment), the
+    doc count, token total, and an order-independent content digest —
+    md5 over the SORTED per-doc digests, so two exports of the same
+    data produce byte-identical manifests regardless of partitioning
+    or arrival order. This is the artifact a dataloader checks before
+    touching shard bytes. One hash agg on the shard key; the shuffle
+    carries 32-char digests, never document text (op75's digest-only
+    contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 8
+    )
+    h = d.select(
+        shard.alias("shard"),
+        F.md5("text").alias("doc_digest"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+    )
+    return h.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("doc_digest")))).alias(
+            "content_digest"
+        ),
+    )
