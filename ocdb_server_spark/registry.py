@@ -63,6 +63,7 @@ def load_all() -> dict[str, Op]:
         joins,
         relational_ext,
         pipeline_r2,
+        pipeline_r3,
         udfs,
         northstar,
         pipeline_ext,

@@ -14,6 +14,8 @@ scan is visible in the plan.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from ocdb_server_spark.registry import load_all
@@ -257,3 +259,113 @@ def test_pareto_window_runs_over_customer_agg(spark, sf_dir):
     agg_pos = plan.find("partial_sum(cast(o_totalprice")
     win_pos = plan.find("Window [")
     assert agg_pos > win_pos > -1, plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    """op134: part is the small dim — the Q14 join must broadcast it,
+    and the month agg must have a map-side partial."""
+    plan = _plan(OPS["op134_promo_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_sampling_weights_windows_post_agg(spark, sf_dir):
+    """op135: the global windows must run over the per-lang AGGREGATE
+    (a #langs-row frame), never over raw documents — the lang agg
+    executes below the window in the printed plan."""
+    plan = _plan(OPS["op135_sampling_weights"].fn(spark, sf_dir))
+    agg_pos = plan.find("partial_count")
+    win_pos = plan.find("Window [")
+    assert agg_pos > win_pos > -1, plan
+
+
+def test_hash_sample_two_phase_topk(spark, sf_dir):
+    """op136: the skew-proof sample must rank twice — a salted
+    (lang, salt) window feeding a per-lang window — with Spark 4's
+    WindowGroupLimit pruning before each shuffle."""
+    plan = _plan(OPS["op136_hash_sample_per_lang"].fn(spark, sf_dir))
+    assert plan.count("Window [") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_vocab_growth_running_sum_post_agg(spark, sf_dir):
+    """op137: the running-sum window input must be the per-bucket
+    aggregate (#buckets rows), with both hash aggs keeping map-side
+    partials under the explode."""
+    plan = _plan(OPS["op137_vocab_growth"].fn(spark, sf_dir))
+    assert plan.count("partial_") >= 2, plan
+    win_pos = plan.find("Window [")
+    agg_pos = plan.find("partial_min(bucket")
+    assert agg_pos > win_pos > -1, plan
+
+
+def test_large_orders_having_prunes_before_join(spark, sf_dir):
+    """op138: the HAVING filter on the quantity sum must apply to the
+    aggregate BEFORE the orders join (plan prints the join above the
+    filtered agg), and the top-20 must be TakeOrderedAndProject."""
+    plan = _plan(OPS["op138_large_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    join_pos = plan.find("Join")
+    filter_pos = plan.find("Filter (isnotnull(qdec")
+    assert filter_pos > join_pos > -1, plan
+
+
+def test_feature_minmax_fold_stays_jvm(spark, sf_dir):
+    """op139: the sum-of-squares fold must be JVM codegen (no Python
+    eval nodes) and the only exchange is the label window's."""
+    plan = _plan(OPS["op139_feature_minmax"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_returned_items_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    """op140: customer/nation broadcast, returnflag pushes to the scan,
+    top-20 is TakeOrderedAndProject."""
+    plan = _plan(OPS["op140_returned_items"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "l_returnflag" in pushed, pushed
+
+
+def test_dup_cluster_stats_groups_on_digest(spark, sf_dir):
+    """op141: the first agg must group on the md5 digest (never raw
+    text), and both aggs must keep map-side partials."""
+    plan = _plan(OPS["op141_dup_cluster_stats"].fn(spark, sf_dir))
+    assert "md5" in plan, plan
+    assert plan.count("partial_count") >= 1, plan
+
+
+def test_source_overlap_joins_on_gram_hash(spark, sf_dir):
+    """op142: the self-join must key on the 16-byte gram hash with the
+    per-source gram sets deduped BEFORE the join, and the size tables
+    must broadcast."""
+    plan = _plan(OPS["op142_source_overlap"].fn(spark, sf_dir))
+    # the self-join must key on the gram hash (AQE may pick broadcast
+    # at test scale, SMJ/SHJ at corpus scale — the key is what matters)
+    assert re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join \[h#", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_token_histogram_single_agg(spark, sf_dir):
+    """op143: one partial+final hash agg, no window, no join."""
+    plan = _plan(OPS["op143_token_len_histogram"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_daily_anomaly_broadcasts_moments(spark, sf_dir):
+    """op144: the single-row moment table must broadcast back over the
+    day table — never a window over raw events."""
+    plan = _plan(OPS["op144_daily_anomaly"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_label_centroids_partial_agg_under_explode(spark, sf_dir):
+    """op145: posexplode feeds a hash agg with map-side partial sums —
+    the shuffle carries ≤ (labels × dims) rows per partition."""
+    plan = _plan(OPS["op145_label_centroids"].fn(spark, sf_dir))
+    assert "Generate posexplode" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
