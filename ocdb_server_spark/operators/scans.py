@@ -166,3 +166,40 @@ def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out_df = out_df.unionByName(f)
     return out_df
+
+
+@register(
+    "op147_partition_pruned_scan",
+    oracle="""
+    SELECT doc_id, n_chars, lang FROM documents WHERE lang IN ('en', 'de')
+    """,
+)
+def op147_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip with partition PRUNING:
+    documents written `partitionBy("lang")` to a scratch dir, read back
+    with a lang predicate — the predicate prunes whole directories
+    (PartitionFilters in the scan, asserted in tests/test_plans.py),
+    so non-matching partitions are never opened. This is the layout
+    decision that turns a 100 TB corpus scan into a 2-language scan;
+    at cluster scale the same plan applies to a date-partitioned lake.
+
+    The write is part of the operator's semantics (like op05/op106
+    sink round-trips); the scratch path is per-SF and overwritten for
+    idempotence."""
+    import os as _os
+    import tempfile as _tmp
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_part_scan_{tag}")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang").isin("en", "de"))
+        .select("doc_id", "n_chars", "lang")
+    )

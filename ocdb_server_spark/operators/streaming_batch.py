@@ -218,3 +218,61 @@ def op127_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 18, 6).alias("sum_value"),
         )
     )
+
+
+@register(
+    "op146_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+             AS delay_us,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def op146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent: every (view,
+    purchase) pair of the same user with the purchase inside the hour
+    after the view — attribution joins, THE canonical stream-stream
+    workload. Real streaming twin (two watermarked readStream sides,
+    inner interval join, append mode):
+    `streaming.jobs.stream_stream_join`, proven row-identical in
+    tests/test_streaming.py.
+
+    Scale notes: as a stream, state is bounded by the watermark × the
+    1 h join window per side (Spark evicts rows once the other side's
+    watermark passes their bound); as a batch plan, it's one shuffle
+    of both filtered sides on user_id with the time predicate applied
+    post-join — the event_type filters push to the scans."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+            ).alias("delay_us"),
+            "purchase_value",
+        )
+    )

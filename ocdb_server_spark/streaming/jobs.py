@@ -310,3 +310,41 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return _run_to_memory(agg, mode="complete")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op146 as a REAL stream-stream join: both sides are watermarked
+    file streams; Spark buffers each side in the state store and evicts
+    a row once the opposite watermark passes its join bound (view rows
+    live ≤ watermark + 1 h) — the only way an unbounded attribution
+    join stays finite-state. Inner join + append mode emits each
+    matched pair exactly once."""
+    ev = _stream_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 days")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 days")
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        "purchase_value",
+    )
+    return _run_to_memory(joined, mode="append")

@@ -369,3 +369,21 @@ def test_label_centroids_partial_agg_under_explode(spark, sf_dir):
     assert "Generate posexplode" in plan, plan
     assert "partial_sum" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stream_stream_join_filters_push_to_scan(spark, sf_dir):
+    """op146 (batch twin): both event_type filters must push to the
+    parquet scans, and the join must key on user_id with the time
+    bounds as a post-join condition."""
+    plan = _plan(OPS["op146_stream_stream_join"].fn(spark, sf_dir))
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("view" in s for s in pushed), pushed
+    assert any("purchase" in s for s in pushed), pushed
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """op147: the lang predicate must land in PartitionFilters (whole
+    directories skipped), not in the row-level PushedFilters."""
+    plan = _plan(OPS["op147_partition_pruned_scan"].fn(spark, sf_dir))
+    part = plan.split("PartitionFilters:")[1][:200]
+    assert "lang" in part, plan

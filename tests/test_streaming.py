@@ -138,3 +138,13 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     batch = OPS["op127_stream_static_join"].fn(spark, sf_dir)
     cols = ["c_mktsegment", "event_type", "n"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """op146: the real watermarked stream-stream join must emit exactly
+    the batch-equivalent pair set."""
+    from ocdb_server_spark.streaming import jobs
+
+    got = jobs.stream_stream_join(spark, sf_dir)
+    want = load_all()["op146_stream_stream_join"].fn(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
