@@ -626,3 +626,202 @@ def op145_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bround(F.sum(F.col("x").cast("double")) / F.count("*"), 6).alias("centroid")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op148: SCD2 dimension build (validity intervals from an event log)
+# --------------------------------------------------------------------------
+
+_OP148_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events),
+iv AS (
+  SELECT user_id, event_type,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, grp)
+SELECT user_id, event_type, valid_from, n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+         AS is_current
+FROM iv
+"""
+
+
+@register("op148_scd2_intervals", oracle=_OP148_SQL)
+def op148_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log:
+    collapse each user's consecutive same-type event runs into validity
+    intervals [valid_from, valid_to) with an is_current flag — the CDC
+    materialization every warehouse dim table needs.
+
+    Run detection is the rn − rn_per_type gaps-and-islands difference
+    (op111's technique, here producing interval rows rather than streak
+    lengths). Plan at scale: ALL windows and the run aggregate share
+    the ONE hashpartitioning(user_id) exchange; no global sort
+    anywhere. Ties broken by event_id so run ids are deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    by_user_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "grp", F.row_number().over(by_user) - F.row_number().over(by_user_type)
+    )
+    iv = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    nxt = W.partitionBy("user_id").orderBy("valid_from")
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "n_events",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        F.lead("valid_from").over(nxt).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op149: rolling 7-day distinct users (explode, not range-join)
+# --------------------------------------------------------------------------
+
+_OP149_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+bounds AS (SELECT MAX(day) AS max_day FROM du),
+contrib AS (
+  SELECT du.day + CAST(o.o AS INTEGER) AS spine_day, du.user_id
+  FROM du, UNNEST(range(0, 7)) AS o(o))
+SELECT spine_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_users
+FROM contrib, bounds
+WHERE spine_day <= max_day
+GROUP BY spine_day
+"""
+
+
+@register("op149_rolling_distinct_users", oracle=_OP149_SQL)
+def op149_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct users per day — the DAU/WAU
+    engagement series, and the classic op a sliding window CANNOT
+    express (count distinct isn't windowable).
+
+    Scale shape: a range join (day BETWEEN s-6 AND s) would plan as a
+    nested-loop at any scale; instead each distinct (day, user) pair
+    EXPLODES into the ≤7 spine days it contributes to, turning the
+    range join into an equi-groupBy. Shuffles carry (day,user) pairs
+    (pre-deduped map-side), never raw events. The max-day bound
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    bounds = du.agg(F.max("day").alias("max_day"))
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "user_id"
+    ).select(F.date_add("day", F.col("o")).alias("spine_day"), "user_id")
+    return (
+        contrib.join(F.broadcast(bounds))
+        .filter(F.col("spine_day") <= F.col("max_day"))
+        .groupBy("spine_day")
+        .agg(F.count_distinct("user_id").alias("rolling_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# op150: schema-on-read JSON struct parse (from_json, not per-path extract)
+# --------------------------------------------------------------------------
+
+_OP150_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+WHERE json_valid(props)
+GROUP BY k
+"""
+
+
+@register("op150_json_struct_parse", oracle=_OP150_SQL)
+def op150_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: parse the props column ONCE into a typed
+    struct with `from_json` and aggregate on the parsed field — the
+    production path when several fields are consumed (op65's
+    get_json_object re-parses the string per extracted path; from_json
+    amortizes one parse across the struct).
+
+    min/max on doubles are exact comparisons (no sum-order risk).
+    Zero shuffle before the k-grain agg."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT").alias("p"), "value"
+    ).filter(F.col("p").isNotNull())
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op151: boilerplate chunk detection (repeated word-chunks across docs)
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 3       # words per chunk (non-overlapping stride)
+_CHUNK_MIN_DOCS = 5
+
+_OP151_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(w[(i*{_CHUNK_W})+1 : (i+1)*{_CHUNK_W}], ' ')) AS h
+  FROM toks, UNNEST(range(0, 100000)) AS t(i)
+  WHERE (i+1)*{_CHUNK_W} <= len(w))
+SELECT h AS chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM chunks
+GROUP BY h
+HAVING COUNT(DISTINCT doc_id) >= {_CHUNK_MIN_DOCS}
+"""
+
+
+@register("op151_boilerplate_chunks", oracle=_OP151_SQL)
+def op151_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: non-overlapping 3-word chunks that recur
+    in ≥5 distinct docs — the headers/footers/nav-text scrub list a
+    web-corpus pipeline builds before training.
+
+    Plan at scale: chunks hash to 16-byte md5 BEFORE the shuffle (the
+    exchange never carries text), count+count_distinct in one agg with
+    map-side partials, HAVING prunes the long tail. The oracle's
+    UNNEST(range(…)) upper bound is a constant far above any doc's
+    chunk count; Spark derives the exact per-doc count via
+    transform(sequence(...))."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    n_chunks = F.floor(F.size("w") / _CHUNK_W).cast("int")
+    chunks = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("w", i * _CHUNK_W + 1, _CHUNK_W)).cast("binary")
+                ),
+            )
+        ).alias("h"),
+    )
+    return (
+        chunks.groupBy(F.col("h").alias("chunk_hash"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _CHUNK_MIN_DOCS)
+    )

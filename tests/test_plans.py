@@ -387,3 +387,40 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     plan = _plan(OPS["op147_partition_pruned_scan"].fn(spark, sf_dir))
     part = plan.split("PartitionFilters:")[1][:200]
     assert "lang" in part, plan
+
+
+def test_scd2_shares_user_exchange(spark, sf_dir):
+    """op148: the run-detection windows, interval agg, and lead window
+    must all reuse ONE hashpartitioning(user_id) family of exchanges —
+    and none may degenerate to a single-partition window."""
+    plan = _plan(OPS["op148_scd2_intervals"].fn(spark, sf_dir))
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_rolling_distinct_is_explode_not_rangejoin(spark, sf_dir):
+    """op149: the 7-day contribution must be an explode + equi-groupBy,
+    NEVER a nested-loop range join (the max-day bound broadcast is the
+    only BNLJ input, a 1-row frame)."""
+    plan = _plan(OPS["op149_rolling_distinct_users"].fn(spark, sf_dir))
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_json_struct_parse_single_agg(spark, sf_dir):
+    """op150: from_json parse + one partial+final hash agg; no window,
+    no join, one exchange."""
+    plan = _plan(OPS["op150_json_struct_parse"].fn(spark, sf_dir))
+    assert "from_json" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_boilerplate_shuffle_carries_digests(spark, sf_dir):
+    """op151: the chunk agg's shuffle must carry md5 digests, never the
+    text or the word array."""
+    plan = _plan(OPS["op151_boilerplate_chunks"].fn(spark, sf_dir))
+    partial = [ln for ln in plan.splitlines() if "partial_count" in ln]
+    assert partial, plan
+    for ln in partial:
+        out = ln.split("output=[")[1] if "output=[" in ln else ln
+        assert "text#" not in out and "w#" not in out, out[:200]
