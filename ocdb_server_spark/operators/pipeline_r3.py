@@ -457,11 +457,15 @@ def op142_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between every source pair — the "are two crawls secretly the same
     corpus" audit run before mixing training sources.
 
-    Plan at scale: grams dedup to (source, md5) BEFORE the self-join
-    (map-side partial dedup), the join blocks on the 128-bit gram hash
-    (only sources sharing a gram meet), and the pair agg output is
-    O(#source²) — tiny. The gram-hash shuffle is the only big exchange
-    and carries 16-byte digests, not text."""
+    Plan at scale: grams dedup to (source, md5) BEFORE anything else
+    (map-side partial dedup), then ONE groupBy on the 128-bit gram
+    hash collects each gram's co-occurring source set and a HOF
+    generates the sorted source pairs in-place — no self-join, no
+    second shuffle of the gram table, and the pair agg input is
+    O(grams × co-occurrence²) with co-occurrence bounded by the
+    source-catalog size. Every big exchange carries 16-byte digests,
+    not text. (The DuckDB oracle keeps the equivalent self-join
+    formulation — identical pair multiset.)"""
     d = load_table(spark, sf_dir, "documents")
     w = d.select("source", F.split(F.lower("text"), " ").alias("w"))
     grams = (
@@ -477,12 +481,25 @@ def op142_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # per gram: sorted set of sources containing it -> all (a < b) pairs
+    co = grams.groupBy("h").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pairs = co.filter(F.size("ss") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     shared = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
-        .agg(F.count("*").alias("shared_grams"))
+        pairs.groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        ).agg(F.count("*").alias("shared_grams"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")

@@ -336,15 +336,16 @@ def test_dup_cluster_stats_groups_on_digest(spark, sf_dir):
     assert plan.count("partial_count") >= 1, plan
 
 
-def test_source_overlap_joins_on_gram_hash(spark, sf_dir):
-    """op142: the self-join must key on the 16-byte gram hash with the
-    per-source gram sets deduped BEFORE the join, and the size tables
-    must broadcast."""
+def test_source_overlap_groups_on_gram_hash_no_selfjoin(spark, sf_dir):
+    """op142: the pair generation must be ONE groupBy on the gram hash
+    + in-place HOF pair expansion — no self-join of the gram table;
+    the only joins are the broadcast size lookups."""
     plan = _plan(OPS["op142_source_overlap"].fn(spark, sf_dir))
-    # the self-join must key on the gram hash (AQE may pick broadcast
-    # at test scale, SMJ/SHJ at corpus scale — the key is what matters)
-    assert re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join \[h#", plan), plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange hashpartitioning(h#" in plan, plan
+    assert "collect_set(source" in plan, plan
+    # no join keyed on the gram hash — pairs come from the HOF expand
+    assert not re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join \[h#", plan), plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
 
 
 def test_token_histogram_single_agg(spark, sf_dir):
