@@ -842,3 +842,86 @@ def op151_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _CHUNK_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# op152: custom Python DataSource (Spark 4 connector extension point)
+# --------------------------------------------------------------------------
+
+_SYNTH_ROWS = 4096
+
+_OP152_SQL = f"""
+SELECT CAST((i * 2654435761) % 10000 // 1000 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((i * 2654435761) % 10000) AS BIGINT) AS checksum
+FROM range(0, {_SYNTH_ROWS}) t(i)
+GROUP BY bucket
+"""
+
+
+@register("op152_python_datasource", oracle=_OP152_SQL)
+def op152_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    deterministic synthetic-events source (`partitions()` → one task
+    per partition, `read()` → generator rows), registered and consumed
+    like any built-in format. This is the engine's extension point for
+    the reference's pluggable file readers — a new wire format becomes
+    a DataSource class, not a driver-side loop.
+
+    The stream is a Knuth multiplicative hash of the row id, so the
+    DuckDB oracle reproduces it from range() exactly. The aggregate
+    proves the rows flow through normal Catalyst plans (hash agg with
+    partials over the Python scan)."""
+    from ocdb_server_spark.sources import pyds
+
+    pyds.register(spark)
+    src = (
+        spark.read.format("synth_events")
+        .option("rows", _SYNTH_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy(
+        (F.col("hval") / 1000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("hval").alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op153: VariantType shredding (Spark 4 semi-structured native type)
+# --------------------------------------------------------------------------
+
+_OP153_SQL = """
+SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS BIGINT) AS k_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY k_quartile
+"""
+
+
+@register("op153_variant_shred", oracle=_OP153_SQL)
+def op153_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json
+    ONCE into the binary variant encoding, then typed variant_get
+    extraction — the engine-native path for open-schema JSON (vs
+    op65's per-path string extract and op150's fixed-schema from_json;
+    variant keeps fields the schema didn't anticipate queryable).
+
+    The variant column itself never leaves the plan (binary type would
+    trip the gate canonicalizer) — only typed scalars surface."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.expr("cast(variant_get(v, '$.k', 'bigint') as bigint)")
+    return (
+        v.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 25).cast("bigint").alias("k_quartile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Spark 4 Python DataSource: deterministic synthetic-events generator.
+
+The Python DataSource API (pyspark.sql.datasource, Spark 4) is the
+public extension point for custom connectors — the Spark-native analog
+of the reference's file-reader plugins (SbFileReader etc., public
+knowledge — SURVEY.md §0): implement `partitions()` + `read(partition)`
+and the engine schedules one task per partition, exactly like a
+built-in source.
+
+This source generates a deterministic integer stream (Knuth
+multiplicative hash of the row id) so tests and the DuckDB oracle can
+reproduce it exactly: no RNG state, no wall clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Knuth's 2^32 multiplicative constant — public domain folklore.
+_MULT = 2654435761
+_MOD = 10_000
+
+
+class SynthPartition(InputPartition):
+    def __init__(self, pid: int, start: int, end: int):
+        self.pid = pid
+        self.start = start
+        self.end = end
+
+
+class SynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        per = (self.n_rows + self.n_parts - 1) // self.n_parts
+        return [
+            SynthPartition(p, p * per, min((p + 1) * per, self.n_rows))
+            for p in range(self.n_parts)
+        ]
+
+    def read(self, partition: SynthPartition):
+        for i in range(partition.start, partition.end):
+            yield (i, partition.pid, (i * _MULT) % _MOD)
+
+
+class SynthDataSource(DataSource):
+    """`spark.read.format("synth_events").option("rows", N).load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "id bigint, part int, hval bigint"
+
+    def reader(self, schema) -> SynthReader:
+        return SynthReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SynthDataSource)

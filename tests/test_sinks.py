@@ -88,3 +88,24 @@ def test_empty_update_is_noop(spark, table):
     before = spark.read.parquet(table).count()
     upsert_partitioned(spark, table, updates, keys=["id"], order_col="version", partition_col="part")
     assert spark.read.parquet(table).count() == before
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """op152's synth source: one task per declared partition, rows
+    deterministic across reads."""
+    from ocdb_server_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    parts = sorted(r.part for r in df.select("part").distinct().collect())
+    assert parts == list(range(8))
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b and len(a) == 1000
+    # hval formula matches the documented Knuth hash
+    assert all(h == (i * 2654435761) % 10000 for i, _, h in a)
