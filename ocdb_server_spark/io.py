@@ -134,16 +134,27 @@ def clear_cache() -> None:
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it as a
-    nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
-    Truncate to µs with INTEGER division (a double division would lose
-    precision at 1e18 magnitudes) — same truncation DuckDB applies
-    casting TIMESTAMP_NS → TIMESTAMP, so the oracle agrees."""
+    """Normalize events.ts to TIMESTAMP (LTZ) regardless of how the
+    driver generated the file that round:
+
+    - TIMESTAMP(NANOS) layout (rounds 1-2): Spark 4 reads it as a
+      nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong).
+      Truncate to µs with INTEGER division (a double division would
+      lose precision at 1e18 magnitudes) — same truncation DuckDB
+      applies casting TIMESTAMP_NS → TIMESTAMP, so the oracle agrees.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) layout (observed round
+      3): Spark's inferTimestampNTZ maps it to TIMESTAMP_NTZ; cast to
+      LTZ (session tz is UTC on every session we build AND on this
+      container's bare sessions, so the cast is value-identical) —
+      functions like unix_micros require LTZ, and round 1's gate
+      proved LTZ output hash-matches the naive DuckDB oracle."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -471,11 +471,20 @@ def op142_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         w.select(
             "source",
+            # Guard: sequence(0, size-5) with size<5 would step -1 and
+            # produce negative indices (runtime error in slice); docs
+            # shorter than one gram contribute nothing, matching the
+            # oracle's empty range(1, len(w)-3).
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - 5),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, 5)).cast("binary")),
-                )
+                F.when(
+                    F.size("w") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 5),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("w", i + 1, 5)).cast("binary")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("h"),
         )
         .distinct()
@@ -774,9 +783,14 @@ def op150_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max on doubles are exact comparisons (no sum-order risk).
     Zero shuffle before the k-grain agg."""
     ev = load_table(spark, sf_dir, "events")
+    # from_json in PERMISSIVE mode returns a non-null struct with null
+    # fields for malformed JSON, so p.isNotNull() would NOT mirror the
+    # oracle's json_valid(props): invalid rows would land in the k=NULL
+    # group on Spark but be excluded by DuckDB. try_parse_json proves
+    # the whole document parsed (NULL for invalid JSON).
     parsed = ev.select(
         F.from_json("props", "k INT").alias("p"), "value"
-    ).filter(F.col("p").isNotNull())
+    ).filter(F.expr("try_parse_json(props) IS NOT NULL"))
     return parsed.groupBy(F.col("p.k").alias("k")).agg(
         F.count("*").alias("n"),
         F.min("value").alias("min_value"),
@@ -825,13 +839,22 @@ def op151_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.floor(F.size("w") / _CHUNK_W).cast("int")
     chunks = w.select(
         "doc_id",
+        # Guard: docs with fewer than _CHUNK_W words have n_chunks=0 and
+        # sequence(0, -1) would step backwards ([0,-1] — a short chunk
+        # plus a from-the-end slice). Emit no chunks instead, matching
+        # the oracle's WHERE (i+1)*W <= len(w).
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("w", i * _CHUNK_W + 1, _CHUNK_W)).cast("binary")
+            F.when(
+                n_chunks > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice("w", i * _CHUNK_W + 1, _CHUNK_W)
+                        ).cast("binary")
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
     return (

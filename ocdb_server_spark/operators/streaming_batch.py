@@ -232,7 +232,8 @@ def op127_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events v JOIN events p
       ON v.user_id = p.user_id
      AND v.event_type = 'view' AND p.event_type = 'purchase'
-     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
     """,
 )
 def op146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,11 @@ sweep's conditions as closely as we can observe them:
 Prints per-op wall seconds (slowest first) and the total, so slow
 outliers can be fixed before the real gate runs.
 
-Usage: python scripts/sweep_sim.py [sf_dir]
+Usage: python scripts/sweep_sim.py [sf_dir] [--dump-costs]
+
+--dump-costs writes the measured per-op seconds to
+ocdb_server_spark/op_costs.json, which registry._sweep_order uses to
+run never-certified ops cheapest-first inside the driver's budget.
 """
 
 from __future__ import annotations
@@ -41,7 +45,9 @@ def canon(pdf):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--dump-costs"]
+    dump_costs = "--dump-costs" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     t_start = time.perf_counter()
     # Bare session: exactly what the driver builds (no engine confs).
@@ -89,6 +95,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, keep sweeping
             failures[name] = f"{type(exc).__name__}: {exc}"
         timings[name] = time.perf_counter() - t0
+
+    if dump_costs:
+        import json
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ocdb_server_spark",
+            "op_costs.json",
+        )
+        with open(path, "w") as f:
+            json.dump({k: round(v, 3) for k, v in timings.items()}, f, indent=1)
+        print(f"wrote {path}")
 
     total = sum(timings.values())
     print(f"setup: {t_setup:.1f}s  queries: {total:.1f}s  "
