@@ -81,6 +81,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harness may hand us ITS OWN bare session — the conf is
         # runtime-settable, so set it defensively before the read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ cast in _normalize_events (and every later
+        # date_trunc/unix_micros) is session-timezone-dependent; the
+        # DuckDB oracle computes in naive/UTC time. Pin UTC here —
+        # runtime-settable — instead of trusting the container default.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events(df)

@@ -871,7 +871,12 @@ def op151_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op152: custom Python DataSource (Spark 4 connector extension point)
 # --------------------------------------------------------------------------
 
-_SYNTH_ROWS = 4096
+# 2048 rows / 2 partitions: the sweep cost of this op is ~all Python
+# worker spin-up per partition (11.2 s at 8 parts in round 3 —
+# op_costs.json); the oracle is a closed-form formula, so ANY N proves
+# the connector. 2 partitions still exercises multi-partition planning.
+_SYNTH_ROWS = 2048
+_SYNTH_PARTS = 2
 
 _OP152_SQL = f"""
 SELECT CAST((i * 2654435761) % 10000 // 1000 AS BIGINT) AS bucket,
@@ -901,7 +906,7 @@ def op152_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.read.format("synth_events")
         .option("rows", _SYNTH_ROWS)
-        .option("partitions", 8)
+        .option("partitions", _SYNTH_PARTS)
         .load()
     )
     return src.groupBy(

@@ -43,6 +43,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def _row_is_green(row: object) -> bool:
+    """True iff a driver CORRECTNESS row records a PASS.
+
+    Two green shapes exist (observed r1-r3):
+      - SQL-checked op:   err == None, rows/schema/hash_match all true
+      - ROWS-by-design:   err == "no_oracle", spark_rows recorded
+        (the designed weaker check — counts as its kind of green)
+    Anything else — a traceback in err, a false match flag, a
+    no_oracle row that never produced a row count — is NOT green and
+    must sort into the re-sweep-first group.
+    """
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err")
+    if err is None:
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+    if err == "no_oracle":
+        return row.get("spark_rows") is not None
+    return False
+
+
 def _sweep_order(keys: list[str]) -> list[str]:
     """Order the registry for the driver's budgeted correctness sweep.
 
@@ -51,10 +76,19 @@ def _sweep_order(keys: list[str]) -> list[str]:
     budget is either a ~50-query cap or a wall-clock limit that lands
     near 50. Either way the winning order is the same:
 
-      1. ops with NO row in any CORRECTNESS_r*.json yet (never
-         certified), cheapest first, then
+      1. ops with no GREEN row in any CORRECTNESS_r*.json yet —
+         never swept, OR swept but errored/mismatched (a fixed op
+         whose only row is an old failure is exactly the one to
+         re-check first) — cheapest first, then
       2. already-certified ops (cheapest first) — re-certifying is
          pure upside if the budget stretches, and harmless if not.
+
+    "Certified" means the op's LATEST row actually passed: err is
+    null (or the designed ``no_oracle`` rows-only check) and no
+    recorded check is false. Merely *appearing* in a CORRECTNESS
+    file does not count — round 1-3 taught us that an op whose only
+    row is a crash would otherwise sort behind every never-swept op
+    and, under the ~50-entry budget, never get re-swept.
 
     Cost = measured sf0.01 wall seconds from op_costs.json (generated
     by scripts/sweep_sim.py --dump-costs); ops without a measurement
@@ -67,11 +101,18 @@ def _sweep_order(keys: list[str]) -> list[str]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified: set[str] = set()
+    # Later rounds override earlier ones (sorted() gives r01 < r02 < ...):
+    # an op that failed in r1 but passed in r3 is certified; one that
+    # passed in r1 but erred in r3 is NOT.
     for fname in sorted(os.listdir(root)):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
             try:
                 with open(os.path.join(root, fname)) as f:
-                    certified.update(json.load(f).keys())
+                    for key, row in json.load(f).items():
+                        if _row_is_green(row):
+                            certified.add(key)
+                        else:
+                            certified.discard(key)
             except Exception:
                 pass  # a malformed file must never break the registry
     costs: dict[str, float] = {}

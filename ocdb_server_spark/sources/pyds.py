@@ -49,11 +49,16 @@ class SynthReader(DataSourceReader):
         import pyarrow as pa
 
         ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        # Reduce BEFORE multiplying: ids * _MULT overflows int64 for
+        # ids > ~3.47e9, silently diverging from the arbitrary-precision
+        # oracle. (ids % _MOD) * (_MULT % _MOD) stays < 1e8 — identical
+        # result by modular arithmetic, safe at any id.
+        hval = ((ids % _MOD) * (_MULT % _MOD)) % _MOD
         yield pa.record_batch(
             [
                 pa.array(ids, pa.int64()),
                 pa.array(np.full(len(ids), partition.pid, dtype=np.int32)),
-                pa.array((ids * _MULT) % _MOD, pa.int64()),
+                pa.array(hval, pa.int64()),
             ],
             names=["id", "part", "hval"],
         )

@@ -99,14 +99,33 @@ def main() -> None:
     if dump_costs:
         import json
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "ocdb_server_spark",
-            "op_costs.json",
-        )
-        with open(path, "w") as f:
-            json.dump({k: round(v, 3) for k, v in timings.items()}, f, indent=1)
-        print(f"wrote {path}")
+        # Guardrails (round-3 ADVICE): costs drive the registry's
+        # sweep order, which assumes sf0.01 wall seconds. Refuse to
+        # overwrite with timings measured at another scale factor, and
+        # never record a failed op's (possibly near-zero) timing —
+        # keep its previous measurement if one exists.
+        if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+            print(f"refusing --dump-costs: sf_dir {sf_dir!r} is not sf0.01 "
+                  "(sweep-order costs must be sf0.01 wall seconds)")
+        else:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "ocdb_server_spark",
+                "op_costs.json",
+            )
+            prev: dict[str, float] = {}
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+            except Exception:
+                pass
+            merged = dict(prev)
+            merged.update(
+                {k: round(v, 3) for k, v in timings.items() if k not in failures}
+            )
+            with open(path, "w") as f:
+                json.dump(merged, f, indent=1)
+            print(f"wrote {path} ({len(failures)} failed ops kept stale/absent)")
 
     total = sum(timings.values())
     print(f"setup: {t_setup:.1f}s  queries: {total:.1f}s  "

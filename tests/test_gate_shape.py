@@ -38,6 +38,45 @@ OPS = load_all()
 ALL_OPS = sorted(OPS)
 
 
+def test_row_is_green_predicate():
+    """Sweep-order regression test (round-3 verdict item 1): a row that
+    ERRORED must not count as certified — else a fixed op sorts behind
+    every never-swept op and, under the ~50-entry budget, is never
+    re-checked (op96/op107 sat on stale r1 crash rows for two rounds)."""
+    from ocdb_server_spark.registry import _row_is_green
+
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 10, "oracle_rows": 10, "err": None,
+    }
+    green_rows_only = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 27, "oracle_rows": None, "err": "no_oracle",
+    }
+    crashed = dict(green_rows_only, spark_rows=None, err="TypeError: boom")
+    hash_mismatch = dict(green_sql, hash_match=False)
+    no_oracle_no_rows = dict(green_rows_only, spark_rows=None)
+
+    assert _row_is_green(green_sql)
+    assert _row_is_green(green_rows_only)
+    assert not _row_is_green(crashed)
+    assert not _row_is_green(hash_mismatch)
+    assert not _row_is_green(no_oracle_no_rows)
+    assert not _row_is_green(None)
+
+
+def test_sweep_order_fronts_errored_ops():
+    """With the real CORRECTNESS_r01-r03 files on disk, op96/op107 (whose
+    only rows are r1 canonicalizer crashes) must sort in the uncertified
+    front group, before any op with a green row."""
+    keys = list(OPS)
+    certified_example = "op17_agg_groupby"  # hash-green since r2
+    for stale in ("op96_dedup_components", "op107_agg_approx_percentile"):
+        assert keys.index(stale) < keys.index(certified_example), (
+            f"{stale} must re-sweep before already-certified ops"
+        )
+
+
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
     df = OPS[name].fn(spark, sf_dir)
