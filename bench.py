@@ -68,6 +68,24 @@ def main() -> None:
     # round-trip (~0.1-0.2 s for 6-join plans) instead of the engine;
     # that one-time compile cost is reported separately as
     # plan_build_sec.
+    # Per-job floor: the cheapest possible Spark job on this session —
+    # a count() over the hot-cached region table (5 rows, 8 partitions)
+    # — measured exactly like the queries (best of 7). This is pure
+    # scheduler+task-launch overhead that every local[32] job pays and
+    # DuckDB's in-process execution doesn't; BASELINE.md:128-145 argues
+    # two yardsticks sit UNDER this floor. Emitting it makes the floor
+    # driver-visible evidence instead of prose: query_sec - job_floor_sec
+    # approximates the data-proportional work that actually scales.
+    from ocdb_server_spark.io import load_table
+
+    floor_df = load_table(spark, sf_dir, "region")
+    floor_df.count()  # warm
+    floor = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        floor_df.count()
+        floor = min(floor, time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
     build_total = 0.0
     for name in HEADLINE:
@@ -90,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "plan_build_sec": round(build_total, 4),
+                "job_floor_sec": round(floor, 4),
                 "sf": sf,
             }
         )

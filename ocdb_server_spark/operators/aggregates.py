@@ -21,9 +21,13 @@ from ocdb_server_spark.operators._helpers import (
     davg,
     dec,
     dsum,
+    iavg,
+    isum,
     revenue_dec,
     sql_davg,
     sql_dsum,
+    sql_iavg,
+    sql_isum,
 )
 from ocdb_server_spark.registry import register
 
@@ -55,13 +59,13 @@ def op16_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op17_agg_groupby",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
-           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_isum('l_quantity')} AS sum_qty,
+           {sql_isum('l_extendedprice')} AS sum_base_price,
            CAST(SUM({SQL_REVENUE_DEC}) AS DOUBLE) AS sum_disc_price,
            CAST(SUM({SQL_REVENUE_DEC} * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-           {sql_davg('l_quantity')} AS avg_qty,
-           {sql_davg('l_extendedprice')} AS avg_price,
-           {sql_davg('l_discount', 18, 2)} AS avg_disc,
+           {sql_iavg('l_quantity')} AS avg_qty,
+           {sql_iavg('l_extendedprice')} AS avg_price,
+           {sql_iavg('l_discount')} AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -69,20 +73,29 @@ def op16_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op17_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: 2 group keys, 8 aggregates."""
+    """TPC-H Q1-shaped pricing summary: 2 group keys, 8 aggregates.
+
+    Accumulator choice (measured at sf0.1, interleaved best-of-9):
+    all-decimal 163 ms, all-scaled-int64 132 ms (overflows ~sf200 on
+    the charge product — rejected), mixed 146 ms. Mixed = scaled-int64
+    for the LINEAR fixed-point sums (exact + 100 TB-safe, see
+    _helpers.isum) and decimal for the revenue/charge PRODUCT sums
+    (whose 1e6-scaled magnitudes exceed int64 at cluster scale).
+    All three are bit-identical at sf0.1; mixed keeps exactness at
+    every scale."""
     li = load_table(spark, sf_dir, "lineitem")
     charge = revenue_dec() * (F.lit(1) + dec("l_tax", 3, 2))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            isum("l_quantity").alias("sum_qty"),
+            isum("l_extendedprice").alias("sum_base_price"),
             F.sum(revenue_dec()).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            iavg("l_quantity").alias("avg_qty"),
+            iavg("l_extendedprice").alias("avg_price"),
+            iavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
