@@ -329,7 +329,11 @@ def op39_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (also served by ``entry``). Dims broadcast; the only
     fact-side shuffle is lineitem⋈orders (bucketed co-location at
     production scale) and the final 25-group aggregate."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+    )
     li, o, c = t["lineitem"], t["orders"], t["customer"]
     s, n, r = t["supplier"], t["nation"], t["region"]
     j = (

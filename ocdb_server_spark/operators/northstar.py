@@ -151,20 +151,22 @@ def minhash_neardup_pairs(
     rows — never the O(n²) pair space. Verified against planted
     near-dups in tests/test_northstar.py."""
     d = d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # The repeated sub-expressions below are built as SQL strings parsed
+    # JVM-side in ONE F.expr round trip each — the Column-object
+    # formulation cost ~1600 py4j round trips (~0.3 s of plan-build wall,
+    # profiled round 4) for the IDENTICAL Catalyst plan.
+    #
     # Materialize the token array BEFORE building shingles: referencing
     # the split() expression inside a HOF lambda re-evaluates it per
     # element (O(n_words²) re-splits — measured 5.5s of the sf0.1
     # runtime). zip_with against the shifted slice is one pass.
-    w = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
-    shingles = F.array_distinct(
-        F.filter(
-            F.zip_with(
-                F.col("w"),
-                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
-                lambda x, y: F.concat_ws(" ", x, y),
-            ),
-            lambda s: s.contains(" "),  # drop the null-padded tail bigram
-        )
+    w = d.select("doc_id", F.expr("split(lower(text), ' ')").alias("w"))
+    # filter(...) drops the null-padded tail bigram (no space in it).
+    shingles = F.expr(
+        "array_distinct(filter("
+        "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+        "           (x, y) -> concat_ws(' ', x, y)),"
+        "  s -> contains(s, ' ')))"
     )
     # Explode shingles once, hash each with 16 integer salts (one cheap
     # xxhash64 per salt, no string building), then min() per doc —
@@ -174,23 +176,20 @@ def minhash_neardup_pairs(
     # at sf0.1 and would blow up on long documents.)
     sh = w.select("doc_id", F.explode(shingles).alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(16)
-        ]
+        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh{i}") for i in range(16)]
     )
     # 4 bands × 4 signature values: band hash = xxhash64 of the band's mins
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(*[F.col(f"mh{b * 4 + j}") for j in range(4)]).alias("band_hash"),
-            )
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_idx', {b}, 'band_hash', "
+            f"xxhash64(mh{b * 4}, mh{b * 4 + 1}, mh{b * 4 + 2}, mh{b * 4 + 3}))"
             for b in range(4)
-        ]
+        )
+        + ")"
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).selectExpr(
+        "doc_id", "b.band_idx AS band_idx", "b.band_hash AS band_hash"
     )
     # Persist the band rows (16 bytes × 4 per doc): the self-join would
     # otherwise run the shingle explode + 16-min aggregation twice. At
@@ -247,9 +246,7 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     sim = F.bround(
-        _dot(F.col("embedding"), F.col("qe"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
-        6,
+        _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")), 6
     )
     return (
         j.select("vec_id", sim.alias("sim"))
@@ -288,8 +285,8 @@ def op81_sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     sim = F.bround(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        _dot("a.embedding", "b.embedding")
+        / (_norm("a.embedding") * _norm("b.embedding")),
         6,
     )
     return (
