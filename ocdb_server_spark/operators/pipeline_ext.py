@@ -437,56 +437,122 @@ def op94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- op95
 
 
-@register("op95_sim_ivf_knn", oracle=None)  # ROWS: IVF probe is approximate
-def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-10 cosine neighbors of the vec_id=0
-    query: 16 coarse centroids (deterministically seeded here; a
-    production index runs k-means — the query path is identical),
-    every vector assigned to its nearest centroid, the query probes its
-    nprobe=4 nearest centroids, exact cosine only inside probed
-    clusters.
+# Per-row "similarity to one codebook entry" SQL fragment: dot(embedding,
+# c.cvec) / (en * c.cnorm), with the row norm `en` and codebook norms
+# precomputed once. Used inside HOF lambdas over the broadcast codebook,
+# so assignment is pure map-side codegen — no n×K row blowup, no shuffle.
+_CSIM = (
+    "aggregate(zip_with(embedding, c.cvec,"
+    " (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, x) -> acc + x) / (en * c.cnorm)"
+)
 
-    Scale: centroids are index metadata (K × dim floats — broadcast);
-    assignment is one scan; the probe prunes the exact work to
-    ~nprobe/K of the corpus. Compare op80 (exact brute force) for
-    recall at test scale (tests/test_pipeline_ext.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+
+def ivf_topk(
+    e: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k cosine neighbors of one query vector.
+
+    Index build: K coarse centroids sampled deterministically from the
+    data (xxhash64 order — a production index refines them with k-means;
+    the query path is identical either way), K = √n by default (the
+    classic IVF sizing: balances #lists scanned vs list length). The
+    codebook — K × (cid, vector, norm) — is collect_list'd into a
+    SINGLE broadcast row: index metadata, a few MB even at 10⁹ vectors
+    with K = √n ≈ 30k.
+
+    Query: every vector computes its nearest centroid by folding over
+    the broadcast codebook with JVM higher-order functions — one scan,
+    zero shuffle, no n×K intermediate (the round-3 formulation
+    window-ranked an n×K crossJoin, which shuffled the whole corpus ×K).
+    The query row ranks the same codebook for its nprobe (= ⌈K/4⌉)
+    nearest lists; exact cosine runs only inside probed lists —
+    ~nprobe/K of the corpus — and top-k plans as TakeOrderedAndProject.
+    Everything is DataFrame-side: no driver collect anywhere.
+
+    Recall: ≥0.9 recall@10 vs brute force (op80) asserted on a
+    planted-cluster fixture in tests/test_pipeline_ext.py."""
+    n = e.count()
+    if n_centroids is None:
+        n_centroids = max(4, int(round(n ** 0.5)))
+    if nprobe is None:
+        nprobe = max(1, -(-n_centroids // 4))  # ceil(K/4)
+
+    en = F.expr(
+        "sqrt(aggregate(transform(embedding,"
+        " x -> cast(x as double) * cast(x as double)),"
+        " cast(0 as double), (acc, x) -> acc + x))"
     )
-    # assignment: argmax cosine over the broadcast centroid set
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("csim", _cosine(F.col("embedding"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-            ),
+    with_norm = e.withColumn("en", en)
+    # Deterministic data-seeded codebook: first K vectors in xxhash64
+    # order, packed into one row. struct fields ordered (cid, cvec,
+    # cnorm); argmax below is order-independent, so collect_list's
+    # nondeterministic ordering is harmless.
+    codebook = (
+        with_norm.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            F.col("en").alias("cnorm"),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+        .agg(F.expr("collect_list(struct(cid, cvec, cnorm))").alias("cents"))
     )
-    # probe list: the query's nprobe nearest centroids (index metadata →
-    # driver-side is legitimate; this is K rows, not data)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    probes = [
-        r["cid"]
-        for r in cents.crossJoin(F.broadcast(q))
-        .select("cid", _cosine(F.col("cvec"), F.col("qe")).alias("s"))
-        .orderBy(F.col("s").desc(), "cid")
-        .limit(4)
-        .collect()
-    ]
-    sim = F.bround(_cosine(F.col("embedding"), F.col("qe")), 6)
+    # Map-side nearest-centroid assignment: max of (sim, cid) structs —
+    # lexicographic struct compare picks the best list per row.
+    assigned = (
+        with_norm.crossJoin(F.broadcast(codebook))  # 1-row codebook: free
+        .withColumn(
+            "cluster",
+            F.expr(f"array_max(transform(cents, c -> struct({_CSIM} AS s,"
+                   " c.cid AS cid))).cid"),
+        )
+    )
+    # The query row ranks ALL K lists and keeps its nprobe nearest.
+    qrow = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.col("en").alias("qnorm"),
+            F.expr(
+                "transform(slice(array_sort("
+                f" transform(cents, c -> struct(-{_CSIM} AS negs, c.cid AS cid))"
+                f"), 1, {nprobe}), p -> p.cid)"
+            ).alias("probes"),
+        )
+    )
+    sim = F.bround(
+        F.expr(
+            "aggregate(zip_with(embedding, qe,"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        )
+        / (F.col("en") * F.col("qnorm")),
+        6,
+    )
     return (
-        assigned.filter(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(q))
+        assigned.crossJoin(F.broadcast(qrow))
+        .filter(
+            F.expr("array_contains(probes, cluster)")
+            & (F.col("vec_id") != query_vec_id)
+        )
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
+        .limit(k)
     )
+
+
+@register("op95_sim_ivf_knn", oracle=None)  # ROWS: IVF probe is approximate
+def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 cosine neighbors of the vec_id=0 query
+    over the embeddings table — see ivf_topk for the index design
+    (√n data-seeded broadcast codebook, map-side list assignment,
+    nprobe-pruned exact search; recall gate in test_pipeline_ext)."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------- op97
