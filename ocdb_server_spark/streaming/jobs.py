@@ -108,22 +108,67 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dd.select("event_id", "user_id"), mode="append")
 
 
-def stream_upsert_state(spark: SparkSession, sf_dir: str) -> dict[int, tuple]:
-    """op74 as a streaming query: foreachBatch keyed upsert into a
-    driver-side dict (stand-in for a MERGE-capable sink)."""
-    state: dict[int, tuple] = {}
+def stream_upsert_state(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """op74 as a streaming query: foreachBatch MERGE into a
+    bucket-partitioned parquet keyed store — a real file-backed sink,
+    fully distributed (no driver-side state, no collect of data rows).
+
+    MERGE mechanics per micro-batch:
+      1. reduce the batch to latest-per-user (max of (ts, event_id,
+         value) structs — same tie-break as op74's batch twin);
+      2. bucket = pmod(xxhash64(user_id), n_buckets) — the store is
+         partitioned by it, so the merge reads ONLY the buckets the
+         batch touches (partition pruning) and dynamic partition
+         overwrite rewrites only those directories;
+      3. union store-side affected buckets with the batch, keep the
+         max struct per user, localCheckpoint (so the overwrite never
+         reads the files it is replacing), write.
+    At scale this is exactly the Delta/Iceberg MERGE INTO access
+    pattern minus the transaction log; state is bounded by #users,
+    per-batch IO by #touched buckets. Returns the final store as a
+    DataFrame."""
+    import tempfile
+
+    path = (store_dir or tempfile.mkdtemp(prefix="upsert_store_")) + "/state"
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        # per-batch latest per user, then merge into the keyed store
         latest = (
             batch_df.groupBy("user_id")
             .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
-            .select("user_id", "m.ts", "m.value")
+            .select(
+                "user_id",
+                F.col("m.ts").alias("last_ts"),
+                F.col("m.event_id").alias("last_event_id"),
+                F.col("m.value").alias("last_value"),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
         )
-        for row in latest.collect():
-            cur = state.get(row["user_id"])
-            if cur is None or row["ts"] >= cur[0]:
-                state[row["user_id"]] = (row["ts"], row["value"])
+        try:
+            cur = spark.read.parquet(path)
+        except Exception:  # first batch: no store yet
+            cur = None
+        if cur is not None:
+            touched = [
+                r["bucket"] for r in latest.select("bucket").distinct().collect()
+            ]  # ≤ n_buckets partition VALUES — metadata, not data
+            merged = cur.filter(F.col("bucket").isin(touched)).unionByName(latest)
+        else:
+            merged = latest
+        out = (
+            merged.groupBy("user_id", "bucket")
+            .agg(F.max(F.struct("last_ts", "last_event_id", "last_value")).alias("m"))
+            .select("user_id", "m.last_ts", "m.last_event_id", "m.last_value", "bucket")
+            # break the read->overwrite file dependency before rewriting
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
     ev = _stream_events(spark, sf_dir)
     q = (
@@ -136,7 +181,8 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> dict[int, tuple]:
     finally:
         if q.isActive:
             q.stop()
-    return state
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return spark.read.parquet(path)
 
 
 def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int]:

@@ -52,8 +52,11 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     assert _rows(streamed, ["event_id"]) == _rows(batch, ["event_id"])
 
 
-def test_stream_upsert_end_state_matches_batch(spark, sf_dir):
-    state = jobs.stream_upsert_state(spark, sf_dir)
+def test_stream_upsert_end_state_matches_batch(spark, sf_dir, tmp_path):
+    store = jobs.stream_upsert_state(spark, sf_dir, store_dir=str(tmp_path / "st"))
+    state = {
+        r["user_id"]: (r["last_ts"], r["last_value"]) for r in store.collect()
+    }
     batch = OPS["op74_stream_foreach_batch_upsert"].fn(spark, sf_dir)
     expected = {
         r["user_id"]: (r["last_ts"], r["last_value"]) for r in batch.collect()
