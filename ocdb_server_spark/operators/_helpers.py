@@ -19,21 +19,33 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+# str inputs compile to ONE JVM-parsed F.expr (Column composition costs
+# ~5 py4j round trips per helper call — it adds up in 8-aggregate
+# builds); Column inputs keep the composable object path. Same tree.
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     """Cast to exact decimal for order-independent aggregation."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({prec},{scale})")
+    if isinstance(col, str):
+        return F.expr(f"cast({col} as decimal({prec},{scale}))")
+    return col.cast(f"decimal({prec},{scale})")
 
 
 def dsum(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     """Exact decimal sum, surfaced as double (deterministic both engines)."""
+    if isinstance(col, str):
+        return F.expr(f"cast(sum(cast({col} as decimal({prec},{scale}))) as double)")
     return F.sum(dec(col, prec, scale)).cast("double")
 
 
 def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     """Deterministic average: exact decimal sum / count, double division."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c, prec, scale)).cast("double") / F.count(c)
+    if isinstance(col, str):
+        return F.expr(
+            f"cast(sum(cast({col} as decimal({prec},{scale}))) as double)"
+            f" / count({col})"
+        )
+    return F.sum(dec(col, prec, scale)).cast("double") / F.count(col)
 
 
 # Scaled-int64 sum: for inputs that are fixed-point values stored as
@@ -48,14 +60,21 @@ def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
 # isum only for linear fixed-point columns.
 def isum(col: str | Column, scale: int = 100) -> Column:
     """Exact fixed-point sum via scaled int64, surfaced as double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * scale).cast("bigint")) / float(scale)
+    if isinstance(col, str):
+        return F.expr(
+            f"sum(cast(round({col} * {scale}) as bigint)) / cast({scale} as double)"
+        )
+    return F.sum(F.round(col * scale).cast("bigint")) / float(scale)
 
 
 def iavg(col: str | Column, scale: int = 100) -> Column:
     """Deterministic average via scaled-int64 sum / count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * scale).cast("bigint")) / float(scale) / F.count(c)
+    if isinstance(col, str):
+        return F.expr(
+            f"sum(cast(round({col} * {scale}) as bigint))"
+            f" / cast({scale} as double) / count({col})"
+        )
+    return F.sum(F.round(col * scale).cast("bigint")) / float(scale) / F.count(col)
 
 
 def sql_isum(expr: str, scale: int = 100) -> str:
@@ -80,7 +99,10 @@ def sql_davg(expr: str, prec: int = 18, scale: int = 2) -> str:
 # product so the sum is order-independent.
 #   extendedprice(12,2) * (1 - discount(3,2)) -> decimal(17,4), exact.
 def revenue_dec() -> Column:
-    return dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 3, 2))
+    return F.expr(
+        "cast(l_extendedprice as decimal(12,2))"
+        " * (1 - cast(l_discount as decimal(3,2)))"
+    )
 
 
 SQL_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))"
