@@ -144,6 +144,7 @@ def load_all() -> dict[str, Op]:
         relational_ext,
         pipeline_r2,
         pipeline_r3,
+        pipeline_r4,
         udfs,
         northstar,
         pipeline_ext,
