@@ -425,3 +425,48 @@ def test_boilerplate_shuffle_carries_digests(spark, sf_dir):
     for ln in partial:
         out = ln.split("output=[")[1] if "output=[" in ln else ln
         assert "text#" not in out and "w#" not in out, out[:200]
+
+
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """op95 (round-4 redesign): nearest-list assignment must fold over
+    the broadcast codebook with zero shuffle exchanges and zero window
+    operators — the corpus-side plan is scan → broadcast joins →
+    TakeOrderedAndProject. (The round-3 formulation window-ranked an
+    n×K crossJoin; this asserts it never comes back.)"""
+    plan = _plan(OPS["op95_sim_ivf_knn"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan  # codebook + query row
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """op155: sequence+explode chunk fan-out must run entirely at the
+    scan — no exchange of any kind, and the text column must not
+    survive past the scan projection (only token counts flow)."""
+    plan = _plan(OPS["op155_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_prefix_dedup_shuffles_digests_only(spark, sf_dir):
+    """op154: the duplicate-group agg must shuffle md5 digests, never
+    the text column."""
+    plan = _plan(OPS["op154_prefix_dedup"].fn(spark, sf_dir))
+    partial = [ln for ln in plan.splitlines() if "partial_count" in ln]
+    assert partial, plan
+    for ln in partial:
+        out = ln.split("output=[")[1] if "output=[" in ln else ln
+        assert "text#" not in out, out[:200]
+
+
+def test_budget_pack_window_partitioned_no_text(spark, sf_dir):
+    """op157: the running-sum window must partition by lang (never a
+    SinglePartition sort of the corpus), and its input must be the
+    narrow (doc_id, lang, n_tokens) projection — the text column stays
+    at the scan."""
+    plan = _plan(OPS["op157_token_budget_pack"].fn(spark, sf_dir))
+    assert "windowspecdefinition(lang" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+    win_input = plan.split("Window")[0]
+    assert "text#" not in win_input.split("Exchange")[0], plan

@@ -1,5 +1,5 @@
-"""Golden snapshot for ROWS-only operators (the 13 ops the DuckDB
-oracle can't hash-check). Records row count, column names, and an
+"""Golden snapshot for ROWS-only operators (the registry entries with
+no DuckDB oracle — 17 as of round 4). Records row count, column names, and an
 order-insensitive value hash at sf0.001 so a future refactor that
 silently changes their semantics fails here instead of shipping.
 
