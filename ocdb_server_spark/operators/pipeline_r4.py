@@ -1,14 +1,16 @@
-"""Round-4 pipeline extensions — SURVEY.md §2.18 (op154–op158).
+"""Round-4 pipeline extensions — SURVEY.md §2.18 (op154–op160).
 
-Five more training-data-pipeline operators on the documents table,
-each a shape a 100 TB corpus run actually needs: prefix-hash dedup
-(the cheap first pass before MinHash), overlapping token chunking
-(context-window packing), corpus mix reporting (source shares +
-cumulative concentration), greedy per-language token-budget selection
-(fill a training budget deterministically), and unicode/control-char
-sanitation stats. Same design rules as the rest of the package: pure
-DataFrame/Catalyst plans, digests not payloads on every shuffle,
-canonicalizer-safe scalar outputs, SQL oracles for all five.
+Seven more operators, each a shape a 100 TB run actually needs:
+prefix-hash dedup (the cheap first pass before MinHash), overlapping
+token chunking (context-window packing), corpus mix reporting (source
+shares + cumulative concentration), greedy per-language token-budget
+selection (fill a training budget deterministically),
+unicode/control-char sanitation stats, a persisted bucketed-table
+co-located join (fact⋈fact without its shuffle), and a Zipf
+rank-frequency corpus-quality fit. Same design rules as the rest of
+the package: pure DataFrame/Catalyst plans, digests not payloads on
+every shuffle, canonicalizer-safe scalar outputs, SQL oracles for all
+seven.
 
 The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
 has no analog for these; they extend the 100 TB-pipeline surface.
@@ -283,4 +285,168 @@ def op158_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("chars_removed"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# op159: bucketed-table co-located join — the 100 TB join layout, for real
+# --------------------------------------------------------------------------
+
+_OP159_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity > 40
+GROUP BY o_orderstatus
+"""
+
+
+@register("op159_bucketed_cojoin", oracle=_OP159_SQL)
+def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing story other ops cite, made concrete: lineitem and
+    orders written ONCE as bucketed+sorted tables (8 buckets on the
+    order key — `bucketBy` is Spark's persisted co-partitioning), then
+    joined. Both scans report the bucket layout to Catalyst, so the
+    sort-merge join needs NO exchange and NO sort on either side —
+    `tests/test_plans.py::test_bucketed_join_has_no_exchange` asserts
+    exactly that. At 100 TB this is how nightly fact⋈fact joins skip
+    their dominant shuffle; the bucket count scales to
+    data-size/target-partition-size (8 here for the test corpus).
+
+    The aggregate after the join is the oracle-checked observable
+    (join output itself is 60k rows of no analytic interest)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in (
+        ("ocdb_li_bucketed", li, "l_orderkey"),
+        ("ocdb_o_bucketed", o, "o_orderkey"),
+    ):
+        # The test catalog is in-memory (no metastore), so a previous
+        # PROCESS's table survives only as a directory the new catalog
+        # doesn't know about — drop both registrations and the stray
+        # location. A production deployment has a metastore and plain
+        # mode("overwrite") suffices.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            # repartition on the bucket key with the bucket count (same
+            # Murmur3 hash) → exactly one file per bucket, so the read
+            # side also gets per-bucket sortedness, not just layout
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    lib = spark.table("ocdb_li_bucketed").filter(F.col("l_quantity") > 40)
+    ob = spark.table("ocdb_o_bucketed")
+    return (
+        # merge hint: auto-broadcast would otherwise win at TEST scale
+        # and hide the co-location; at 100 TB fact⋈fact IS the SMJ path
+        lib.hint("merge")
+        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+            ).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op160: Zipf rank-frequency slope per language
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 100  # fit over the top-100 ranks per language
+
+_OP160_SQL = f"""
+WITH w AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+f AS (
+  SELECT lang, word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY lang, word
+),
+r AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS rank
+  FROM f
+),
+m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(ln(freq), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))
+                  * CAST(ROUND(ln(freq), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))
+                  * CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM r WHERE rank <= {_ZIPF_TOP}
+  GROUP BY lang
+)
+SELECT lang,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       CAST(n AS BIGINT) AS n_ranks
+FROM m
+"""
+
+
+@register("op160_zipf_slope", oracle=_OP160_SQL)
+def op160_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope of ln(freq) on
+    ln(rank) over the top-100 word ranks (natural corpora sit near −1;
+    synthetic/spammy text drifts off — a standard corpus-quality
+    signal next to op92's per-doc score).
+
+    Determinism discipline (op108's moment method, adapted for logs):
+    ln() can differ between libm and the JVM in the last ulp, so each
+    log is bround(6)-quantized, lifted to DECIMAL(18,6), and the
+    moments accumulate as exact decimal sums — order-independent and
+    bit-stable on both engines; the slope arithmetic then runs on
+    identical doubles. Scale: one shuffle of (lang, word) counts, a
+    per-lang top-100 window over word counts (WindowGroupLimit prunes
+    the tail before the sort at scale), and a 5-number moment
+    aggregate per language."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", F.explode(F.expr("split(lower(text), ' ')")).alias("word")
+    ).filter(F.col("word") != "")
+    f = w.groupBy("lang", "word").agg(F.count("*").alias("freq"))
+    r = (
+        f.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("freq").desc(), "word")
+            ),
+        )
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .selectExpr(
+            "lang",
+            "cast(round(ln(rank), 6) as decimal(18,6)) AS lx",
+            "cast(round(ln(freq), 6) as decimal(18,6)) AS ly",
+        )
+    )
+    m = r.groupBy("lang").agg(
+        F.expr("cast(count(*) as double)").alias("n"),
+        F.expr("cast(sum(lx) as double)").alias("sx"),
+        F.expr("cast(sum(ly) as double)").alias("sy"),
+        F.expr("cast(sum(lx * ly) as double)").alias("sxy"),
+        F.expr("cast(sum(lx * lx) as double)").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "lang",
+        F.bround(slope, 6).alias("zipf_slope"),
+        F.col("n").cast("bigint").alias("n_ranks"),
     )

@@ -470,3 +470,14 @@ def test_budget_pack_window_partitioned_no_text(spark, sf_dir):
     assert "SinglePartition" not in plan.split("Window")[0], plan
     win_input = plan.split("Window")[0]
     assert "text#" not in win_input.split("Exchange")[0], plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """op159: both sides persisted bucketed+sorted on the order key →
+    the sort-merge join must consume the bucket layout directly: ZERO
+    shuffle exchanges at or below the join (the only exchange in the
+    whole plan is the final 3-group aggregate above it)."""
+    plan = _plan(OPS["op159_bucketed_cojoin"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    below = plan[plan.find("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in below, below[:2000]
