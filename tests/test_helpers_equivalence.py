@@ -1,0 +1,75 @@
+"""Guards for the dual-path helpers introduced in round 4.
+
+The aggregation/vector helpers accept either a column NAME (compiled
+as one JVM-parsed F.expr string — the fast plan-build path) or a
+Column object (the composable path). Both must stay semantically
+identical: these tests compare their *optimized plans* and their
+results, so a future edit to one path can't silently diverge from the
+other. Plus a hypothesis property: the scaled-int64 accumulator is
+exactly the decimal accumulator on 2-decimal fixed-point data.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.operators._helpers import davg, dec, dsum, iavg, isum
+from ocdb_server_spark.functions import vector
+
+
+import re
+
+
+def _optimized(df) -> str:
+    # normalize auto-assigned expression ids (#17 etc.) before compare
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return re.sub(r"#\d+", "#", plan)
+
+
+def test_agg_helpers_str_and_column_paths_plan_identically(spark):
+    df = spark.range(5).selectExpr("cast(id as double) + 0.25 as x")
+    for helper in (dsum, davg, isum, iavg):
+        a = df.agg(helper("x").alias("v"))
+        b = df.agg(helper(F.col("x")).alias("v"))
+        assert _optimized(a) == _optimized(b), helper.__name__
+    a = df.select(dec("x", 12, 2).alias("v"))
+    b = df.select(dec(F.col("x"), 12, 2).alias("v"))
+    assert _optimized(a) == _optimized(b)
+
+
+def test_vector_helpers_str_and_column_paths_agree(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [0.5, -1.0, 2.0])],
+        "id long, a array<float>, b array<float>",
+    )
+    pairs = [
+        (vector.dot("a", "b"), vector.dot(F.col("a"), F.col("b"))),
+        (vector.l2_norm("a"), vector.l2_norm(F.col("a"))),
+        (vector.cosine("a", "b"), vector.cosine(F.col("a"), F.col("b"))),
+    ]
+    for s_col, c_col in pairs:
+        sv = df.select(s_col.alias("v")).collect()[0]["v"]
+        cv = df.select(c_col.alias("v")).collect()[0]["v"]
+        assert sv == cv  # bit-identical: same fold over same elements
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-10_000_00, max_value=10_000_00),  # cents
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_isum_equals_dsum_on_fixed_point(spark, cents):
+    """For any 2-decimal fixed-point data, the scaled-int64 sum equals
+    the exact decimal sum bit-for-bit (the substitution op17 relies
+    on)."""
+    rows = [(c / 100.0,) for c in cents]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.agg(
+        isum("x").alias("i"), dsum("x").alias("d")
+    ).collect()[0]
+    assert got["i"] == got["d"]
