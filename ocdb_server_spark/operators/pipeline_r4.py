@@ -316,25 +316,29 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate after the join is the oracle-checked observable
     (join output itself is 60k rows of no analytic interest)."""
+    import os
     import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name, df, key in (
         ("ocdb_li_bucketed", li, "l_orderkey"),
         ("ocdb_o_bucketed", o, "o_orderkey"),
     ):
-        # The test catalog is in-memory (no metastore), so a previous
-        # PROCESS's table survives only as a directory the new catalog
-        # doesn't know about — drop both registrations and the stray
-        # location. A production deployment has a metastore and plain
-        # mode("overwrite") suffices.
+        # EXTERNAL bucketed tables under tempdir: the driver harness may
+        # hand us its own session whose cwd-relative warehouse dir we
+        # must not write into (static conf, can't be redirected at
+        # runtime). The test catalog is also in-memory (no metastore),
+        # so a previous PROCESS's table survives only as a directory —
+        # drop the registration and the stray location before writing.
+        # A production deployment has a metastore + fixed warehouse and
+        # plain mode("overwrite") suffices.
+        loc = os.path.join(tempfile.gettempdir(), f"ocdb_bucketed_{name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
         (
             # repartition on the bucket key with the bucket count (same
             # Murmur3 hash) → exactly one file per bucket, so the read
@@ -344,6 +348,7 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .bucketBy(8, key)
             .sortBy(key)
+            .option("path", loc)
             .saveAsTable(name)
         )
     lib = spark.table("ocdb_li_bucketed").filter(F.col("l_quantity") > 40)
