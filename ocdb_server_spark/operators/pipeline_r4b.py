@@ -1,0 +1,687 @@
+"""Round-4 pipeline extensions, batch 2 — SURVEY.md §2.19 (op161–op170).
+
+Ten more operators, each a shape a 100 TB deployment needs and the
+earlier inventory does not cover:
+
+- physical-layout tooling: Z-order clustering stats (op161), an
+  equi-depth histogram (op163), a salt-neutralized skewed join (op167);
+- data-quality / drift: PSI distribution drift between sources
+  (op162), per-doc token entropy (op165), corpus unigram
+  log-probability scoring — the perplexity-filter shape (op169),
+  burst/bot detection over sliding time frames (op170);
+- incremental processing: snapshot diff / CDC classification (op168);
+- mergeable sketches: HyperLogLog sketch → union rollup (op166).
+
+Design rules as everywhere else in the package: DataFrame/Catalyst
+plans only, no Python in any hot path, every cross-engine float
+reduced through the round-then-exact-decimal discipline (op108/op160's
+trick) so hashes are bit-stable vs DuckDB, and shuffles carry keys +
+counters — never document text.
+
+The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
+has no analog for these; they extend the 100 TB-pipeline surface
+mandated by BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.operators._helpers import sql_isum, isum
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op161: Z-order (Morton) clustering stats — data-skipping layout audit
+# --------------------------------------------------------------------------
+
+_ZBITS = 8  # bits per dimension -> 16-bit z-value, 64 blocks of 1024
+
+
+def _morton(spark_side: bool, x: str, y: str) -> str:
+    """Bit-interleave two 8-bit ints into a 16-bit Morton code.
+
+    Emitted as one big arithmetic expression (disjoint bits summed, no
+    OR needed) in each engine's shift syntax: Spark `shiftleft/
+    shiftright` functions, DuckDB `<<`/`>>` operators. Pure integer
+    math — bit-identical across engines by construction.
+    """
+    terms = []
+    for i in range(_ZBITS):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_OP161_SQL = f"""
+WITH b AS (
+  SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+         CAST(l_suppkey % 256 AS BIGINT) AS y
+  FROM lineitem
+),
+z AS (SELECT x, y, {_morton(False, "x", "y")} AS zval FROM b)
+SELECT CAST(zval >> 10 AS BIGINT) AS z_block,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
+FROM z GROUP BY 1
+"""
+
+
+@register("op161_zorder_layout", oracle=_OP161_SQL)
+def op161_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: interleave two bucketized key columns
+    into a 16-bit Morton code, group rows into 64 z-ranges, and report
+    each range's per-dimension min/max bounding box. Writing a table
+    sorted by zval is THE multi-column data-skipping layout (Delta
+    OPTIMIZE ZORDER, Hudi clustering); the bbox_area column is exactly
+    the file-level min/max tightness a scan planner would prune on —
+    z-blocks cover ~1/64 of the (x,y) plane instead of all of it.
+
+    Scale: the Morton code is one codegen'd integer expression at the
+    scan; only (z_block, counters) shuffle. At 100 TB the same
+    expression becomes the sort key of a write job; the audit here is
+    the cheap way to validate the layout before paying for the sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.expr("cast(l_partkey % 256 as bigint)").alias("x"),
+        F.expr("cast(l_suppkey % 256 as bigint)").alias("y"),
+    ).withColumn("zval", F.expr(_morton(True, "x", "y")))
+    return (
+        z.groupBy(F.expr("cast(shiftright(zval, 10) as bigint)").alias("z_block"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .withColumn(
+            "bbox_area",
+            (
+                (F.col("max_x") - F.col("min_x") + 1)
+                * (F.col("max_y") - F.col("min_y") + 1)
+            ).cast("bigint"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op162: PSI distribution drift — each source vs the whole corpus
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 12  # n_chars bins of width 50, last bin open-ended
+
+
+_OP162_SQL = f"""
+WITH d AS (
+  SELECT source,
+         CAST(LEAST(FLOOR(n_chars / 50.0), {_PSI_BINS - 1}) AS BIGINT) AS bin
+  FROM documents
+),
+sb AS (SELECT source, bin, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+srcs AS (SELECT source, SUM(cnt) AS n_s FROM sb GROUP BY 1),
+bins AS (SELECT unnest(range(0, {_PSI_BINS})) AS bin),
+gb AS (SELECT bin, COUNT(*) AS g_cnt FROM d GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_tot FROM d),
+grid AS (
+  SELECT s.source, s.n_s, b.bin,
+         COALESCE(sb.cnt, 0) AS cnt,
+         COALESCE(gb.g_cnt, 0) AS g_cnt,
+         t.n_tot
+  FROM srcs s CROSS JOIN bins b
+  LEFT JOIN sb ON sb.source = s.source AND sb.bin = b.bin
+  LEFT JOIN gb ON gb.bin = b.bin
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(FLOOR(
+           ((cnt + 0.5) / (n_s + {_PSI_BINS / 2.0})
+            - (g_cnt + 0.5) / (n_tot + {_PSI_BINS / 2.0}))
+           * LN(((cnt + 0.5) / (n_s + {_PSI_BINS / 2.0}))
+                / ((g_cnt + 0.5) / (n_tot + {_PSI_BINS / 2.0})))
+           * 1000000000.0 + 0.5)
+         AS BIGINT) AS term
+  FROM grid
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS psi
+FROM terms GROUP BY source
+"""
+
+
+@register("op162_drift_psi", oracle=_OP162_SQL)
+def op162_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's doc-length
+    distribution against the whole corpus — the standard drift score
+    data-quality monitors alarm on (PSI > 0.2 = significant shift).
+    Laplace-smoothed (½ doc per bin) so empty bins are defined; the
+    full source×bin grid is materialized so missing bins contribute
+    their term instead of silently dropping.
+
+    Cross-engine determinism: per-bin PSI terms are IEEE doubles
+    (identical op sequence both engines), quantized to DECIMAL(20,9)
+    BEFORE the sum so the reduction is exact and order-independent
+    (op108/op160's discipline). Scale: one shuffle over (source,bin)
+    digests; the grid is #sources × 12 rows — driver-trivial; the
+    global histogram (12 rows) broadcasts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            f"cast(least(floor(n_chars / 50.0D), {_PSI_BINS - 1}) as bigint)"
+        ).alias("bin"),
+    )
+    sb = d.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
+    srcs = sb.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    gb = d.groupBy("bin").agg(F.count("*").alias("g_cnt"))
+    tot = d.agg(F.count("*").alias("n_tot"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(gb), ["bin"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("g_cnt", F.lit(0)).alias("g_cnt"),
+            "n_tot",
+        )
+    )
+    half = f"{_PSI_BINS / 2.0}D"
+    # Quantize each term with floor(x*1e9 + 0.5) -> BIGINT: every step
+    # is a single IEEE double op (identical in both engines — Spark's
+    # round() goes through BigDecimal while DuckDB's re-rounds in
+    # double, so round-to-decimal is NOT cross-engine stable; this is).
+    # PSI terms are >= 0, so floor(+0.5) is plain half-up.  The D
+    # suffixes matter: Spark parses bare `0.5` in SQL text as
+    # DECIMAL(1,1) (and then runs the whole chain in low-scale decimal
+    # arithmetic), while DuckDB's `/` always yields DOUBLE — `0.5D`
+    # forces the identical all-double evaluation.
+    term = F.expr(
+        f"cast(floor(((cnt + 0.5D) / (n_s + {half}) - (g_cnt + 0.5D) / (n_tot + {half}))"
+        f" * ln(((cnt + 0.5D) / (n_s + {half}))"
+        f" / ((g_cnt + 0.5D) / (n_tot + {half}))) * 1000000000.0D + 0.5D) as bigint)"
+    )
+    return (
+        grid.withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            (F.sum("term").cast("double") / 1_000_000_000.0).alias("psi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op163: equi-depth histogram — exact NTILE variant
+# --------------------------------------------------------------------------
+
+_NTILES = 16
+
+_OP163_SQL = f"""
+WITH t AS (
+  SELECT l_extendedprice,
+         ntile({_NTILES}) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi,
+       {sql_isum("l_extendedprice")} AS sum_price
+FROM t GROUP BY bucket
+"""
+
+
+@register("op163_equidepth_histogram", oracle=_OP163_SQL)
+def op163_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram: NTILE(16) over extended price (with
+    a unique tiebreak so bucket assignment is deterministic), then
+    per-bucket count / bounds / exact fixed-point sum. Equi-depth
+    bounds are what a range-partitioner or an optimizer's selectivity
+    estimator wants — equal row mass per bucket, unlike op110's fixed-
+    width bins.
+
+    Scale caveat, by design: exact global NTILE is a total sort into
+    ONE window partition — correct at test scale, and the honest
+    yardstick for its approximate twin op107 (approx_percentile), which
+    is the 100 TB path (sketch-merge boundaries, no global sort). The
+    pairing mirrors op26-exact / op107-approx."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("bucket", F.ntile(_NTILES).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            isum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op164: time-weighted average — irregular time series done right
+# --------------------------------------------------------------------------
+
+_OP164_SQL = """
+WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ep,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS ep_next
+  FROM events
+),
+iv AS (
+  SELECT user_id,
+         ep_next - ep AS dt_us,
+         CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) * (ep_next - ep) AS w
+  FROM e WHERE ep_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) // 1000000 AS BIGINT) AS covered_sec,
+       CAST(SUM(w) AS DOUBLE) / (SUM(dt_us) * 1000) AS twa_value
+FROM iv GROUP BY user_id HAVING SUM(dt_us) > 0
+"""
+
+
+@register("op164_time_weighted_avg", oracle=_OP164_SQL)
+def op164_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sampled metric per user: each
+    observation holds until the next one, so its weight is the µs gap
+    to the successor (last observation carries no weight). The correct
+    mean for irregularly-sampled series — a plain AVG over-counts busy
+    periods; this is the standard fix (cf. op123's EWMA, which decays
+    instead of holding).
+
+    Determinism: weights are DECIMAL(18,6) × BIGINT µs products summed
+    exactly; the single divide at the end is one IEEE op. Scale: one
+    shuffle on user_id shared by the lead() window and the aggregate —
+    the 'shuffle once by entity' shape (op121)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        e.select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("ep"),
+            F.lead(F.unix_micros("ts")).over(w).alias("ep_next"),
+        )
+        .filter(F.col("ep_next").isNotNull())
+        .select(
+            "user_id",
+            (F.col("ep_next") - F.col("ep")).alias("dt_us"),
+            # Fixed-point milli-value × µs gap, all in int64 (exact,
+            # order-free; floor(x*1000+0.5) is IEEE-deterministic in
+            # both engines, unlike round-to-decimal).  Overflow bound:
+            # per-user Σdt_us telescopes to the stream's time span
+            # (~2.6e12 µs) × max milli-value ~1e5 → ~2.6e17 ≪ 2^63.
+            (
+                F.expr("cast(floor(value * 1000.0D + 0.5D) as bigint)")
+                * (F.col("ep_next") - F.col("ep"))
+            ).alias("w"),
+        )
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            # Integer div on both sides (double-cast would round in
+            # DuckDB but truncate in Spark — off-by-one at .5+).
+            F.expr("cast(sum(dt_us) div 1000000 as bigint)").alias("covered_sec"),
+            # One IEEE divide of two exact int64 sums — deterministic.
+            (F.sum("w").cast("double") / (F.sum("dt_us") * 1000)).alias("twa_value"),
+            F.sum("dt_us").alias("_dt"),
+        )
+        .filter(F.col("_dt") > 0)
+        .drop("_dt")
+    )
+
+
+# --------------------------------------------------------------------------
+# op165: per-document token entropy — repetition quality signal
+# --------------------------------------------------------------------------
+
+_OP165_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+n AS (
+  SELECT doc_id, tok, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(FLOOR(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS term
+  FROM n
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS entropy_bits
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("op165_token_entropy", oracle=_OP165_SQL)
+def op165_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's word distribution —
+    the information-density quality signal: boilerplate and template
+    spam score low, natural prose scores high. Complements op118's
+    distinct/total ratio with a frequency-weighted measure (a doc
+    repeating one word 90% of the time but with many singletons looks
+    fine to op118, not to entropy).
+
+    Per-term -p·log2(p) values are quantized to DECIMAL(20,9) before
+    summing (exact, order-free). Scale: tokens explode only as
+    (doc_id, token-digest…) — wait, tokens themselves shuffle here;
+    at 100 TB hash the token first (xxhash64) as op120 does. The
+    per-doc token-count window and final agg share one doc_id
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = c.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
+    # floor(x*1e9 + 0.5) -> BIGINT quantization (see op162: IEEE-
+    # deterministic in both engines, unlike round-to-decimal); terms
+    # -p*log2(p) are >= 0 so floor(+0.5) is plain half-up.
+    term = F.expr(
+        "cast(floor(-(c / cast(n as double)) * log2(c / cast(n as double))"
+        " * 1000000000.0D + 0.5D) as bigint)"
+    )
+    return (
+        n.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            (F.sum("term").cast("double") / 1_000_000_000.0).alias("entropy_bits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op166: HyperLogLog sketch rollup — mergeable cardinality at every level
+# --------------------------------------------------------------------------
+
+
+@register("op166_hll_sketch_rollup", oracle=None)  # approx by design -> ROWS
+def op166_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event_type AND overall from ONE
+    pass over the data: build a Datasketches HLL sketch per type
+    (hll_sketch_agg), then hll_union_agg merges the five binary
+    sketches into the global estimate — no second scan, no exact
+    count-distinct shuffle of raw user_ids.
+
+    THE 100 TB rollup pattern: sketches are tiny (≈2^12 buckets),
+    associative, and mergeable, so any hierarchy level re-aggregates
+    from stored sketches instead of raw data (contrast op19 exact /
+    op20 approx_count_distinct, which both re-scan). Approximate by
+    design → ROWS-only check; tests/test_pipeline_r4b.py asserts each
+    estimate within 5% of the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        F.lit("event_type").alias("level"),
+        F.col("event_type").alias("key"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("all").alias("level"),
+        F.lit("*").alias("key"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    return typed.unionAll(overall)
+
+
+# --------------------------------------------------------------------------
+# op167: salted skewed join — same answer, no hot partition
+# --------------------------------------------------------------------------
+
+_SALT = 8
+
+_OP167_SQL = f"""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_isum("o.o_totalprice")} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("op167_salted_join", oracle=_OP167_SQL)
+def op167_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-neutralized fact⋈dim join: each orders row picks a
+    deterministic salt in [0,8); the customer side is exploded 8× (one
+    replica per salt); the join key becomes (custkey, salt), so a hot
+    customer's rows spread across 8 reducers instead of one. The
+    oracle is the PLAIN join — proving salting changes the physical
+    distribution and nothing else.
+
+    When to use at 100 TB: the dim is too big to broadcast and one key
+    owns a large share of the fact (AQE's skew-join split handles sort-
+    merge skew, but not a skewed SHUFFLED hash join or pre-Spark-3
+    engines; explicit salting always works). Cost: dim×8 replication —
+    cheap when |dim| ≪ |fact|, which is the skew regime anyway.
+    Cf. op112, which salts a global aggregation instead."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT)).cast("int")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode(F.expr(f"sequence(0, {_SALT - 1})")).alias("salt"),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            isum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op168: snapshot diff — CDC classification between two as-of states
+# --------------------------------------------------------------------------
+
+_T1 = "2024-01-15 00:00:00"
+
+_OP168_SQL = f"""
+WITH r1 AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events WHERE ts < TIMESTAMP '{_T1}'
+),
+s1 AS (SELECT user_id, value AS old_value, event_type AS old_type
+       FROM r1 WHERE rn = 1),
+r2 AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events
+),
+s2 AS (SELECT user_id, value AS new_value, event_type AS new_type
+       FROM r2 WHERE rn = 1)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.old_value = s2.new_value AND s1.old_type = s2.new_type
+              THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       s1.old_value, s2.new_value
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
+@register("op168_snapshot_diff", oracle=_OP168_SQL)
+def op168_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: latest state per user as of T1 vs
+    latest state now, FULL OUTER joined on the entity key and
+    classified added / removed / changed / unchanged. The core of
+    every incremental pipeline (Delta MERGE, SCD maintenance — op148
+    builds the intervals; this computes the delta that feeds them).
+
+    Scale: both snapshots reduce to one row per entity BEFORE the
+    join (row_number top-1 per key — WindowGroupLimit pushes the
+    filter into the sort), so the join is entity-sized, not
+    event-sized; both sides share the user_id partitioning."""
+    e = load_table(spark, sf_dir, "events")
+
+    def snapshot(df: DataFrame, val: str, typ: str) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("value").alias(val), F.col("event_type").alias(typ))
+        )
+
+    s1 = snapshot(e.filter(F.col("ts") < F.lit(_T1).cast("timestamp")), "old_value", "old_type")
+    s2 = snapshot(e, "new_value", "new_type")
+    j = s1.join(s2, ["user_id"], "full_outer")
+    status = (
+        F.when(F.col("old_type").isNull(), F.lit("added"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_value") == F.col("new_value"))
+            & (F.col("old_type") == F.col("new_type")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("user_id", status.alias("status"), "old_value", "new_value")
+
+
+# --------------------------------------------------------------------------
+# op169: corpus unigram log-probability — the perplexity-filter shape
+# --------------------------------------------------------------------------
+
+_OP169_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok),
+tot AS (SELECT SUM(tf) AS big_t FROM freq),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(LN(CAST(big_t AS DOUBLE) / tf) * 1000000.0 + 0.5) AS BIGINT)
+           AS nlp
+  FROM t JOIN freq ON t.tok = freq.tok CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(nlp) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_neglogp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("op169_unigram_logprob", oracle=_OP169_SQL)
+def op169_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by its mean negative log-probability under
+    the corpus's own unigram model — the cheap end of the perplexity-
+    filter family (CCNet/Gopher filter on LM perplexity; a unigram
+    model is the shuffle-free approximation): low avg_neglogp =
+    common-word soup, high = rare-token noise; both tails get cut.
+
+    Two passes over tokens, but the model itself (vocab × count) is
+    small and BROADCAST into the scoring join, so the per-token join
+    is map-side — no shuffle of the exploded corpus. Per-token
+    -ln p quantized to DECIMAL(18,6), summed exactly, one divide at
+    the end (op108 discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = t.groupBy("tok").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("big_t"))
+    # Micro-nat fixed point via floor(x*1e6 + 0.5) (see op162 — cross-
+    # engine-stable, ln(T/tf) >= 0); exact int64 sums, one final divide.
+    model = freq.crossJoin(F.broadcast(tot)).withColumn(
+        "nlp",
+        F.expr("cast(floor(ln(cast(big_t as double) / tf) * 1000000.0D + 0.5D) as bigint)"),
+    )
+    return (
+        t.join(F.broadcast(model.select("tok", "nlp")), ["tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("nlp").cast("double") / (F.count("*") * 1_000_000)).alias(
+                "avg_neglogp"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op170: burst detection — bot/abuse hygiene over a sliding time frame
+# --------------------------------------------------------------------------
+
+_BURST_WINDOW_SEC = 21_600  # 6 h trailing
+_BURST_K = 3  # >= K events in the window flags a burst
+
+_OP170_SQL = f"""
+WITH w AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN {_BURST_WINDOW_SEC * 1_000_000} PRECEDING
+                        AND CURRENT ROW) AS burst
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(burst) AS BIGINT) AS max_burst,
+       CAST(COUNT(*) FILTER (burst >= {_BURST_K}) AS BIGINT) AS n_burst_events
+FROM w GROUP BY user_id
+HAVING MAX(burst) >= {_BURST_K}
+"""
+
+
+@register("op170_burst_detect", oracle=_OP170_SQL)
+def op170_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot detection: for every event, count the user's events
+    in the trailing 6 h (a RANGE frame over µs epoch — tie-safe by
+    definition: equal timestamps land in the same frame regardless of
+    sort order), then surface users whose peak burst reaches 3+. The
+    rate-limit shape corpus hygiene uses to drop scripted traffic
+    before training-data export (cf. op117 PII, op158 sanitize — this
+    is the behavioral filter).
+
+    Scale: one shuffle on user_id shared by the window and the
+    aggregate; the frame holds only in-window row counts (Spark's
+    range frame keeps a running bound, not the payload)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_BURST_WINDOW_SEC * 1_000_000, 0)
+    )
+    return (
+        e.select("user_id", F.count("*").over(w).alias("burst"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("burst").cast("bigint").alias("max_burst"),
+            F.sum(F.when(F.col("burst") >= _BURST_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_burst_events"),
+        )
+        .filter(F.col("max_burst") >= _BURST_K)
+    )

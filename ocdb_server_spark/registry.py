@@ -145,6 +145,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r2,
         pipeline_r3,
         pipeline_r4,
+        pipeline_r4b,
         udfs,
         northstar,
         pipeline_ext,
