@@ -490,8 +490,12 @@ def op167_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("salt", F.col("salt").cast("int"))
     )
+    # shuffle_hash hint: at test scale Catalyst would broadcast the
+    # 8×-replicated dim, which is the case where you would NOT salt at
+    # all — the hint pins the shuffled-join physical shape the pattern
+    # exists for (dim too big to broadcast), like op41's hint demo.
     return (
-        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        o.join(c.hint("shuffle_hash"), (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),

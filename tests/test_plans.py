@@ -481,3 +481,69 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     below = plan[plan.find("SortMergeJoin"):]
     assert "Exchange hashpartitioning" not in below, below[:2000]
+
+
+def test_zorder_morton_stays_integer_codegen(spark, sf_dir):
+    """op161: the Morton interleave must be pure JVM integer codegen —
+    no Python eval nodes — and the agg must have a map-side partial."""
+    plan = _plan(OPS["op161_zorder_layout"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_psi_grid_broadcasts_small_sides(spark, sf_dir):
+    """op162: the 12-row bin spine, the 12-row global histogram, and
+    the 1-row total must all arrive via BroadcastExchange — the only
+    hash shuffles are the (source,bin)/(source) aggregations."""
+    plan = _plan(OPS["op162_drift_psi"].fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_twa_single_user_shuffle(spark, sf_dir):
+    """op164: the lead() window and the per-user aggregate must share
+    ONE hashpartitioning(user_id) exchange."""
+    plan = _plan(OPS["op164_time_weighted_avg"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_entropy_window_and_agg_share_doc_shuffle(spark, sf_dir):
+    """op165: after the (doc_id, tok) count, the per-doc token-total
+    window and the entropy agg must reuse the doc_id partitioning —
+    two hash exchanges total (tok-level, then doc-level), no more."""
+    plan = _plan(OPS["op165_token_entropy"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_salted_join_is_hash_partitioned_both_sides(spark, sf_dir):
+    """op167: the salted join must be a real shuffled join on the
+    composite (custkey, salt) key — the whole point is distributing a
+    hot key across reducers, so the dim must NOT broadcast."""
+    plan = _plan(OPS["op167_salted_join"].fn(spark, sf_dir))
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "salt" in ln]
+    assert joins, plan
+    assert "BroadcastHashJoin" not in "".join(joins), plan
+
+
+def test_snapshot_diff_topk_pushes_windowgrouplimit(spark, sf_dir):
+    """op168: both per-entity latest-state snapshots must use the
+    WindowGroupLimit optimization (rn=1 filter pushed into the sort)
+    so the join sees entity-sized inputs."""
+    plan = _plan(OPS["op168_snapshot_diff"].fn(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_unigram_model_broadcasts_into_scoring_join(spark, sf_dir):
+    """op169: the unigram model must arrive at the scoring join via
+    BroadcastExchange (map-side join of the exploded corpus), never a
+    shuffled join of per-token rows."""
+    plan = _plan(OPS["op169_unigram_logprob"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_burst_window_partitioned_by_user(spark, sf_dir):
+    """op170: the trailing-range frame must run inside a user_id
+    window partition — never a SinglePartition global sort."""
+    plan = _plan(OPS["op170_burst_detect"].fn(spark, sf_dir))
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
