@@ -324,9 +324,14 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # sf-tagged table/dir names: a test run at sf0.001 and a sweep at
+    # sf0.01 may overlap in time; a shared scratch path would let one
+    # process rmtree the files the other is scanning.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name, o_name = f"ocdb_li_bucketed_{tag}", f"ocdb_o_bucketed_{tag}"
     for name, df, key in (
-        ("ocdb_li_bucketed", li, "l_orderkey"),
-        ("ocdb_o_bucketed", o, "o_orderkey"),
+        (li_name, li, "l_orderkey"),
+        (o_name, o, "o_orderkey"),
     ):
         # EXTERNAL bucketed tables under tempdir: the driver harness may
         # hand us its own session whose cwd-relative warehouse dir we
@@ -351,8 +356,8 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", loc)
             .saveAsTable(name)
         )
-    lib = spark.table("ocdb_li_bucketed").filter(F.col("l_quantity") > 40)
-    ob = spark.table("ocdb_o_bucketed")
+    lib = spark.table(li_name).filter(F.col("l_quantity") > 40)
+    ob = spark.table(o_name)
     return (
         # merge hint: auto-broadcast would otherwise win at TEST scale
         # and hide the co-location; at 100 TB fact⋈fact IS the SMJ path

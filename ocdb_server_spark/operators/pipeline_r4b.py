@@ -168,11 +168,12 @@ def op162_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     their term instead of silently dropping.
 
     Cross-engine determinism: per-bin PSI terms are IEEE doubles
-    (identical op sequence both engines), quantized to DECIMAL(20,9)
-    BEFORE the sum so the reduction is exact and order-independent
-    (op108/op160's discipline). Scale: one shuffle over (source,bin)
-    digests; the grid is #sources × 12 rows — driver-trivial; the
-    global histogram (12 rows) broadcasts."""
+    (identical op sequence both engines), quantized floor(x·1e9+0.5)
+    into int64 BEFORE the sum so the reduction is exact and
+    order-independent (see the term comment below for why
+    round-to-decimal is NOT stable). Scale: one shuffle over
+    (source,bin) digests; the grid is #sources × 12 rows —
+    driver-trivial; the global histogram (12 rows) broadcasts."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         F.expr(
@@ -688,4 +689,420 @@ def op170_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_burst_events"),
         )
         .filter(F.col("max_burst") >= _BURST_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# op171: algebraic rollup merge — re-aggregate from partials, not raws
+# --------------------------------------------------------------------------
+
+_OP171_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS cnt,
+         SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) AS sum_mv,
+         MIN(value) AS min_v, MAX(value) AS max_v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(SUM(sum_mv) AS DOUBLE) / (1000 * SUM(cnt)) AS avg_value,
+       MIN(min_v) AS min_value, MAX(max_v) AS max_value
+FROM daily GROUP BY user_id
+"""
+
+
+@register("op171_rollup_merge", oracle=_OP171_SQL)
+def op171_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level algebraic re-aggregation: daily per-user partials
+    (count / scaled-int sum / min / max) merged into per-user totals
+    using ONLY the partials — sum-of-sums, min-of-mins, count-of-
+    counts, avg recomputed from merged sum and count. The discipline
+    that makes incremental 100 TB pipelines possible: store daily
+    partials once, answer weekly/monthly/all-time from them, never
+    re-scan raw events (op166 is the sketch flavor; this is the exact
+    algebraic flavor — note AVG itself is NOT mergeable, which is why
+    the partial carries sum+count instead).
+
+    Scale: both levels are hash aggs with map-side partials; level 2's
+    input is |users × days| rows, already tiny relative to events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr("cast(floor(value * 1000.0D + 0.5D) as bigint)")).alias("sum_mv"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return daily.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        (F.sum("sum_mv").cast("double") / (F.sum("cnt") * 1000)).alias("avg_value"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op172: dynamic partition pruning — runtime skip of whole partitions
+# --------------------------------------------------------------------------
+
+_OP172_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type IN ('signup', 'purchase')
+GROUP BY event_type
+"""
+
+
+@register("op172_dpp_join", oracle=_OP172_SQL)
+def op172_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: events persisted partitioned by
+    event_type (the conversion-funnel layout), then joined to a tiny
+    conversion-dimension whose FILTER is only known at plan time on
+    the dim side — Catalyst turns the dim's filtered keys into a
+    runtime subquery on the fact's PartitionFilters
+    (dynamicpruningexpression, asserted in tests/test_plans.py), so
+    non-conversion partitions are never even listed. op147 proves
+    static pruning from a literal predicate; this proves the join-
+    driven flavor a star schema needs at 100 TB (filter the date dim,
+    scan 7 of 3650 day partitions of the fact).
+
+    The write is part of the operator's semantics (op05/op106/op147
+    pattern); scratch path per-SF, overwritten for idempotence."""
+    import os as _os
+    import tempfile as _tmp
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_dpp_{tag}")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    # Two subtleties make the pruning subquery actually appear:
+    # 1. the dim must be a REAL scan, not a LocalRelation — Catalyst
+    #    constant-folds a filtered in-memory relation and DPP's
+    #    heuristic then sees no Filter node;
+    # 2. the dim predicate must be "likely selective" per Catalyst's
+    #    isLikelySelective (a binary comparison / IN / LIKE …) — a
+    #    bare boolean attribute does NOT qualify (and `flag = true`
+    #    gets boolean-simplified back to the bare attribute), hence a
+    #    string category filter. Both match how a real date dim is
+    #    filtered in a lake anyway.
+    dim_path = _os.path.join(_tmp.gettempdir(), "ocdb_spark_dpp_dim")
+    spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("error", "ops"),
+         ("signup", "conversion"), ("purchase", "conversion")],
+        "etype string, category string",
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("category") == "conversion")),
+            fact.event_type == F.col("etype"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op173: referential-integrity audit — anti-join orphan counts
+# --------------------------------------------------------------------------
+
+_OP173_SQL = """
+SELECT 'lineitem_without_order' AS violation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'order_without_customer' AS violation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_without_part' AS violation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("op173_ri_audit", oracle=_OP173_SQL)
+def op173_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: count
+    orphaned fact rows (lineitems without an order / orders without a
+    customer / lineitems without a part) via LEFT ANTI joins — the
+    data-quality gate every warehouse load runs before publishing a
+    snapshot (op12 covers null semantics; this covers cross-table
+    consistency). Expected all-zeros on the synthetic data — the
+    audit's value is the plan, and zero IS the assertion.
+
+    Scale: each anti join broadcasts nothing here by hint-freedom —
+    Catalyst picks broadcast for the key-only dim projections
+    (orders/customer/part key columns prune to single-column scans);
+    counts are map-side-partial aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(fact, dim, cond, name):
+        return fact.join(dim, cond, "left_anti").agg(
+            F.lit(name).alias("violation"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+
+    return (
+        orphans(li, o, li.l_orderkey == o.o_orderkey, "lineitem_without_order")
+        .unionAll(orphans(o, c, o.o_custkey == c.c_custkey, "order_without_customer"))
+        .unionAll(orphans(li, p, li.l_partkey == p.p_partkey, "lineitem_without_part"))
+    )
+
+
+# --------------------------------------------------------------------------
+# op174: weighted reservoir sample — Efraimidis–Spirakis, deterministic
+# --------------------------------------------------------------------------
+
+_RES_K = 50
+# Knuth multiplicative hash -> uniform in (0,1): pure int64 arithmetic,
+# portable to any engine (same constant sources/pyds.py uses).
+_KNUTH = 2654435761
+_U32 = 4294967296
+
+
+_OP174_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * {_KNUTH}) % {_U32} + 1.0) / {_U32 + 1}.0 AS u
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang, n_chars,
+         -LN(u) / n_chars AS key
+  FROM u WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, lang, weight, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {_RES_K}
+"""
+
+
+@register("op174_weighted_sample", oracle=_OP174_SQL)
+def op174_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each doc draws a deterministic uniform u from a Knuth
+    multiplicative hash of its id and gets key = -ln(u)/weight; the k
+    smallest keys ARE a weighted sample without replacement. The
+    standard way to sample a training subset proportional to length /
+    quality weights reproducibly — no RNG state, same sample on every
+    run and every cluster size (op99/op136 are the unweighted
+    stratified/hash siblings).
+
+    Scale: keys are computed at the scan; the global top-k is
+    TakeOrderedAndProject-shaped via row_number (k rows per partition
+    feed the final sort — never a full global sort of the corpus).
+    All arithmetic is int64 + two IEEE double ops (ln, divide) —
+    cross-engine exact, no quantization needed."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        f"((doc_id * {_KNUTH}L) % {_U32}L + 1.0D) / {_U32 + 1}.0D"
+    )
+    k = (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            (-F.log(u) / F.col("n_chars")).alias("key"),
+        )
+    )
+    w = W.orderBy("key", "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _RES_K)
+        .drop("key")
+    )
+
+
+# --------------------------------------------------------------------------
+# op175: PMI collocations — statistically-bound phrases, not just frequent
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+_OP175_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok
+),
+nu AS (SELECT SUM(c) AS n_uni FROM uni),
+bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (SELECT array_to_string(ws[t.i:t.i+1], ' ') AS bigram
+        FROM w, UNNEST(range(1, len(ws))) AS t(i))
+  GROUP BY bigram
+),
+nb AS (SELECT SUM(c_xy) AS n_bi FROM bi),
+s AS (
+  SELECT b.bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+         CAST(FLOOR(LN((CAST(b.c_xy AS DOUBLE) / n_bi)
+                       / ((CAST(x.c AS DOUBLE) / n_uni)
+                          * (CAST(y.c AS DOUBLE) / n_uni)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS pmi_u
+  FROM bi b
+  JOIN uni x ON x.tok = string_split(b.bigram, ' ')[1]
+  JOIN uni y ON y.tok = string_split(b.bigram, ' ')[2]
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, c_xy, c_x, c_y,
+       CAST(pmi_u AS DOUBLE) / 1000000.0 AS pmi
+FROM s WHERE pmi_u > 0
+"""
+
+
+@register("op175_pmi_collocations", oracle=_OP175_SQL)
+def op175_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocations: bigrams whose
+    observed frequency beats the independence expectation of their
+    parts (PMI > 0, support ≥ 5) — the statistic phrase-mining /
+    tokenizer-vocab builds use to find bound phrases that RAW counts
+    miss (op128 ranks by count; 'of the' wins there and loses here).
+
+    Scale: unigram and bigram counts are two map-side-partial aggs
+    over the exploded corpus; the PMI join runs over the AGGREGATED
+    vocab (vocab-sized, broadcast), never over corpus rows. PMI is
+    quantized floor(x·1e6+0.5)→int64 at the last step (op162's
+    discipline; every input is an exact int64 count, the two totals
+    arrive via broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    toks = d.select(F.explode(ws).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    nb_all = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("n_bi"))
+    )
+    x = uni.select(F.col("tok").alias("tx"), F.col("c").alias("c_x"))
+    y = uni.select(F.col("tok").alias("ty"), F.col("c").alias("c_y"))
+    s = (
+        bi.withColumn("tx", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("ty", F.expr("split(bigram, ' ')[1]"))
+        .join(F.broadcast(x), ["tx"])
+        .join(F.broadcast(y), ["ty"])
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_all))
+        .withColumn(
+            "pmi_u",
+            F.expr(
+                "cast(floor(ln((cast(c_xy as double) / n_bi)"
+                " / ((cast(c_x as double) / n_uni)"
+                " * (cast(c_y as double) / n_uni))) * 1000000.0D + 0.5D) as bigint)"
+            ),
+        )
+        .filter(F.col("pmi_u") > 0)
+    )
+    return s.select(
+        "bigram",
+        "c_xy",
+        "c_x",
+        "c_y",
+        (F.col("pmi_u").cast("double") / 1_000_000.0).alias("pmi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op176: train/val/test split — deterministic hash assignment + stats
+# --------------------------------------------------------------------------
+
+# xxhash-family odd prime, deliberately different from op174's Knuth
+# constant so the two assignments are decorrelated.
+_SPLIT_MULT = 2246822519
+
+
+_OP176_SQL = f"""
+WITH a AS (
+  SELECT doc_id, lang, n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         (doc_id * {_SPLIT_MULT}) % {_U32} AS h
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN h % 100 < 98 THEN 'train'
+              WHEN h % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, n_tokens
+  FROM a
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY split
+"""
+
+
+@register("op176_train_val_split", oracle=_OP176_SQL)
+def op176_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by multiplicative
+    hash of doc_id, with per-split volume stats — the last step before
+    every training export, and the one that must NEVER depend on row
+    order, partitioning, or cluster size (a doc's split is a pure
+    function of its id, so re-runs and backfills land identically;
+    contrast op99's stratified fractions). Uses a different hash
+    constant than op174's sampler so sampling and splitting are
+    decorrelated.
+
+    Scale: pure map-side arithmetic + one 3-group agg; nothing but
+    (split, counters) ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+    h = F.expr(f"(doc_id * {_SPLIT_MULT}L) % {_U32}L")
+    split = (
+        F.when(h % 100 < 98, F.lit("train"))
+        .when(h % 100 == 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.col("n_chars"),
+            nt.cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
     )

@@ -279,3 +279,134 @@ def test_burst_detect_planted(spark):
         out = {r["user_id"]: r for r in OPS["op170_burst_detect"].fn(spark, tmp).collect()}
     assert 1 in out and out[1]["max_burst"] == 3 and out[1]["n_burst_events"] == 1
     assert 2 not in out  # max burst 2 < K=3
+
+
+# ---------------------------------------------------------------- op171
+
+
+def test_rollup_merge_matches_direct_aggregation(spark, sf_dir):
+    """Merging daily partials must equal aggregating raw events
+    directly (algebraic-mergeability proof)."""
+    from ocdb_server_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    direct = {
+        r["user_id"]: r
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    merged = {r["user_id"]: r for r in OPS["op171_rollup_merge"].fn(spark, sf_dir).collect()}
+    assert set(merged) == set(direct)
+    for u, m in merged.items():
+        d = direct[u]
+        assert m["n_events"] == d["n_events"]
+        assert m["min_value"] == d["min_value"]
+        assert m["max_value"] == d["max_value"]
+        assert m["n_days"] <= m["n_events"]
+
+
+# ---------------------------------------------------------------- op172
+
+
+def test_dpp_join_reads_only_conversion_partitions(spark, sf_dir):
+    """Result must only contain the two conversion event types, and
+    row counts must match a direct filtered scan."""
+    from ocdb_server_spark.io import load_table
+
+    out = {r["event_type"]: r["n_events"] for r in OPS["op172_dpp_join"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"signup", "purchase"}
+    e = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["n"]
+        for r in e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == direct
+
+
+# ---------------------------------------------------------------- op173
+
+
+def test_ri_audit_clean_on_synthetic_and_catches_planted_orphan(spark, sf_dir):
+    """The synthetic star schema is referentially intact (all zeros);
+    a planted orphan lineitem must be counted."""
+    rows = {r["violation"]: r["n_rows"] for r in OPS["op173_ri_audit"].fn(spark, sf_dir).collect()}
+    assert rows == {
+        "lineitem_without_order": 0,
+        "order_without_customer": 0,
+        "lineitem_without_part": 0,
+    }
+    # planted orphan: an order key that does not exist
+    li = spark.createDataFrame([(999999999, 1)], "l_orderkey long, l_partkey long")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+    assert n == 1
+
+
+# ---------------------------------------------------------------- op174
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """A-ES with 10 heavy docs (w=10000) among 200 light ones (w=1):
+    the k=50 sample must contain ALL heavy docs (P(miss) ~ e^-10000/...
+    astronomically small), and be deterministic across runs."""
+    import tempfile, os
+
+    rows = [(i, "x", "en", "s", 10_000 if i < 10 else 1) for i in range(210)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        s1 = {r["doc_id"] for r in OPS["op174_weighted_sample"].fn(spark, tmp).collect()}
+        s2 = {r["doc_id"] for r in OPS["op174_weighted_sample"].fn(spark, tmp).collect()}
+    assert s1 == s2  # deterministic
+    assert len(s1) == 50
+    assert set(range(10)) <= s1  # every heavy doc sampled
+
+
+# ---------------------------------------------------------------- op175
+
+
+def test_pmi_finds_planted_collocation(spark):
+    """'san francisco' always co-occurring scores high PMI; a bigram of
+    two independent high-frequency fillers scores ~0 and is cut."""
+    import tempfile, os
+
+    docs = []
+    for i in range(10):
+        # 'san francisco' bound pair; 'the' scattered everywhere
+        docs.append((i, "the san francisco the city the bay the area", "en", "s", 40))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["bigram"]: r for r in OPS["op175_pmi_collocations"].fn(spark, tmp).collect()}
+    assert "san francisco" in out
+    sf = out["san francisco"]
+    assert sf["c_xy"] == 10 and sf["pmi"] > 1.0
+    for r in out.values():
+        assert r["c_xy"] >= 5 and r["pmi"] > 0
+
+
+# ---------------------------------------------------------------- op176
+
+
+def test_split_partitions_everything_near_98_1_1(spark, sf_dir):
+    out = {r["split"]: r for r in OPS["op176_train_val_split"].fn(spark, sf_dir).collect()}
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out.values()) == total_docs
+    assert set(out) <= {"train", "val", "test"}
+    share = out["train"]["n_docs"] / total_docs
+    assert 0.90 <= share <= 1.0  # 98% nominal, loose at small sf
+    # stable across runs (pure function of doc_id)
+    again = {r["split"]: r["n_docs"] for r in OPS["op176_train_val_split"].fn(spark, sf_dir).collect()}
+    assert again == {k: v["n_docs"] for k, v in out.items()}

@@ -547,3 +547,29 @@ def test_burst_window_partitioned_by_user(spark, sf_dir):
     plan = _plan(OPS["op170_burst_detect"].fn(spark, sf_dir))
     assert "windowspecdefinition(user_id" in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_rollup_merge_two_hash_aggs_no_resort(spark, sf_dir):
+    """op171: two levels of hash aggregation; the second consumes the
+    first's output without any sort (algebraic merge, not re-scan)."""
+    plan = _plan(OPS["op171_rollup_merge"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 levels
+    assert "Sort" not in plan, plan
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """op172: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression fed by the filtered dim — whole
+    non-conversion partitions are skipped at runtime."""
+    plan = _plan(OPS["op172_dpp_join"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan, plan
+
+
+def test_ri_audit_anti_joins_prune_dim_to_keys(spark, sf_dir):
+    """op173: all three orphan checks are anti joins, and each dim
+    scan is pruned to its single key column (ReadSchema)."""
+    plan = _plan(OPS["op173_ri_audit"].fn(spark, sf_dir))
+    assert plan.count("LeftAnti") == 3, plan
+    for key in ("struct<o_orderkey:bigint>", "struct<c_custkey:bigint>",
+                "struct<p_partkey:bigint>"):
+        assert key in plan, (key, plan)
