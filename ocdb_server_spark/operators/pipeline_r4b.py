@@ -1106,3 +1106,40 @@ def op176_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op177: LATERAL correlated subquery — per-row dependent top-k
+# --------------------------------------------------------------------------
+
+_OP177_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("op177_lateral_topk", oracle=_OP177_SQL)
+def op177_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each BUILDING-segment customer's
+    top-2 orders by value — the per-row dependent-subquery surface
+    (SQL:1999 LATERAL, Spark 3.2+/DuckDB native). op102 proves scalar
+    correlation; this proves TABLE correlation with ORDER BY + LIMIT
+    inside the lateral body, the shape analysts write naturally
+    instead of the row_number idiom (op42 is the window twin).
+
+    Identical SQL text runs on both engines. Scale: Catalyst
+    decorrelates the lateral into a join + per-key WindowGroupLimit
+    (NOT a re-scan of orders per customer row), so at 100 TB it costs
+    one shuffle on the correlation key — same plan family as op42;
+    the point is the surface comes for free."""
+    from ocdb_server_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_OP177_SQL)

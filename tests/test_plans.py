@@ -573,3 +573,13 @@ def test_ri_audit_anti_joins_prune_dim_to_keys(spark, sf_dir):
     for key in ("struct<o_orderkey:bigint>", "struct<c_custkey:bigint>",
                 "struct<p_partkey:bigint>"):
         assert key in plan, (key, plan)
+
+
+def test_lateral_topk_decorrelates_to_windowgrouplimit(spark, sf_dir):
+    """op177: the LATERAL ORDER BY+LIMIT body must decorrelate into a
+    join + WindowGroupLimit — never a per-row re-scan (no nested-loop
+    join, no cartesian)."""
+    plan = _plan(OPS["op177_lateral_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
