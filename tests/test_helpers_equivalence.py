@@ -73,3 +73,49 @@ def test_isum_equals_dsum_on_fixed_point(spark, cents):
         isum("x").alias("i"), dsum("x").alias("d")
     ).collect()[0]
     assert got["i"] == got["d"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine stability of the round-4b float-quantization discipline:
+# floor(x * scale + 0.5) -> BIGINT must be bit-identical in Spark SQL
+# (D-suffixed literals) and DuckDB for any finite double. This is the
+# property op162/op164/op165/op169/op171/op175 rely on instead of
+# round-to-decimal (which is NOT cross-engine stable: Spark's round()
+# goes through BigDecimal, DuckDB's re-rounds in double arithmetic).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([1_000.0, 1_000_000.0, 1_000_000_000.0]),
+)
+def test_floor_quantize_identical_across_engines(spark, xs, scale):
+    import duckdb as _duck
+
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got_spark = {
+        r["i"]: r["q"]
+        for r in sdf.selectExpr(
+            "i", f"cast(floor(x * {scale}D + 0.5D) as bigint) as q"
+        ).collect()
+    }
+    con = _duck.connect()
+    vals = ", ".join(f"({i}, {x!r}::DOUBLE)" for i, x in enumerate(xs))
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, CAST(FLOOR(x * {scale} + 0.5) AS BIGINT)"
+            f" FROM (VALUES {vals}) t(i, x)"
+        ).fetchall()
+    )
+    con.close()
+    assert got_spark == got_duck
