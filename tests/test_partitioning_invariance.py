@@ -1,0 +1,87 @@
+"""Partitioning-invariance proofs: the cluster-size-independence claim
+made testable.
+
+Every deterministic operator must return IDENTICAL rows regardless of
+(a) how the input parquet is split into files (1 file vs many — the
+local stand-in for "how many executors scanned it") and (b) the
+shuffle-partition count (3 vs 8 — the stand-in for cluster width).
+An op that flunks this is silently order-dependent — correct-looking
+at sf0.001 and wrong on a 1000-executor cluster, the exact bug class
+the round-4b float discipline (exact int64 sums, unique window
+tiebreaks) exists to prevent.
+
+Representative sample across shapes: hash-dedup (op154), windowed
+budget pack (op157), PSI drift grid (op162), entropy two-level agg
+(op165), broadcast-model scoring (op169), weighted reservoir (op174),
+PMI collocations (op175), hash split (op176).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.registry import load_all
+
+OPS = load_all()
+
+INVARIANT_OPS = [
+    "op154_prefix_dedup",
+    "op157_token_budget_pack",
+    "op162_drift_psi",
+    "op165_token_entropy",
+    "op169_unigram_logprob",
+    "op174_weighted_sample",
+    "op175_pmi_collocations",
+    "op176_train_val_split",
+]
+
+
+def _canon_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(repr(row[c]) for c in cols) for row in df.select(*cols).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def doc_layouts(spark, sf_dir):
+    """The same documents table written as 1 file and as 7 files."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="ocdb_inv_")
+    one = os.path.join(tmp, "one")
+    many = os.path.join(tmp, "many")
+    docs.repartition(1).write.parquet(os.path.join(one, "documents.parquet"))
+    docs.repartition(7, F.col("doc_id")).write.parquet(
+        os.path.join(many, "documents.parquet")
+    )
+    yield one, many
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", INVARIANT_OPS)
+def test_result_invariant_to_file_layout(name, spark, doc_layouts):
+    one, many = doc_layouts
+    assert _canon_rows(OPS[name].fn(spark, one)) == _canon_rows(
+        OPS[name].fn(spark, many)
+    ), f"{name} result depends on input file split"
+
+
+@pytest.mark.parametrize("name", INVARIANT_OPS)
+def test_result_invariant_to_shuffle_width(name, spark, doc_layouts):
+    _, many = doc_layouts
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _canon_rows(OPS[name].fn(spark, many))
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        wide = _canon_rows(OPS[name].fn(spark, many))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert narrow == wide, f"{name} result depends on shuffle-partition count"
