@@ -85,3 +85,56 @@ def test_result_invariant_to_shuffle_width(name, spark, doc_layouts):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert narrow == wide, f"{name} result depends on shuffle-partition count"
+
+
+# ---------------------------------------------------------------------------
+# Same proof for the headline/decimal ops over the full star schema —
+# op17/op39's exact-DECIMAL accumulators exist precisely so these hold.
+# ---------------------------------------------------------------------------
+
+FULL_TABLE_OPS = [
+    "op17_agg_groupby",
+    "op39_join_multiway_star",
+    "op75_dedup_exact",
+    "op112_salted_topk",
+    "op121_session_funnel",
+    "op163_equidepth_histogram",
+    "op164_time_weighted_avg",
+    "op171_rollup_merge",
+]
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def star_layouts(spark, sf_dir):
+    """All ten tables written twice: single-file and 7-way-split."""
+    from ocdb_server_spark.io import load_table
+
+    tmp = tempfile.mkdtemp(prefix="ocdb_inv_star_")
+    one = os.path.join(tmp, "one")
+    many = os.path.join(tmp, "many")
+    for t in _ALL_TABLES:
+        df = load_table(spark, sf_dir, t)
+        df.repartition(1).write.parquet(os.path.join(one, f"{t}.parquet"))
+        df.repartition(7).write.parquet(os.path.join(many, f"{t}.parquet"))
+    yield one, many
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", FULL_TABLE_OPS)
+def test_star_ops_invariant_to_layout_and_width(name, spark, star_layouts):
+    one, many = star_layouts
+    a = _canon_rows(OPS[name].fn(spark, one))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = _canon_rows(OPS[name].fn(spark, many))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{name} result depends on file layout / shuffle width"
