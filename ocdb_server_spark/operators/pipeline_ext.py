@@ -448,12 +448,68 @@ _CSIM = (
 )
 
 
+def lloyd_refine(
+    with_norm: DataFrame, codebook: DataFrame, iters: int, sample_n: int = 4096
+) -> DataFrame:
+    """Refine a coarse IVF codebook with Lloyd (k-means) iterations —
+    pure DataFrame ops, the training pass a production IVF index runs.
+
+    Each iteration: assign a deterministic hash-sample of the corpus
+    to its nearest centroid (same broadcast-fold expression the query
+    path uses), then recompute each centroid as the per-dimension mean
+    of its members (posexplode → (cluster, dim) avg → re-assemble).
+    Training runs on a ≤sample_n hash-sample — the classic recipe: the
+    codebook is index METADATA, so training cost must not scale with
+    the corpus. Lists that attract no sample members drop out (their
+    region is covered by neighbors); K may shrink slightly.
+
+    Returns a codebook with the same 1-row collect_list(struct(cid,
+    cvec, cnorm)) shape, so it drops into ivf_topk unchanged."""
+    sample = with_norm.orderBy(F.xxhash64(F.col("vec_id") + 1), "vec_id").limit(
+        sample_n
+    )
+    for _ in range(iters):
+        assigned = sample.crossJoin(F.broadcast(codebook)).withColumn(
+            "cluster",
+            F.expr(
+                f"array_max(transform(cents, c -> struct({_CSIM} AS s,"
+                " c.cid AS cid))).cid"
+            ),
+        )
+        codebook = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("embedding")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> cast(s.m as float))"
+                ).alias("cvec")
+            )
+            .select(
+                F.col("cluster").alias("cid"),
+                "cvec",
+                F.expr(
+                    "sqrt(aggregate(transform(cvec,"
+                    " x -> cast(x as double) * cast(x as double)),"
+                    " cast(0 as double), (acc, x) -> acc + x))"
+                ).alias("cnorm"),
+            )
+            .agg(F.expr("collect_list(struct(cid, cvec, cnorm))").alias("cents"))
+        )
+    return codebook
+
+
 def ivf_topk(
     e: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_centroids: int | None = None,
     nprobe: int | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine neighbors of one query vector.
 
@@ -502,6 +558,11 @@ def ivf_topk(
         )
         .agg(F.expr("collect_list(struct(cid, cvec, cnorm))").alias("cents"))
     )
+    if train_iters:
+        # Optional k-means training pass (default off so the registered
+        # op95's golden snapshot stays byte-stable; the recall uplift is
+        # asserted separately in tests/test_pipeline_ext.py).
+        codebook = lloyd_refine(with_norm, codebook, train_iters)
     # Map-side nearest-centroid assignment: max of (sim, cid) structs —
     # lexicographic struct compare picks the best list per row.
     assigned = (

@@ -209,6 +209,39 @@ def test_ivf_recall_on_planted_clusters(spark):
     assert recall >= 0.9, f"planted-cluster recall@10 = {recall}"
 
 
+def test_ivf_lloyd_training_does_not_hurt_recall(spark):
+    """One Lloyd iteration on the data-seeded codebook (the production
+    training pass, pure DataFrame ops) must keep the planted-cluster
+    recall gate — and typically sharpens the lists: trained centroids
+    sit at cluster means instead of on sampled points."""
+    import numpy as np
+
+    from ocdb_server_spark.operators.pipeline_ext import ivf_topk
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 20, 100, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.05, size=(n_clusters * per, dim)
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    v = pts.astype(np.float32).astype(np.float64)
+    q = v[0]
+    sims = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    sims[0] = -np.inf
+    exact = set(np.argsort(-sims)[:10].tolist())
+
+    trained = {
+        r["vec_id"]
+        for r in ivf_topk(e, query_vec_id=0, k=10, train_iters=1).collect()
+    }
+    recall = len(exact & trained) / 10
+    assert recall >= 0.9, f"trained-codebook recall@10 = {recall}"
+
+
 # ------------------------------------------------- per-row text ops
 
 
