@@ -1,16 +1,22 @@
-"""Round-4 pipeline extensions, batch 2 — SURVEY.md §2.19 (op161–op170).
+"""Round-4 pipeline extensions, batch 2 — SURVEY.md §2.19 (op161–op177).
 
-Ten more operators, each a shape a 100 TB deployment needs and the
-earlier inventory does not cover:
+Seventeen more operators, each a shape a 100 TB deployment needs and
+the earlier inventory does not cover:
 
 - physical-layout tooling: Z-order clustering stats (op161), an
-  equi-depth histogram (op163), a salt-neutralized skewed join (op167);
+  equi-depth histogram (op163), a salt-neutralized skewed join
+  (op167), dynamic partition pruning (op172);
 - data-quality / drift: PSI distribution drift between sources
   (op162), per-doc token entropy (op165), corpus unigram
   log-probability scoring — the perplexity-filter shape (op169),
-  burst/bot detection over sliding time frames (op170);
-- incremental processing: snapshot diff / CDC classification (op168);
-- mergeable sketches: HyperLogLog sketch → union rollup (op166).
+  burst/bot detection over sliding time frames (op170),
+  referential-integrity audit (op173);
+- incremental processing: snapshot diff / CDC classification (op168),
+  algebraic rollup merge (op171);
+- mergeable sketches: HyperLogLog sketch → union rollup (op166);
+- training export: weighted reservoir sampling (op174), PMI
+  collocations (op175), deterministic train/val/test split (op176);
+- query surface: LATERAL correlated top-k (op177).
 
 Design rules as everywhere else in the package: DataFrame/Catalyst
 plans only, no Python in any hot path, every cross-engine float

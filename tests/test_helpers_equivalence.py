@@ -100,7 +100,16 @@ def test_isum_equals_dsum_on_fixed_point(spark, cents):
     st.sampled_from([1_000.0, 1_000_000.0, 1_000_000_000.0]),
 )
 def test_floor_quantize_identical_across_engines(spark, xs, scale):
+    """Values are fed to DuckDB through a registered DataFrame (the
+    Arrow path — exact bits), NOT inline SQL literals: hypothesis
+    found that DuckDB's string→double literal parser can land 1 ULP
+    off the correctly-rounded value (e.g. -900720.6668226955 parses to
+    the neighboring double), which is a literal-parsing quirk, not a
+    floor/multiply divergence. The engine oracles only ever meet
+    floats via parquet (exact bits) and simple exactly-representable
+    literals (0.5, 50.0, 1e9), so this models the real path."""
     import duckdb as _duck
+    import pandas as pd
 
     sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
     got_spark = {
@@ -110,11 +119,11 @@ def test_floor_quantize_identical_across_engines(spark, xs, scale):
         ).collect()
     }
     con = _duck.connect()
-    vals = ", ".join(f"({i}, {x!r}::DOUBLE)" for i, x in enumerate(xs))
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": pd.Series(xs, dtype="float64")})
+    con.register("t", pdf)
     got_duck = dict(
         con.execute(
-            f"SELECT i, CAST(FLOOR(x * {scale} + 0.5) AS BIGINT)"
-            f" FROM (VALUES {vals}) t(i, x)"
+            f"SELECT i, CAST(FLOOR(x * {scale} + 0.5) AS BIGINT) FROM t"
         ).fetchall()
     )
     con.close()
