@@ -65,16 +65,53 @@ def test_row_is_green_predicate():
     assert not _row_is_green(None)
 
 
-def test_sweep_order_fronts_errored_ops():
-    """With the real CORRECTNESS_r01-r03 files on disk, op96/op107 (whose
-    only rows are r1 canonicalizer crashes) must sort in the uncertified
-    front group, before any op with a green row."""
-    keys = list(OPS)
-    certified_example = "op17_agg_groupby"  # hash-green since r2
-    for stale in ("op96_dedup_components", "op107_agg_approx_percentile"):
-        assert keys.index(stale) < keys.index(certified_example), (
-            f"{stale} must re-sweep before already-certified ops"
-        )
+def test_sweep_order_fronts_errored_ops(tmp_path):
+    """Sweep-order logic pinned against SYNTHETIC CORRECTNESS fixtures
+    (round-4 verdict item 1: the old version read the repo's LIVE files
+    and self-destructed the moment its stale ops got certified).
+
+    Scenario mirrors the round-1-3 history: op_crash's only row is a
+    canonicalizer crash, op_flip passed early then errored later,
+    op_virgin was never swept; op_green and op_rows are certified.
+    All three non-green ops must sort before every certified op, and a
+    later round's row must override an earlier one in both directions.
+    """
+    import json
+
+    from ocdb_server_spark.registry import _sweep_order
+
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 10, "oracle_rows": 10, "err": None,
+    }
+    green_rows = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 27, "oracle_rows": None, "err": "no_oracle",
+    }
+    crashed = dict(green_rows, spark_rows=None, err="TypeError: boom")
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "op_green": green_sql,
+        "op_rows": green_rows,
+        "op_crash": crashed,
+        "op_flip": green_sql,          # passed in r1...
+        "op_late": crashed,            # crashed in r1...
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "op_flip": dict(green_sql, hash_match=False, err=None),  # ...broke in r2
+        "op_late": green_rows,         # ...certified in r2
+    }))
+
+    keys = ["op_green", "op_rows", "op_crash", "op_flip", "op_virgin", "op_late"]
+    ordered = _sweep_order(keys, root=str(tmp_path))
+
+    front = {"op_crash", "op_flip", "op_virgin"}
+    back = {"op_green", "op_rows", "op_late"}
+    assert set(ordered[:3]) == front, f"uncertified ops must front: {ordered}"
+    assert set(ordered[3:]) == back, f"certified ops must trail: {ordered}"
+    # within a group, no costs file → registration order preserved
+    assert ordered[:3] == ["op_crash", "op_flip", "op_virgin"]
+    assert ordered[3:] == ["op_green", "op_rows", "op_late"]
 
 
 @pytest.mark.parametrize("name", ALL_OPS)
