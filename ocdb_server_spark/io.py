@@ -138,6 +138,40 @@ def clear_cache() -> None:
     _CACHE.clear()
 
 
+# L2 norm as one JVM-parsed expression (see functions/vector.py for the
+# py4j-chatter rationale; duplicated as SQL text so this module needs no
+# Column plumbing).
+_NORM_SQL = (
+    "sqrt(aggregate(transform(embedding,"
+    " x -> cast(x as double) * cast(x as double)),"
+    " cast(0 as double), (acc, x) -> acc + x))"
+)
+
+
+def load_embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus a precomputed ``nrm`` (L2 norm) column.
+
+    The norm is query-independent corpus state: at 100 TB it is
+    computed once at ingest and stored beside the vectors, not
+    recomputed per lookup. Mirroring that here: when the sf_dir's
+    embeddings are warm (warm_cache ran), the normed projection is
+    cached and materialized once so every kNN serve pays only the dot
+    products; cold paths get the identical plan lazily with no extra
+    action or persistence."""
+    from pyspark.sql import functions as F
+
+    key = (sf_dir, "__embeddings_normed__")
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    en = load_table(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NORM_SQL))
+    if (sf_dir, "embeddings") in _CACHE:
+        en = en.cache()
+        en.count()
+        _CACHE[key] = en
+    return en
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TIMESTAMP (LTZ) regardless of how the
     driver generated the file that round:

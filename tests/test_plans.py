@@ -96,11 +96,14 @@ def test_windows_are_partitioned(spark, sf_dir):
 
 
 def test_knn_is_single_pass_topk(spark, sf_dir):
-    """op80: brute-force knn = broadcast query vector + linear scan +
-    TakeOrderedAndProject; no shuffle of the embeddings."""
+    """op80: brute-force knn = literal query vector (plan-time 1-row
+    lookup) + linear scan over precomputed norms + TakeOrderedAndProject.
+    The plan must be a single pass: no join, no exchange, no shuffle of
+    the embeddings — per-partition partial top-10, driver merge."""
     plan = _plan(OPS["op80_sim_cosine_knn"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, "knn serving scan must not join"
+    assert "Exchange" not in plan, "knn serving scan must not shuffle"
 
 
 def test_semi_anti_joins_plan_as_such(spark, sf_dir):

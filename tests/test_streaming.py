@@ -31,6 +31,30 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+def test_tumbling_bucket_form_equals_window_form(spark, sf_dir):
+    """op69's date_trunc bucket groupBy must be bit-identical (all
+    columns, sum_value included) to the `window(ts, '1 hour')` form it
+    replaced — epoch-aligned tumbling windows are the same partition of
+    the time axis either way."""
+    from ocdb_server_spark.operators.streaming_batch import _events
+    from ocdb_server_spark.operators._helpers import dsum
+
+    ev = _events(spark, sf_dir)
+    windowed = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    batch = OPS["op69_stream_tumbling"].fn(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(windowed, cols) == _rows(batch, cols)
+
+
 def test_stream_sliding_matches_batch(spark, sf_dir):
     streamed = jobs.stream_sliding(spark, sf_dir)
     batch = OPS["op70_stream_sliding"].fn(spark, sf_dir)
