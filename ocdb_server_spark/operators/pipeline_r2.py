@@ -359,12 +359,19 @@ def op120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per language by TF-IDF (tf = term
     occurrences within the language slice, idf = ln(N/df) over the
     whole corpus). Two hash aggregates over the exploded words (both
-    map-side partial) + a broadcast of the tiny df table + a
+    map-side partial) + a plain shuffle join of tf⋈df on `word` + a
     partitioned top-k window — no global sort, and the explode carries
     one word per row so the shuffle is O(tokens), the same budget as
-    op77's wordcount. Scores are bround(6)-stabilized: ln() may differ
-    between libm and the JVM in the last ulp, and 6 dp is the
-    cross-engine-stable observable (same rule as op80's cosine)."""
+    op77's wordcount. The tf⋈df join deliberately does NOT broadcast:
+    df is VOCAB-sized (10⁷-10⁸ distinct grams on a web corpus — far
+    past any broadcast bar; round-4 verdict item 3). The explicit
+    shuffle_merge hint pins a sort-merge join on `word` — both sides
+    exchange vocab-sized word rows, never documents, and the hint
+    also stops the test-scale auto-broadcast from hiding the
+    production plan. Only the 1-row N frame broadcasts. Scores
+    are bround(6)-stabilized: ln() may differ between libm and the JVM
+    in the last ulp, and 6 dp is the cross-engine-stable observable
+    (same rule as op80's cosine)."""
     d = load_table(spark, sf_dir, "documents")
     # N as a broadcast 1-row frame, not an eager .count() literal — the
     # plan stays lazy and re-reads fresh data (the op75 round-1 lesson).
@@ -377,7 +384,7 @@ def op120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("lang", "word").agg(F.count("*").cast("bigint").alias("tf"))
     scored = (
-        tf.join(F.broadcast(df_t), "word")
+        tf.join(df_t.hint("shuffle_merge"), "word")
         .crossJoin(F.broadcast(n))
         .select(
             "lang",

@@ -106,6 +106,18 @@ def test_knn_is_single_pass_topk(spark, sf_dir):
     assert "Exchange" not in plan, "knn serving scan must not shuffle"
 
 
+def test_tfidf_join_never_broadcasts_vocab(spark, sf_dir):
+    """op120: the tf⋈df join key table is VOCAB-sized (10⁷-10⁸ grams on
+    a web corpus) — it must plan as a shuffle join on `word`, never a
+    broadcast (round-4 verdict item 3). The only broadcast allowed is
+    the 1-row corpus-count frame."""
+    plan = _plan(OPS["op120_tfidf_terms"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "vocab-sized df table must not broadcast"
+    )
+
+
 def test_semi_anti_joins_plan_as_such(spark, sf_dir):
     for name, kind in (
         ("op32_join_left_semi", "LeftSemi"),
