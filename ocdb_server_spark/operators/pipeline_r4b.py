@@ -802,7 +802,10 @@ def op172_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    gets boolean-simplified back to the bare attribute), hence a
     #    string category filter. Both match how a real date dim is
     #    filtered in a lake anyway.
-    dim_path = _os.path.join(_tmp.gettempdir(), "ocdb_spark_dpp_dim")
+    # sf-tagged like the fact path above: two concurrent runs at
+    # different scale factors must never overwrite each other's scratch
+    # (round-4 advice — the same race class the fact path already avoids).
+    dim_path = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_dpp_dim_{tag}")
     spark.createDataFrame(
         [("view", "browse"), ("click", "browse"), ("error", "ops"),
          ("signup", "conversion"), ("purchase", "conversion")],
@@ -884,10 +887,31 @@ _KNUTH = 2654435761
 _U32 = 4294967296
 
 
+def _mulmod32(col: str, mult: int, int_div: str) -> str:
+    """(col · mult) mod 2³² with every int64 intermediate < 2⁴⁹ —
+    overflow-free under Spark 4's default ANSI mode (and in DuckDB)
+    for ANY non-negative int64 col. The naive ``col * mult`` raises
+    at runtime once col exceeds ~2⁶³/mult ≈ 4.1e9 — i.e. exactly the
+    100 TB-corpus doc_ids these ops are written for (round-4 advice).
+    Identity: with a = col mod 2³² = hi·2¹⁶ + lo,
+    a·m ≡ lo·m + ((hi·m mod 2³²)·2¹⁶)  (mod 2³²); bounds
+    lo·m, hi·m < 2¹⁶·2³² = 2⁴⁸. Bit-identical to the naive product
+    wherever that product doesn't overflow, so existing oracle hashes
+    are unchanged. int_div: the engine's integer-division operator
+    ('div' in Spark SQL, '//' in DuckDB)."""
+    a = f"(({col}) % {_U32})"
+    lo = f"({a} % 65536)"
+    hi = f"({a} {int_div} 65536)"
+    return (
+        f"((({lo} * {mult}) % {_U32}"
+        f" + ((({hi} * {mult}) % {_U32}) * 65536) % {_U32}) % {_U32})"
+    )
+
+
 _OP174_SQL = f"""
 WITH u AS (
   SELECT doc_id, lang, n_chars,
-         ((doc_id * {_KNUTH}) % {_U32} + 1.0) / {_U32 + 1}.0 AS u
+         ({_mulmod32('doc_id', _KNUTH, '//')} + 1.0) / {_U32 + 1}.0 AS u
   FROM documents
 ),
 k AS (
@@ -923,7 +947,7 @@ def op174_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine exact, no quantization needed."""
     d = load_table(spark, sf_dir, "documents")
     u = F.expr(
-        f"((doc_id * {_KNUTH}L) % {_U32}L + 1.0D) / {_U32 + 1}.0D"
+        f"({_mulmod32('doc_id', _KNUTH, 'div')} + 1.0D) / {_U32 + 1}.0D"
     )
     k = (
         d.filter(F.col("n_chars") > 0)
@@ -1060,7 +1084,7 @@ _OP176_SQL = f"""
 WITH a AS (
   SELECT doc_id, lang, n_chars,
          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-         (doc_id * {_SPLIT_MULT}) % {_U32} AS h
+         {_mulmod32('doc_id', _SPLIT_MULT, '//')} AS h
   FROM documents
 ),
 s AS (
@@ -1093,7 +1117,7 @@ def op176_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split, counters) ever shuffles."""
     d = load_table(spark, sf_dir, "documents")
     nt = F.expr("length(text) - length(replace(text, ' ', '')) + 1")
-    h = F.expr(f"(doc_id * {_SPLIT_MULT}L) % {_U32}L")
+    h = F.expr(_mulmod32("doc_id", _SPLIT_MULT, "div"))
     split = (
         F.when(h % 100 < 98, F.lit("train"))
         .when(h % 100 == 98, F.lit("val"))

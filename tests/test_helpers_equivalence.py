@@ -128,3 +128,52 @@ def test_floor_quantize_identical_across_engines(spark, xs, scale):
     )
     con.close()
     assert got_spark == got_duck
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**62),
+            # the band the naive product overflows in (>~4.1e9)
+            st.integers(min_value=4_100_000_000, max_value=2**40),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_mulmod32_matches_bigint_and_never_overflows(spark, ids):
+    """op174/op176's _mulmod32 must equal arbitrary-precision
+    (id · mult) mod 2³² for ANY non-negative int64 id — including ids
+    past ~4.1e9 where the naive int64 product overflows (and raises
+    under Spark 4 ANSI mode). Checked against Python big-int on both
+    hash constants, in both engines."""
+    import duckdb as _duck
+
+    from ocdb_server_spark.operators.pipeline_r4b import (
+        _KNUTH,
+        _SPLIT_MULT,
+        _mulmod32,
+    )
+
+    for mult in (_KNUTH, _SPLIT_MULT):
+        want = {i: (i * mult) % 2**32 for i in ids}
+        sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got_spark = {
+            r["doc_id"]: r["h"]
+            for r in sdf.selectExpr(
+                "doc_id", f"{_mulmod32('doc_id', mult, 'div')} as h"
+            ).collect()
+        }
+        assert got_spark == want, f"spark diverges for mult={mult}"
+        con = _duck.connect()
+        vals = ",".join(f"({i})" for i in ids)
+        got_duck = dict(
+            con.execute(
+                f"SELECT doc_id, {_mulmod32('doc_id', mult, '//')}"
+                f" FROM (VALUES {vals}) AS t(doc_id)"
+            ).fetchall()
+        )
+        con.close()
+        assert got_duck == want, f"duckdb diverges for mult={mult}"
