@@ -1,0 +1,439 @@
+"""Round-5 pipeline extensions — SURVEY.md §2.20 (op178–op182).
+
+Five operators closing the §7.5 future-work list, each a lakehouse /
+training-pipeline shape a 100 TB deployment needs:
+
+- physical-layout tooling: small-file compaction planning (op178),
+  secondary-sorted export layout + manifest (op179), per-file
+  min/max data-skipping audit (op181);
+- ANN: product-quantization ADC search with exact re-rank (op180) —
+  op95's next fidelity step;
+- join pruning: runtime bloom-filter pre-join filtering (op182) —
+  the JVM-side design the round-3/4 notes called for (Spark's own
+  InjectRuntimeFilter rule, not a driver-side df.stat.bloomFilter).
+
+Design rules as everywhere else in the package: DataFrame/Catalyst
+plans only, no Python in any hot path, cross-engine floats reduced
+through the established round/quantize discipline, and shuffles carry
+keys + counters — never document text or vector payloads (the one
+deliberate exception is op180's candidate re-rank, which keeps 64
+floats per SURVIVING candidate, k·rerank rows total).
+
+The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
+has no analog for these; they extend the 100 TB-pipeline surface
+mandated by BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op178: small-file compaction plan — greedy cumulative bin packing
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65_536  # target output-file bytes (test-scale sized)
+
+_OP178_SQL = f"""
+WITH f AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang, source
+),
+c AS (
+  SELECT lang, source, bytes,
+         SUM(bytes) OVER (ORDER BY bytes DESC, lang, source
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f
+),
+b AS (SELECT (cum - bytes) // {_COMPACT_TARGET} AS bin, bytes FROM c)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(bytes) AS BIGINT) AS min_file_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS max_file_bytes
+FROM b GROUP BY bin
+"""
+
+
+@register("op178_compaction_plan", oracle=_OP178_SQL)
+def op178_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: pack input files into target-size
+    output bins (the OPTIMIZE/bin-packing step every parquet lake runs
+    nightly — small files are the #1 cheap win at 100 TB, where a
+    10⁶-file table turns every scan into task-launch soup).
+
+    "Files" here are the per-(lang, source) byte totals of documents
+    (the natural ingest-partition granularity for this corpus); the
+    plan is the classic greedy next-fit: order files big-first
+    (deterministic tiebreak), running-sum their sizes, and cut a new
+    bin every time the cumulative offset crosses a target multiple —
+    bin = (cum − size) div target, pure integer arithmetic in both
+    engines. Output: one manifest row per planned output file.
+
+    Scale: everything after the first aggregate runs over FILE
+    METADATA (~10⁶ rows at 100 TB — kilobytes of state), so the
+    global-order window is a deliberate, bounded exception to the
+    no-global-sort rule (same argument as op156's source-level
+    Pareto); a production planner additionally partitions the window
+    by table/date prefix, which this plan picks up for free by adding
+    the prefix to partitionBy."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    w = W.orderBy(F.col("bytes").desc(), "lang", "source").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    binned = files.select(
+        "bytes",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / F.lit(_COMPACT_TARGET))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("bytes").cast("bigint").alias("min_file_bytes"),
+        F.max("bytes").cast("bigint").alias("max_file_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op179: secondary-sorted export layout + manifest
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_OP179_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, doc_id % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM s GROUP BY shard
+"""
+
+
+def sorted_export_frame(d: DataFrame) -> DataFrame:
+    """documents sharded (doc_id mod N — engine-portable, no Murmur
+    dependency) and SECONDARY-SORTED within each shard by (lang,
+    doc_id): `repartition(N, shard)` + `sortWithinPartitions` is
+    Spark's secondary-sort idiom; written with
+    `.write.partitionBy("shard")`, every shard directory gets exactly
+    ONE file (all of a shard's rows hash to one task) whose rows are
+    (lang, doc_id)-sorted, so downstream per-lang scans skip row
+    groups via parquet min/max stats (the layout op181 audits). No
+    global sort anywhere: N independent per-partition sorts.
+    tests/test_pipeline_r5.py writes the export and proves the files
+    really are sorted and shard-pure."""
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        )
+        .repartition(_N_SHARDS, F.col("shard"))
+        .sortWithinPartitions("shard", "lang", "doc_id")
+    )
+
+
+@register("op179_sorted_export_manifest", oracle=_OP179_SQL)
+def op179_sorted_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the secondary-sorted training export (see
+    sorted_export_frame): shard, doc count, byte volume, id range —
+    what an export job hands the training loader so it can plan
+    readers without listing files. The manifest aggregate consumes
+    the sorted frame, so the registered plan carries the real
+    repartition+sort; the file-level sortedness proof lives in
+    tests/test_pipeline_r5.py (plan assertions can't see files)."""
+    return sorted_export_frame(load_table(spark, sf_dir, "documents")).groupBy(
+        "shard"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op180: product-quantization ANN — ADC scoring + exact re-rank
+# --------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim / 8 = 8 dims each)
+_PQ_SUB = 8        # dims per subspace
+_PQ_K = 16         # centroids per subspace (4-bit codes)
+_PQ_RERANK = 100   # ADC candidates that get exact re-ranking
+
+
+def _sub(col: str, m: int) -> str:
+    """SQL slice of subspace m (1-based slice positions)."""
+    return f"slice({col}, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+
+
+def _d2(a: str, b: str) -> str:
+    """Squared L2 distance between two float arrays (JVM HOF fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def pq_topk(e: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Product-quantization approximate top-k cosine neighbors — op95
+    IVF's next fidelity step (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — public method).
+
+    Index: each vector splits into M=8 subspaces of 8 dims; per
+    subspace, 16 centroids come from 16 deterministically-sampled
+    vectors (xxhash64 order — a production index k-means-refines them;
+    the query path is identical). A vector's code is its nearest
+    centroid id per subspace → 8×4-bit codes replace 64 floats, a
+    32× compression. The codebook is ONE broadcast row (16×64 floats).
+
+    Query (asymmetric distance computation): the approximate score of
+    a vector is dot(query, reconstruction-from-codes) — computed by
+    flattening the 8 chosen centroid subvectors and folding one dot
+    product, all JVM higher-order functions at the scan, zero
+    shuffles. The top-100 ADC candidates (TakeOrderedAndProject) get
+    exact-similarity re-ranking; only those 100 rows ever carry the
+    full vector past the scan. Encode + ADC + rerank is one linear
+    pass — the 100 TB shape (at that scale codes are PRECOMPUTED at
+    ingest; here encoding is inlined so the op is self-contained).
+
+    ROWS-oracle (approximate by design); recall@10 vs brute force is
+    gated on a planted-cluster fixture in tests/test_pipeline_r5.py."""
+    nrm = (
+        "sqrt(aggregate(transform(embedding,"
+        " x -> cast(x as double) * cast(x as double)),"
+        " cast(0 as double), (acc, x) -> acc + x))"
+    )
+    with_norm = e.withColumn("en", F.expr(nrm))
+    codebook = (
+        with_norm.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(_PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .agg(F.expr("collect_list(struct(cid, cvec))").alias("cents"))
+    )
+    # per-subspace nearest-centroid codes: argmin via max of
+    # (-d2, cid) structs — deterministic (ties break to max cid)
+    codes = F.array(
+        *[
+            F.expr(
+                f"array_max(transform(cents, c -> struct("
+                f"-{_d2(_sub('embedding', m), _sub('c.cvec', m))} AS negd,"
+                " c.cid AS cid))).cid"
+            )
+            for m in range(_PQ_M)
+        ]
+    ).alias("codes")
+    encoded = with_norm.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "embedding", "en", "cents", codes
+    )
+    qrow = encoded.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("en").alias("qnorm")
+    )
+    # ADC: reconstruct from codes (flatten the 8 chosen centroid
+    # subvectors) and fold one dot product against the query
+    recon = (
+        "flatten(transform(sequence(0, " + str(_PQ_M - 1) + "), m ->"
+        " slice(element_at(filter(cents, c -> c.cid = element_at(codes, m + 1)),"
+        f" 1).cvec, m * {_PQ_SUB} + 1, {_PQ_SUB})))"
+    )
+    approx = F.expr(
+        f"aggregate(zip_with(qe, {recon},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    cands = (
+        encoded.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", "embedding", "en", "qe", "qnorm", approx.alias("adc"))
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(_PQ_RERANK)
+    )
+    exact = F.bround(
+        F.expr(
+            "aggregate(zip_with(embedding, qe,"
+            " (x, y) -> cast(x as double) * cast(y as double)),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        )
+        / (F.col("en") * F.col("qnorm")),
+        6,
+    )
+    return (
+        cands.select("vec_id", exact.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+@register("op180_pq_ann_knn", oracle=None)  # ROWS: PQ codes are approximate
+def op180_pq_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-10 cosine neighbors of vec_id=0 over the
+    embeddings table — see pq_topk for the index design (8×4-bit
+    codes, broadcast codebook, ADC scan, exact re-rank of 100)."""
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# op181: per-file min/max data-skipping audit
+# --------------------------------------------------------------------------
+
+_DATE_CUT = "2000-01-01 00:00:00"   # predicate: o_orderdate >= cut
+_PRICE_CUT = 400_000.0              # predicate: o_totalprice >= cut
+
+_OP181_SQL = f"""
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+         o_orderdate, o_totalprice
+  FROM orders
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(o_orderdate) < TIMESTAMP '{_DATE_CUT}' AS BOOLEAN)
+         AS date_skippable,
+       CAST(MAX(o_totalprice) < {_PRICE_CUT} AS BOOLEAN) AS price_skippable,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM m GROUP BY month
+"""
+
+
+@register("op181_file_skipping_audit", oracle=_OP181_SQL)
+def op181_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE min/max statistics audit — would a given predicate let
+    the scan skip each file entirely? The layout-quality question
+    behind every data-skipping format (parquet row-group stats,
+    Delta/Iceberg file stats): a column the layout CLUSTERS
+    (o_orderdate, because files are month-partitioned) yields mostly
+    skippable files for a date predicate, while an UNCLUSTERED column
+    (o_totalprice — every month spans the full price range) yields
+    none — measuring exactly the contrast op161 scores for Z-order.
+
+    Mechanics: orders are exported month-partitioned (one file per
+    month: repartition by the partition column before the write),
+    re-read, and audited per physical file via input_file_name() —
+    real file paths, real footer-backed stats recomputed from rows.
+    The month key is recovered from the hive-style path so the DuckDB
+    oracle (which sees no files) can compute identical per-month
+    truth straight from the table.
+
+    Scale: the audit is one map-side-partial agg keyed by file name —
+    #files rows of state; the export write is the only data-sized
+    step and any lake already pays it."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_skip_audit_{tag}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    (
+        o.repartition(F.col("month"))
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("fname", F.input_file_name())
+    per_file = back.groupBy("fname").agg(
+        F.first("month").alias("month"),  # 1 file : 1 month by construction
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.max("o_orderdate") < F.lit(_DATE_CUT).cast("timestamp")).alias(
+            "date_skippable"
+        ),
+        (F.max("o_totalprice") < F.lit(_PRICE_CUT)).alias("price_skippable"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return per_file.drop("fname")
+
+
+# --------------------------------------------------------------------------
+# op182: runtime bloom-filter join pruning
+# --------------------------------------------------------------------------
+
+_OP182_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+@register("op182_bloom_join_prune", oracle=_OP182_SQL)
+def op182_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join where a runtime BLOOM FILTER built from the
+    selective dim side pre-filters the fact scan — Spark's
+    InjectRuntimeFilter rule (JVM-side: bloom_filter_agg on the
+    creation side, might_contain on the application side), the design
+    the round-3/4 notes asked for instead of the driver-side
+    df.stat.bloomFilter. At 100 TB this is the shuffle-join
+    counterpart of op172's DPP: the fact side drops ~4/5 of its rows
+    BEFORE the exchange, paying one xxhash64+bitset probe per row.
+
+    Two runtime confs are pinned while THIS plan optimizes, then
+    restored: the app-side scan-size threshold drops to 0 (upstream
+    requires ≥10 GB on the probe side — trivially true at production
+    scale, never at test scale) and auto-broadcast is disabled (the
+    rule correctly skips broadcastable builds, and at test scale
+    everything is broadcastable — at 100 TB a season's orders are
+    not). The optimized+physical plans are forced eagerly inside the
+    conf scope (QueryExecution caches them), so the returned frame
+    keeps its bloom filter wherever it executes;
+    tests/test_pipeline_r5.py asserts might_contain + bloom_filter_agg
+    in the plan and that the confs are restored."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+    )
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+                ).alias("sum_qty"),
+            )
+        )
+        # force optimization + physical planning NOW, inside the conf
+        # scope — QueryExecution caches both, so later actions reuse them
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out

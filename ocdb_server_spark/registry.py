@@ -147,6 +147,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r3,
         pipeline_r4,
         pipeline_r4b,
+        pipeline_r5,
         udfs,
         northstar,
         pipeline_ext,
