@@ -1,6 +1,8 @@
-"""Round-5 pipeline extensions — SURVEY.md §2.20 (op178–op182).
+"""Round-5 pipeline extensions — SURVEY.md §2.20 (op178–op185).
 
-Five operators closing the §7.5 future-work list, each a lakehouse /
+Eight operators: five closing the §7.5 future-work list plus BM25
+retrieval scoring, a binned range join, and a Misra-Gries
+heavy-hitters sketch (op183-op185) — each a lakehouse /
 training-pipeline shape a 100 TB deployment needs:
 
 - physical-layout tooling: small-file compaction planning (op178),
@@ -10,7 +12,13 @@ training-pipeline shape a 100 TB deployment needs:
   op95's next fidelity step;
 - join pruning: runtime bloom-filter pre-join filtering (op182) —
   the JVM-side design the round-3/4 notes called for (Spark's own
-  InjectRuntimeFilter rule, not a driver-side df.stat.bloomFilter).
+  InjectRuntimeFilter rule, not a driver-side df.stat.bloomFilter);
+- search scoring: BM25 ranked retrieval (op183) — the relevance half
+  of the reference's search surface;
+- range joins at scale: interval⋈point as an equi-join on arithmetic
+  bins (op184), op36's both-sides-large case;
+- custom sketches: Misra-Gries heavy hitters via Arrow-batched
+  mapInPandas + exact verify pass (op185).
 
 Design rules as everywhere else in the package: DataFrame/Catalyst
 plans only, no Python in any hot path, cross-engine floats reduced
@@ -437,3 +445,295 @@ def op182_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             conf.set(k, v)
     return out
+
+
+# --------------------------------------------------------------------------
+# op183: BM25 ranked retrieval — the search-service scoring path
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# Robertson/Spärck Jones BM25 (public-domain IR folklore; the "+1" idf
+# form that never goes negative). Per-term scores are quantized
+# floor(x·1e6 + 0.5)→int64 BEFORE the per-doc sum (op162/op165's
+# IEEE-deterministic discipline) so the cross-engine float reduction
+# is order-free; the observable is the final double score.
+_OP183_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS len,
+         text
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(len AS DOUBLE)) AS avg_len
+  FROM d
+),
+w AS (
+  SELECT doc_id, len, unnest(string_split(text, ' ')) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, term, MAX(len) AS len, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * tf.len / stats.avg_len))
+           * 1000000.0 + 0.5) AS BIGINT) AS term_score_u
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+),
+s AS (
+  SELECT doc_id, CAST(SUM(term_score_u) AS DOUBLE) / 1000000.0 AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score FROM s
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("op183_bm25_topk", oracle=_OP183_SQL)
+def op183_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed multi-term query over documents — the
+    ranked-retrieval scoring the reference's search surface implies
+    (`bcdev/ocdb-server` is a dataset *search* service, public
+    knowledge — SURVEY.md §0; its Lucene-ish query language parses
+    through plans/expr_compiler.py, and this op is the scoring half a
+    relevance-ranked search needs; op13's phrase filter is the boolean
+    half).
+
+    Plan shape: one explode confined to the |query|-term subset
+    (`term IN (…)` prunes BEFORE the tf aggregate, so the shuffle
+    carries at most |query| rows per doc, never the corpus vocab),
+    document-frequency and corpus stats reduce to |query|-row /
+    1-row broadcasts, and top-k plans as TakeOrderedAndProject.
+    Per-term scores quantize floor(x·1e6+0.5)→int64 pre-sum
+    (op165's discipline) so the 3-term addition is order-free and
+    cross-engine exact."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias("len"),
+        "text",
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("len").cast("double")).alias("avg_len"),
+    )
+    w = d.select(
+        "doc_id", "len", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = w.groupBy("doc_id", "term").agg(
+        F.max("len").alias("len"), F.count("*").cast("bigint").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    term_score_u = F.expr(
+        f"cast(floor(ln(1 + (n_docs - df + 0.5D) / (df + 0.5D))"
+        f" * (tf * ({_BM25_K1}D + 1))"
+        f" / (tf + {_BM25_K1}D * (1 - {_BM25_B}D"
+        f" + {_BM25_B}D * len / avg_len))"
+        " * 1000000.0D + 0.5D) as bigint)"
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score_u.alias("u"))
+        .groupBy("doc_id")
+        .agg((F.sum("u").cast("double") / 1_000_000.0).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# op184: binned range join — overlapping intervals without a theta join
+# --------------------------------------------------------------------------
+
+_BIN_SEC = 21_600          # 6h bins
+_WIN_SEC = 43_200          # 12h windows, sliding every 6h (2 bins each)
+
+_OP184_SQL = """
+WITH w AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 6 HOUR)) AS ws
+),
+j AS (
+  SELECT w.ws, e.value
+  FROM w JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+    ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 12 HOUR
+)
+SELECT ws AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM j GROUP BY ws
+"""
+
+
+@register("op184_range_join_binned", oracle=_OP184_SQL)
+def op184_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join of events against OVERLAPPING 12h windows (sliding
+    every 6h), executed as an EQUI-join on arithmetic bins — the
+    bucketized range-join pattern op36's docstring promises for the
+    case where neither side broadcasts. Each window spans exactly two
+    6h bins; exploding the window side into its bin keys turns the
+    interval predicate into `event.bin = window.bin` plus a residual
+    range check, so Catalyst plans a hash/merge join on the bin — no
+    BroadcastNestedLoopJoin, no per-row interval comparison against
+    every window. (For these aligned windows the residual prunes
+    nothing — bins nest exactly; for arbitrary intervals the same
+    plan works and the residual does the trimming. The bin width is
+    the classic tuning knob: ≈ the median interval length.)
+
+    Scale: the shuffle key is the bin; window-side rows are
+    2 × #windows (metadata-sized). The oracle states the same join
+    as the naive range predicate — same rows, quadratic plan — which
+    doubles as the semantic proof that binning loses nothing."""
+    from ocdb_server_spark.operators.streaming_batch import _events
+    from ocdb_server_spark.operators._helpers import dsum
+
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        "value",
+        (F.unix_timestamp("ts").cast("bigint") / _BIN_SEC)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    windows = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-31 00:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 6 HOURS"),
+                )
+            ).alias("ws")
+        )
+        .select(
+            "ws",
+            F.explode(
+                F.array(
+                    (F.unix_timestamp("ws").cast("bigint") / _BIN_SEC).cast(
+                        "bigint"
+                    ),
+                    (F.unix_timestamp("ws").cast("bigint") / _BIN_SEC).cast(
+                        "bigint"
+                    )
+                    + 1,
+                )
+            ).alias("bin"),
+        )
+    )
+    j = ev.join(windows, "bin").filter(
+        (F.col("ts") >= F.col("ws"))
+        & (F.col("ts") < F.col("ws") + F.expr(f"INTERVAL {_WIN_SEC} SECONDS"))
+    )
+    return j.groupBy(F.col("ws").alias("window_start")).agg(
+        F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# op185: Misra-Gries heavy hitters — bounded-memory sketch + exact verify
+# --------------------------------------------------------------------------
+
+_MG_K = 32           # counters per partition sketch (memory bound)
+_MG_PHI_DEN = 30     # report words with count > total/30 (phi ≈ 3.3%)
+
+_OP185_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w WHERE word <> '' GROUP BY word
+),
+t AS (SELECT SUM(n) AS total FROM f)
+SELECT word, n
+FROM f, t
+WHERE n > total / {_MG_PHI_DEN}.0
+"""
+
+
+def _mg_sketch_batches(it):
+    """Misra-Gries over a stream of Arrow batches of words: at most
+    _MG_K counters live at any moment (decrement-all when full — the
+    classic 1982 algorithm). Runs once per PARTITION (the generator
+    sees all of a partition's batches), emits the surviving counters.
+    Guarantee: any word with true partition count > n_part/( _MG_K+1 )
+    survives, so the union over partitions is a SUPERSET of every
+    global phi-heavy word for phi ≥ 1/(_MG_K+1)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for batch in it:
+        for word in batch["word"]:
+            if word in counters:
+                counters[word] += 1
+            elif len(counters) < _MG_K:
+                counters[word] = 1
+            else:
+                dead = []
+                for k in counters:
+                    counters[k] -= 1
+                    if counters[k] == 0:
+                        dead.append(k)
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame(
+        {"word": list(counters), "lb": [counters[k] for k in counters]}
+    )
+
+
+@register("op185_heavy_hitters_mg", oracle=_OP185_SQL)
+def op185_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters (words with > total/30 of all token
+    occurrences) computed the bounded-memory way: a Misra-Gries sketch
+    pass (≤32 counters per partition, Arrow-batched mapInPandas over
+    JVM-exploded words — the custom-sketch surface: Spark has no MG
+    aggregate) yields a small CANDIDATE set guaranteed to contain
+    every phi-heavy word; an exact second pass counts ONLY candidates
+    (broadcast semi-join, so the verify shuffle carries candidate
+    words, never the corpus vocab) and applies the threshold. Sketch
+    candidates depend on partition layout; the final exact filter
+    makes the OUTPUT layout-independent — which is why this op can
+    carry a full SQL oracle while op20/op166 stay ROWS.
+
+    At 100 TB the two-pass shape is the standard heavy-hitters recipe
+    (sketch → verify); the sketch pass is the only Python here, one
+    dict of ≤32 ints per partition.
+    tests/test_pipeline_r5.py stresses the superset guarantee on a
+    500-word Zipf corpus where vocab ≫ counters."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    cands = (
+        words.mapInPandas(_mg_sketch_batches, "word string, lb long")
+        .groupBy("word")
+        .agg(F.sum("lb").alias("lb"))
+        .select("word")
+    )
+    total = words.agg(F.count("*").cast("bigint").alias("total"))
+    exact = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return exact.crossJoin(F.broadcast(total)).filter(
+        F.col("n") > F.col("total") / _MG_PHI_DEN
+    ).select("word", "n")

@@ -140,3 +140,111 @@ def test_skipping_audit_matches_layout_truth(spark, sf_dir):
     assert n_price_skip <= len(rows) // 2, (
         "unclustered price column should rarely be skippable"
     )
+
+
+def test_mg_sketch_superset_guarantee_on_zipf():
+    """The Misra-Gries pass must surface every phi-heavy word even when
+    the vocabulary (500 words, Zipf-distributed) dwarfs the 32 counters
+    — the bound the two-pass exactness of op185 rests on. Pure-Python
+    check of the sketch kernel across adversarial batch splits."""
+    import collections
+
+    import pandas as pd
+
+    from ocdb_server_spark.operators.pipeline_r5 import (
+        _MG_K,
+        _mg_sketch_batches,
+    )
+
+    # deterministic Zipf-ish stream: word i appears ~N/(i+1) times
+    words = []
+    for i in range(500):
+        words.extend([f"w{i}"] * (3000 // (i + 1)))
+    # worst-case-ish order: heavy words first, then the long tail
+    truth = collections.Counter(words)
+    total = len(words)
+    heavy = {w for w, c in truth.items() if c > total / (_MG_K + 1)}
+    assert heavy, "fixture must contain heavy words"
+
+    for n_batches in (1, 7, 64):
+        per = (len(words) + n_batches - 1) // n_batches
+        batches = (
+            pd.DataFrame({"word": words[i * per : (i + 1) * per]})
+            for i in range(n_batches)
+        )
+        out = pd.concat(list(_mg_sketch_batches(batches)))
+        survivors = set(out["word"])
+        assert len(survivors) <= _MG_K
+        assert heavy <= survivors, (
+            f"{n_batches} batches: lost heavy words {heavy - survivors}"
+        )
+
+
+def test_heavy_hitters_output_is_layout_independent(spark, sf_dir):
+    """Candidates vary with partitioning; the exact verify pass must
+    erase that — same final rows at 1 vs 7 input partitions."""
+    from ocdb_server_spark.io import load_table
+
+    base = OPS["op185_heavy_hitters_mg"].fn(spark, sf_dir)
+    want = sorted((r["word"], r["n"]) for r in base.collect())
+    # rebuild the op's pipeline over a repartitioned source
+    from ocdb_server_spark.operators import pipeline_r5 as r5
+
+    d = load_table(spark, sf_dir, "documents").repartition(7)
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    cands = (
+        words.mapInPandas(r5._mg_sketch_batches, "word string, lb long")
+        .groupBy("word")
+        .agg(F.sum("lb").alias("lb"))
+        .select("word")
+    )
+    total = words.agg(F.count("*").cast("bigint").alias("total"))
+    exact = (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    got = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("total") / r5._MG_PHI_DEN)
+        .select("word", "n")
+    )
+    assert sorted((r["word"], r["n"]) for r in got.collect()) == want
+
+
+def test_binned_range_join_avoids_theta_plan(spark, sf_dir):
+    """op184 must plan the interval match as an EQUI join on the bin
+    key — never a BroadcastNestedLoopJoin over the raw range
+    predicate."""
+    plan = (
+        OPS["op184_range_join_binned"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_bm25_prunes_to_query_terms_before_agg(spark, sf_dir):
+    """op183's explode must be filtered to the query terms BEFORE the
+    tf aggregate (the optimized plan pushes the IN filter below the
+    aggregate), and top-k must plan as TakeOrderedAndProject."""
+    df = OPS["op183_bm25_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    first_agg = optimized.index("Aggregate")
+    assert "hash, join, scan" in optimized[first_agg:].replace("[", "").replace(
+        "]", ""
+    ) or "IN (" in optimized[first_agg:], (
+        "term filter must sit below the first aggregate"
+    )

@@ -232,11 +232,12 @@ def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
 
 def test_tfidf_uses_window_group_limit(spark, sf_dir):
     """op120: the per-language top-5 must use Spark 4's
-    WindowGroupLimit (partial top-k BEFORE the shuffle) and the df/N
-    sides must broadcast."""
+    WindowGroupLimit (partial top-k BEFORE the shuffle); only the
+    1-row corpus-count frame broadcasts (the vocab-sized df table is
+    a shuffle join — see test_tfidf_join_never_broadcasts_vocab)."""
     plan = _plan(OPS["op120_tfidf_terms"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
-    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
 
 
 def test_session_funnel_single_entity_shuffle(spark, sf_dir):
