@@ -51,11 +51,14 @@ def main() -> None:
         eio.warm_cache(spark, sf_dir)
         for q in QUERIES:
             df = ops[q].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # warm codegen
+            # round-5 methodology: toArrow(), matching bench.py (full
+            # plan executes, results land client-side as Arrow — the
+            # symmetric counterpart of the DuckDB yardstick's fetch)
+            df.toArrow()  # warm codegen + Arrow serializer
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                df.toArrow()
                 best = min(best, time.perf_counter() - t0)
             results[q][sf] = best
 
