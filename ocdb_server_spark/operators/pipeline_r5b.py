@@ -1,0 +1,225 @@
+"""Round-5 pipeline extensions, batch 2 — SURVEY.md §2.20 (op186–op187).
+
+- op186: ITERATIVE graph analytics (PageRank over the part⋈supplier
+  co-occurrence graph) with a full SQL oracle — the recurrence is
+  kept in exact int64 fixed-point so five engine-side iterations are
+  bit-identical to five unrolled CTE steps in DuckDB, making an
+  iterative algorithm hash-certifiable (op96's connected components
+  stayed ROWS; this shows the quantization discipline extends to
+  fixpoint loops).
+- op187: tokenizer vocab coverage / OOV-rate report — the
+  "how big must the vocab be" measurement a tokenizer build runs
+  before committing to a merge table.
+
+Same package rules: DataFrame/Catalyst only, no Python in hot paths,
+shuffles carry ids + counters, cross-engine floats quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op186: PageRank — iterative fixpoint, integer-exact, hash-certified
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000_000  # PR mass in 1e-12 units (int64)
+# damping 0.85 expressed as exact integer arithmetic: d·x = (85·x) div 100
+
+
+def _pr_sql() -> str:
+    """Unrolled-recurrence DuckDB oracle: standard SQL forbids
+    aggregates in a recursive CTE term, so the five iterations are
+    generated as five chained CTEs — the textual unrolling of the
+    exact integer recurrence the Spark loop runs."""
+    step = """
+pr{k} AS (
+  SELECT n.node,
+         p.base_u + (85 * COALESCE(s.m, 0)) // 100 AS u
+  FROM nodes n
+  CROSS JOIN params p
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(c.contrib) AS m
+    FROM (SELECT p0.node, p0.u // d.outdeg AS contrib
+          FROM pr{prev} p0 JOIN outdeg d ON p0.node = d.node) c
+    JOIN edges e ON c.node = e.src
+    GROUP BY e.dst) s ON n.node = s.node
+)"""
+    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, _PR_ITERS + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+params AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         (15 * {_PR_SCALE}) // (100 * CAST(COUNT(*) AS BIGINT)) AS base_u
+  FROM nodes
+),
+pr0 AS (
+  SELECT n.node, {_PR_SCALE} // p.n AS u FROM nodes n CROSS JOIN params p
+),{steps}
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       CAST(u AS BIGINT) AS pr_u,
+       CAST(u AS DOUBLE) / {_PR_SCALE} AS pr
+FROM pr{_PR_ITERS}
+ORDER BY pr_u DESC, node
+LIMIT 20
+"""
+
+
+@register("op186_pagerank", oracle=_pr_sql())
+def op186_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations (damping 0.85) over the symmetrized
+    part↔supplier co-occurrence graph from lineitem, top-20 nodes —
+    iterative graph analytics as DataFrame programs (supply-chain /
+    link-analysis centrality; op96's components op is the other
+    fixpoint shape, ROWS-checked; this one is HASH-certified).
+
+    Exactness: rank mass lives in int64 units of 1e-12 (pr_u); each
+    step is new = (15·SCALE) div (100·N) + (85·Σ contrib) div 100
+    with contrib = pr div outdeg — every operation integer, so the
+    5-step fixpoint is bit-identical to the oracle's five unrolled
+    CTEs regardless of join order, partitioning, or summation order
+    (int64 addition commutes; the op162 discipline extended to
+    iteration). The deliberately-dropped remainder mass (div
+    truncation) is part of the recurrence in BOTH engines.
+
+    Scale: per iteration one shuffle join (ranks⋈edges on src) + one
+    aggregate on dst — the textbook message-passing shape; edges are
+    (int64, int64) pairs, never payloads. At real scale each
+    iteration localCheckpoints (op96's pattern) to cut lineage; at 5
+    iterations the plan tree stays small enough to skip that, keeping
+    the op side-effect-free for the driver harness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    rev = pairs.select(
+        (2 * F.col("l_suppkey") + 1).alias("src"),
+        (2 * F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionAll(rev)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    params = nodes.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(f"(15 * {_PR_SCALE}L) div (100 * count(*))").alias("base_u"),
+    )
+    ranks = nodes.crossJoin(F.broadcast(params)).select(
+        "node", F.expr(f"{_PR_SCALE}L div n").alias("u")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(outdeg, "node").select(
+            "node", F.expr("u div outdeg").alias("contrib")
+        )
+        msgs = (
+            contrib.join(edges, contrib.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("m"))
+        )
+        ranks = (
+            nodes.join(msgs, "node", "left")
+            .crossJoin(F.broadcast(params))
+            .select(
+                "node",
+                F.expr("base_u + (85 * coalesce(m, 0L)) div 100").alias("u"),
+            )
+        )
+    return (
+        ranks.select(
+            F.expr(
+                "CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
+            ).alias("node_type"),
+            F.expr("node div 2").alias("key"),
+            F.col("u").alias("pr_u"),
+            (F.col("u").cast("double") / _PR_SCALE).alias("pr"),
+        )
+        .orderBy(F.col("pr_u").desc(), F.col("key"), "node_type")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# op187: tokenizer vocab coverage — OOV rate vs a top-K vocabulary
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 16
+
+_OP187_SQL = f"""
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tok AS (SELECT lang, word FROM w WHERE word <> ''),
+freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word),
+vocab AS (
+  SELECT word FROM freq ORDER BY c DESC, word LIMIT {_VOCAB_K}
+),
+j AS (
+  SELECT t.lang,
+         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.word = v.word
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       CAST(FLOOR(CAST(SUM(oov) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+            AS BIGINT) AS oov_rate_ppm
+FROM j GROUP BY lang
+"""
+
+
+@register("op187_vocab_coverage", oracle=_OP187_SQL)
+def op187_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-K corpus
+    vocabulary — the measurement a tokenizer build runs to size its
+    merge table ("how much of each language does a K-entry vocab
+    cover?"); op137's vocab-growth curve answers corpus-side, this
+    answers per-slice, and a skewed per-lang OOV is the classic sign
+    a multilingual vocab under-serves a language.
+
+    Plan: token explode → corpus-frequency agg → top-K TakeOrdered →
+    BROADCAST vocab (K rows by construction — the one join in this
+    family that is always broadcast-safe, unlike op120's full-df
+    table) → left-join + per-lang agg. OOV rate quantized to ppm via
+    floor(x·1e6+0.5) (op165's discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "word", "left").select(
+        "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        F.expr(
+            "cast(floor(cast(sum(oov) as double) / count(*)"
+            " * 1000000.0D + 0.5D) as bigint)"
+        ).alias("oov_rate_ppm"),
+    )

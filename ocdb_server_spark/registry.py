@@ -148,6 +148,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r4,
         pipeline_r4b,
         pipeline_r5,
+        pipeline_r5b,
         udfs,
         northstar,
         pipeline_ext,

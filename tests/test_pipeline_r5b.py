@@ -1,0 +1,161 @@
+"""op186/op187 tests: the iterative integer-exact PageRank against a
+pure-Python reference on a hand-built graph, layout invariance, and
+vocab-coverage sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.registry import load_all
+
+OPS = load_all()
+
+
+def _py_pagerank(edges, iters, scale):
+    """Reference implementation of op186's EXACT integer recurrence
+    (plain dicts, no Spark, no SQL) — the third engine."""
+    nodes = sorted({s for s, _ in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    pr = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        msgs = {}
+        for s, d in edges:
+            msgs[d] = msgs.get(d, 0) + pr[s] // outdeg[s]
+        pr = {v: base + (85 * msgs.get(v, 0)) // 100 for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_python_reference_on_crafted_graph(spark):
+    """Spark's 5-iteration loop must reproduce the pure-Python integer
+    recurrence bit-for-bit on a small asymmetric graph (star + chain:
+    ranks genuinely differ per node)."""
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    # part 0 links suppliers 0,1,2; part 1 links supplier 0; part 2
+    # links supplier 2 → node ids via the op's 2p / 2s+1 encoding
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 0), (2, 2)]
+    edges = [(2 * p, 2 * s + 1) for p, s in pairs] + [
+        (2 * s + 1, 2 * p) for p, s in pairs
+    ]
+    want = _py_pagerank(edges, r5b._PR_ITERS, r5b._PR_SCALE)
+
+    li = spark.createDataFrame(
+        [(p, s) for p, s in pairs], "l_partkey long, l_suppkey long"
+    )
+    # rebuild the op pipeline on the crafted edge list by monkeypatching
+    # load_table's output shape: easiest is to run the same construction
+    # inline (the op body is the contract; this mirrors it exactly)
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    rev = li.select(
+        (2 * F.col("l_suppkey") + 1).alias("src"),
+        (2 * F.col("l_partkey")).alias("dst"),
+    )
+    e = fwd.unionAll(rev)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    params = nodes.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(f"(15 * {r5b._PR_SCALE}L) div (100 * count(*))").alias("base_u"),
+    )
+    ranks = nodes.crossJoin(F.broadcast(params)).select(
+        "node", F.expr(f"{r5b._PR_SCALE}L div n").alias("u")
+    )
+    for _ in range(r5b._PR_ITERS):
+        contrib = ranks.join(outdeg, "node").select(
+            "node", F.expr("u div outdeg").alias("contrib")
+        )
+        msgs = (
+            contrib.join(e, contrib.node == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("m"))
+        )
+        ranks = (
+            nodes.join(msgs, "node", "left")
+            .crossJoin(F.broadcast(params))
+            .select(
+                "node",
+                F.expr("base_u + (85 * coalesce(m, 0L)) div 100").alias("u"),
+            )
+        )
+    got = {r["node"]: r["u"] for r in ranks.collect()}
+    assert got == want
+    # asymmetric fixture really distinguishes nodes
+    assert len(set(want.values())) > 2
+
+
+def test_pagerank_is_partitioning_invariant(spark, sf_dir):
+    """Integer arithmetic commutes: the exact pr_u values must be
+    identical whatever the source layout (the property that makes the
+    iterative op hash-certifiable at all)."""
+    base = OPS["op186_pagerank"].fn(spark, sf_dir)
+    want = sorted(
+        (r["node_type"], r["key"], r["pr_u"]) for r in base.collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = sorted(
+            (r["node_type"], r["key"], r["pr_u"])
+            for r in OPS["op186_pagerank"].fn(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == want
+
+
+def test_pagerank_mass_is_plausible(spark, sf_dir):
+    """Sanity on the real table: top-20 ranks positive, sorted desc,
+    both node types present (the bipartite graph links every part to
+    some supplier)."""
+    rows = OPS["op186_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    prs = [r["pr_u"] for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(p > 0 for p in prs)
+
+
+def test_vocab_coverage_shrinks_with_bigger_vocab(spark, sf_dir):
+    """OOV must be monotonically non-increasing in vocab size — rebuild
+    the op's pipeline at K=4 and K=16 and compare per-lang OOV."""
+    from ocdb_server_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def oov_by_lang(k):
+        tok = d.select(
+            "lang", F.explode(F.split("text", " ")).alias("word")
+        ).filter(F.col("word") != "")
+        vocab = (
+            tok.groupBy("word")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "word")
+            .limit(k)
+            .select("word", F.lit(1).alias("in_vocab"))
+        )
+        j = tok.join(F.broadcast(vocab), "word", "left").select(
+            "lang", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov")
+        )
+        return {
+            r["lang"]: r["o"]
+            for r in j.groupBy("lang").agg(F.sum("oov").alias("o")).collect()
+        }
+
+    small, big = oov_by_lang(4), oov_by_lang(16)
+    assert set(small) == set(big)
+    for lang in small:
+        assert big[lang] <= small[lang]
+    # and the registered op agrees with the K=16 rebuild
+    got = {
+        r["lang"]: r["oov_tokens"]
+        for r in OPS["op187_vocab_coverage"].fn(spark, sf_dir).collect()
+    }
+    assert got == big
