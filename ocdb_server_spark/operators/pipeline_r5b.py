@@ -1,4 +1,4 @@
-"""Round-5 pipeline extensions, batch 2 — SURVEY.md §2.20 (op186–op187).
+"""Round-5 pipeline extensions, batch 2 — SURVEY.md §2.20 (op186–op189).
 
 - op186: ITERATIVE graph analytics (PageRank over the part⋈supplier
   co-occurrence graph) with a full SQL oracle — the recurrence is
@@ -10,6 +10,10 @@
 - op187: tokenizer vocab coverage / OOV-rate report — the
   "how big must the vocab be" measurement a tokenizer build runs
   before committing to a merge table.
+- op188: partition-skew diagnosis — per-bucket load report for a
+  prospective shuffle key (engine-portable hash, so fully oracled).
+- op189: schema-evolution union — unionByName across an added-column
+  boundary, the long-lived-lake read path.
 
 Same package rules: DataFrame/Catalyst only, no Python in hot paths,
 shuffles carry ids + counters, cross-engine floats quantized.
@@ -222,4 +226,138 @@ def op187_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(floor(cast(sum(oov) as double) / count(*)"
             " * 1000000.0D + 0.5D) as bigint)"
         ).alias("oov_rate_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op188: partition-skew diagnosis — the report behind every salting fix
+# --------------------------------------------------------------------------
+
+_SKEW_BUCKETS = 32
+_SKEW_MULT = 2654435761  # op174's Knuth constant, same overflow-free mulmod
+
+
+def _bucket_sql(col: str, int_div: str) -> str:
+    from ocdb_server_spark.operators.pipeline_r4b import _mulmod32
+
+    return f"({_mulmod32(col, _SKEW_MULT, int_div)} % {_SKEW_BUCKETS})"
+
+
+_OP188_SQL = f"""
+WITH b AS (
+  SELECT {_bucket_sql('o_custkey', '//')} AS bucket FROM orders
+),
+c AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM b GROUP BY bucket
+),
+t AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows
+  FROM c
+)
+SELECT c.bucket, c.n_rows,
+       CAST(FLOOR(CAST(c.n_rows AS DOUBLE) * {_SKEW_BUCKETS}
+                  / t.total * 1000000.0 + 0.5) AS BIGINT) AS load_ppm_of_even,
+       c.n_rows = t.max_rows AS is_hottest
+FROM c, t
+"""
+
+
+@register("op188_skew_diagnosis", oracle=_OP188_SQL)
+def op188_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket load report for a prospective shuffle key: hash
+    o_custkey into 32 buckets (the engine-portable _mulmod32 hash, so
+    the oracle sees identical buckets) and report each bucket's row
+    count, its load relative to a perfectly even spread (ppm of even
+    share, quantized), and whether it is the hottest bucket — the
+    diagnosis that decides BETWEEN plain hash join, op167's salting,
+    and AQE skew splitting before anyone pays for a failed shuffle.
+    On uniform TPC-H keys every bucket sits near 1,000,000 ppm; a
+    web-corpus host key would show the 10-100× hot bucket this report
+    exists to catch.
+
+    Scale: one map-side-partial agg to 32 rows + a 2-row broadcast
+    total — the report costs one scan regardless of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(F.expr(_bucket_sql("o_custkey", "div")).alias("bucket"))
+    c = b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    t = c.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_rows",
+        F.expr(
+            f"cast(floor(cast(n_rows as double) * {_SKEW_BUCKETS}"
+            " / total * 1000000.0D + 0.5D) as bigint)"
+        ).alias("load_ppm_of_even"),
+        (F.col("n_rows") == F.col("max_rows")).alias("is_hottest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op189: schema-evolution union — reading across an added-column boundary
+# --------------------------------------------------------------------------
+
+_OP189_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+new AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+),
+u AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM old
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM new
+)
+SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM u GROUP BY 1
+"""
+
+
+@register("op189_union_schema_evolution", oracle=_OP189_SQL)
+def op189_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across a schema-evolution boundary: the "old" slice of
+    orders lacks a column the "new" slice carries (modeling a lake
+    table that gained o_orderpriority mid-history);
+    `unionByName(allowMissingColumns=True)` aligns by NAME and nulls
+    the missing column — the read path every long-lived parquet lake
+    needs, and a silent-corruption trap for positional UNION (which
+    would mis-zip columns; the oracle spells out the NULL-padded
+    by-name semantics explicitly). Observable: per-priority counts
+    with the pre-schema rows grouped under a sentinel.
+
+    Scale: pure map-side projection + one 6-group agg."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    u = old.unionByName(new, allowMissingColumns=True)
+    return (
+        u.select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias(
+                "priority"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
+            ).alias("total_price"),
+        )
     )

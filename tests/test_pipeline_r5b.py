@@ -1,4 +1,4 @@
-"""op186/op187 tests: the iterative integer-exact PageRank against a
+"""op186-op189 tests: the iterative integer-exact PageRank against a
 pure-Python reference on a hand-built graph, layout invariance, and
 vocab-coverage sanity."""
 
@@ -159,3 +159,33 @@ def test_vocab_coverage_shrinks_with_bigger_vocab(spark, sf_dir):
         for r in OPS["op187_vocab_coverage"].fn(spark, sf_dir).collect()
     }
     assert got == big
+
+
+def test_skew_diagnosis_is_balanced_on_uniform_keys(spark, sf_dir):
+    """Uniform TPC-H custkeys must land near the even share in every
+    bucket (the report's baseline case), hottest flag unique-ish and
+    consistent with n_rows."""
+    rows = OPS["op188_skew_diagnosis"].fn(spark, sf_dir).collect()
+    assert rows
+    max_rows = max(r["n_rows"] for r in rows)
+    for r in rows:
+        assert r["is_hottest"] == (r["n_rows"] == max_rows)
+        # within 3x of even share on uniform keys (loose: small sf)
+        assert r["load_ppm_of_even"] < 3_000_000, r
+    assert sum(r["n_rows"] for r in rows) > 0
+
+
+def test_union_schema_evolution_counts_add_up(spark, sf_dir):
+    """Sentinel bucket must hold exactly the pre-1998 rows; the other
+    buckets partition the post-1998 slice by priority."""
+    from ocdb_server_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    n_old = o.filter(F.col("o_orderdate") < cut).count()
+    n_new = o.filter(F.col("o_orderdate") >= cut).count()
+    rows = OPS["op189_union_schema_evolution"].fn(spark, sf_dir).collect()
+    got = {r["priority"]: r["n_orders"] for r in rows}
+    assert got.pop("<pre-schema>") == n_old
+    assert sum(got.values()) == n_new
+    assert all(not p.startswith("<") for p in got)
