@@ -365,3 +365,98 @@ def op189_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op190: exact-substring duplicate spans — shingle-run merging
+# --------------------------------------------------------------------------
+
+_SPAN_L = 8  # minimum duplicated run, in tokens
+
+_OP190_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i + {_SPAN_L} - 1], ' ')) AS h
+  FROM t, UNNEST(range(1, n - {_SPAN_L} + 2)) AS u(i)
+  WHERE n >= {_SPAN_L}
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+p AS (
+  SELECT w.doc_id, w.pos,
+         w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+           AS grp
+  FROM w JOIN dup ON w.h = dup.h
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_L} AS BIGINT) AS span_len
+FROM p GROUP BY doc_id, grp
+"""
+
+
+@register("op190_substring_dup_spans", oracle=_OP190_SQL)
+def op190_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS: every maximal run of ≥8 tokens
+    that occurs (anywhere) at least twice in the corpus, reported as
+    (doc_id, span_start, span_len) — the actionable output of
+    exact-substring dedup (public method: Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2021 — which removes
+    the repeated SPAN, not the document; op75/op154 handle whole-doc /
+    prefix dups, op79/op88 the fuzzy ones).
+
+    Distributed formulation: the paper's suffix array becomes a
+    shingle-hash pipeline — every 8-token window hashes (md5, window
+    text never shuffles beyond the hash), duplicated hashes surface
+    via one count≥2 aggregate, and each doc's duplicated positions
+    merge into maximal spans with the gaps-and-islands trick
+    (pos − row_number per doc). Overlapping duplicated windows fuse
+    into one span, so a verbatim 50-token quote reports as ONE
+    43-window span, start and length exact.
+
+    Scale: shuffles carry (hash) then (doc_id, pos) — both O(tokens);
+    the span merge windows over each doc's own positions. The dup-hash
+    join is a semi-join on the hash (corpus-sized at web scale →
+    shuffle; Catalyst may broadcast it at test scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    w = (
+        t.filter(F.col("n") >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {_SPAN_L} + 1),"
+                    f" i -> struct(cast(i as bigint) as pos,"
+                    f" md5(array_join(slice(ws, i, {_SPAN_L}), ' ')) as h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup = w.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    p = w.join(dup.select("h"), "h", "left_semi")
+    from pyspark.sql import Window as _W
+
+    grp = (
+        F.col("pos")
+        - F.row_number().over(_W.partitionBy("doc_id").orderBy("pos"))
+    ).alias("grp")
+    return (
+        p.select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + _SPAN_L)
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .drop("grp")
+    )

@@ -189,3 +189,65 @@ def test_union_schema_evolution_counts_add_up(spark, sf_dir):
     assert got.pop("<pre-schema>") == n_old
     assert sum(got.values()) == n_new
     assert all(not p.startswith("<") for p in got)
+
+
+def test_substring_spans_cover_planted_duplicates(spark):
+    """sf0.1 plants 8 exact-duplicate texts (FIXTURES.md): each dup doc
+    must carry one span covering its ENTIRE token range (overlapping
+    windows fused into one maximal span), and spans never exceed doc
+    length. Also: a crafted corpus where only a 10-token quote is
+    shared must yield exactly that quote's span in both docs."""
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh " + quote + " zz yy"),
+        (2, quote + " kk ll mm nn oo pp qq rr"),
+        (3, "uu vv ww xx " + " ".join(f"u{i}" for i in range(20))),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run the op body against the crafted frame via a shim loader
+    orig = r5b.load_table
+    try:
+        r5b.load_table = lambda s, sf, name: d
+        got = {
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in r5b.op190_substring_dup_spans(spark, "crafted").collect()
+        }
+    finally:
+        r5b.load_table = orig
+    # doc1: quote occupies tokens 9..18 → windows 9..11 (L=8) → span (9, 10)
+    # doc2: tokens 1..10 → windows 1..3 → span (1, 10)
+    assert got == {(1, 9, 10), (2, 1, 10)}, got
+
+
+def test_substring_spans_on_planted_sf01_dups(spark):
+    """The 8 planted duplicate texts at sf0.1 must each surface a
+    whole-document span."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    d = load_table(spark, sf_dir, "documents")
+    dup_texts = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("c"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("c") > 1)
+        .collect()
+    )
+    assert dup_texts, "fixture must contain planted dups at sf0.1"
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_len"])
+        for r in OPS["op190_substring_dup_spans"].fn(spark, sf_dir).collect()
+    }
+    for row in dup_texts:
+        n_tokens = len(row["text"].split(" "))
+        for doc_id in row["ids"]:
+            assert doc_id in spans, f"dup doc {doc_id} has no span"
+            start, length = spans[doc_id]
+            assert start == 1 and length == n_tokens, (
+                f"doc {doc_id}: expected whole-doc span (1, {n_tokens}), "
+                f"got ({start}, {length})"
+            )
