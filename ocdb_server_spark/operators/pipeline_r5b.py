@@ -460,3 +460,128 @@ def op190_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# op191: bigram LM scoring with backoff — the CCNet perplexity filter
+# --------------------------------------------------------------------------
+
+# Stupid-backoff weight (Brants et al. 2007, public method), exact
+# constant in both engines.
+_BO = 0.4
+
+_OP191_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, lang, ws[i] AS v, ws[i + 1] AS w
+  FROM d, UNNEST(range(1, n)) AS u(i)
+  WHERE n >= 2
+),
+bi AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM tr WHERE lang = 'en' GROUP BY v, w
+),
+uni AS (SELECT v, CAST(SUM(cb) AS BIGINT) AS cu FROM bi GROUP BY v),
+tot AS (SELECT SUM(cu) AS big_t FROM uni),
+scored AS (
+  SELECT tr.doc_id,
+         CASE WHEN bi.cb IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+         CAST(FLOOR(
+           CASE
+             WHEN bi.cb IS NOT NULL
+               THEN LN(CAST(uni.cu AS DOUBLE) / bi.cb)
+             WHEN uw.cu IS NOT NULL
+               THEN LN(CAST(tot.big_t AS DOUBLE) / ({_BO} * uw.cu))
+             ELSE LN(CAST(tot.big_t AS DOUBLE) / {_BO})
+           END * 1000000.0 + 0.5) AS BIGINT) AS nlp
+  FROM tr
+  LEFT JOIN bi ON tr.v = bi.v AND tr.w = bi.w
+  LEFT JOIN uni ON tr.v = uni.v
+  LEFT JOIN uni uw ON tr.w = uw.v
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(nlp) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_neglogp
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("op191_bigram_logprob", oracle=_OP191_SQL)
+def op191_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under a BIGRAM model trained on the English
+    slice, with stupid backoff (Brants et al. 2007) for unseen
+    transitions — the real CCNet/Gopher perplexity-filter shape: a
+    reference-corpus LM scores the candidate corpus, and the backoff
+    path genuinely fires (non-en docs hit it constantly; op169's
+    self-trained unigram never could). n_backoff is emitted so the
+    filter can ALSO threshold on model coverage.
+
+    Per-transition -ln p: seen bigram → ln(cu(v)/cb(v,w)); unseen with
+    known continuation → ln(T/(0.4·cu(w))); fully OOV → ln(T/0.4).
+    Every p is a ratio of exact int64 counts (+ one exact constant),
+    quantized floor(x·1e6+0.5)→int64 before the per-doc sum (op169's
+    discipline), one divide at the end.
+
+    Scale: the model joins are LEFT joins of transitions against the
+    bigram/unigram tables keyed on the grams — kept as SHUFFLE joins
+    (op120's rule: gram tables are vocab²-sized on a web corpus, no
+    broadcast hint), so every shuffle carries gram keys + counts,
+    O(tokens). The transition explode is the same budget as op77's
+    wordcount."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    tr = (
+        t.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1),"
+                    " i -> struct(element_at(ws, i) as v,"
+                    " element_at(ws, i + 1) as w))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "lang", F.col("s.v").alias("v"), F.col("s.w").alias("w"))
+    )
+    bi = (
+        tr.filter(F.col("lang") == "en")
+        .groupBy("v", "w")
+        .agg(F.count("*").cast("bigint").alias("cb"))
+    )
+    uni = bi.groupBy("v").agg(F.sum("cb").cast("bigint").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("big_t"))
+    uw = uni.select(F.col("v").alias("w"), F.col("cu").alias("cuw"))
+    scored = (
+        tr.join(bi.hint("shuffle_merge"), ["v", "w"], "left")
+        .join(uni.hint("shuffle_merge"), ["v"], "left")
+        .join(uw.hint("shuffle_merge"), ["w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("cb").isNotNull(), 0).otherwise(1).alias("backoff"),
+            F.expr(
+                "cast(floor(CASE"
+                " WHEN cb IS NOT NULL THEN ln(cast(cu as double) / cb)"
+                f" WHEN cuw IS NOT NULL THEN ln(cast(big_t as double) / ({_BO}D * cuw))"
+                f" ELSE ln(cast(big_t as double) / {_BO}D)"
+                " END * 1000000.0D + 0.5D) as bigint)"
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.sum("backoff").cast("bigint").alias("n_backoff"),
+        (F.sum("nlp").cast("double") / (F.count("*") * 1_000_000)).alias(
+            "avg_neglogp"
+        ),
+    )

@@ -251,3 +251,30 @@ def test_substring_spans_on_planted_sf01_dups(spark):
                 f"doc {doc_id}: expected whole-doc span (1, {n_tokens}), "
                 f"got ({start}, {length})"
             )
+
+
+def test_bigram_backoff_fires_on_unseen_language(spark):
+    """A crafted corpus where the non-en doc shares NO vocabulary with
+    the en training slice: every one of its transitions must take the
+    backoff path, and its avg_neglogp must exceed the in-model doc's
+    (the filter's discriminating direction)."""
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    rows = [
+        (1, "en", "a b c a b c a b"),
+        (2, "en", "a b a b c c a b"),
+        (3, "zh", "x y z x y z x y"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    orig = r5b.load_table
+    try:
+        r5b.load_table = lambda s, sf, name: d
+        got = {
+            r["doc_id"]: (r["n_transitions"], r["n_backoff"], r["avg_neglogp"])
+            for r in r5b.op191_bigram_logprob(spark, "crafted").collect()
+        }
+    finally:
+        r5b.load_table = orig
+    assert got[3][0] == got[3][1] == 7, "all zh transitions must back off"
+    assert got[1][1] == 0 and got[2][1] == 0
+    assert got[3][2] > got[1][2] and got[3][2] > got[2][2]
