@@ -585,3 +585,120 @@ def op191_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neglogp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# op192: shingle containment — asymmetric near-dup scoring
+# --------------------------------------------------------------------------
+
+_CT_L = 5        # tokens per shingle
+_CT_DFCAP = 100  # drop shingles present in more docs (bounds join fanout)
+_CT_MIN = 3      # report pairs sharing at least this many shingles
+
+_OP192_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(ws[i:i + {_CT_L} - 1], ' ')) AS h
+  FROM t, UNNEST(range(1, n - {_CT_L} + 2)) AS u(i)
+  WHERE n >= {_CT_L}
+),
+keep AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {_CT_DFCAP}
+),
+shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN keep ON sh.h = keep.h),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_CT_MIN}
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       ROUND(CAST(p.inter AS DOUBLE) / sa.sz, 6) AS containment_a,
+       ROUND(CAST(p.inter AS DOUBLE) / sb.sz, 6) AS containment_b
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+"""
+
+
+@register("op192_shingle_containment", oracle=_OP192_SQL)
+def op192_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup scoring: for doc pairs sharing ≥3 distinct
+    5-token shingles, report |A∩B| and BOTH containments |A∩B|/|A|,
+    |A∩B|/|B| — the metric that catches quote-inclusion and
+    superset/subset duplication that symmetric Jaccard (op89)
+    underweights (a tweet quoted inside an article has tiny Jaccard
+    but containment ≈ 1 on the tweet side; RefinedWeb-style pipelines
+    filter on exactly this).
+
+    Scale: candidate pairs come from the shared-shingle equi-join —
+    never doc×doc — and the df-cap (drop shingles in >100 docs,
+    applied identically in the oracle) bounds each shingle's fanout
+    at 100², the standard boilerplate-shingle guard; shuffles carry
+    (hash, doc_id) pairs only. At sf0.1 the planted duplicate texts
+    must surface with containment 1.0 both sides (tested); at lower
+    sf the word-soup corpus shares no 5-gram runs and the correct
+    output is empty."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("ws")).withColumn(
+        "n", F.size("ws")
+    )
+    sh = (
+        t.filter(F.col("n") >= _CT_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {_CT_L} + 1),"
+                    f" i -> md5(array_join(slice(ws, i, {_CT_L}), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _CT_DFCAP
+    )
+    shc = sh.join(keep.select("h"), "h", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+        .filter(F.col("inter") >= _CT_MIN)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.bround(F.col("inter").cast("double") / F.col("size_a"), 6).alias(
+                "containment_a"
+            ),
+            F.bround(F.col("inter").cast("double") / F.col("size_b"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )

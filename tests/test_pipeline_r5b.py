@@ -278,3 +278,46 @@ def test_bigram_backoff_fires_on_unseen_language(spark):
     assert got[3][0] == got[3][1] == 7, "all zh transitions must back off"
     assert got[1][1] == 0 and got[2][1] == 0
     assert got[3][2] > got[1][2] and got[3][2] > got[2][2]
+
+
+def test_containment_catches_planted_dups_and_quote_inclusion(spark):
+    """sf0.1's 8 planted exact-dup pairs must score containment 1.0 on
+    BOTH sides; a crafted quote-inclusion corpus must score ~1.0 on
+    the contained side and <0.5 on the containing side — the asymmetry
+    Jaccard misses."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    rows = OPS["op192_shingle_containment"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    full = [
+        r for r in rows if r["containment_a"] == 1.0 and r["containment_b"] == 1.0
+    ]
+    d = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_dup_pairs = (
+        d.groupBy("text").count().filter(F.col("count") > 1).count()
+    )
+    assert len(full) == n_dup_pairs, (full, n_dup_pairs)
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    crafted = spark.createDataFrame(
+        [
+            (1, quote),  # the tweet: entirely contained
+            (2, " ".join(f"w{i}" for i in range(40)) + " " + quote
+                + " " + " ".join(f"v{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    orig = r5b.load_table
+    try:
+        r5b.load_table = lambda s, sf, name: crafted
+        got = r5b.op192_shingle_containment(spark, "crafted").collect()
+    finally:
+        r5b.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_a"] == 1 and r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.5
