@@ -702,3 +702,52 @@ def op192_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op193: keyset (seek) pagination — the scale-correct page fetch
+# --------------------------------------------------------------------------
+
+# cursor = last (o_orderdate, o_orderkey) of the previous page — the
+# values a real API echoes back as its page token.
+_KS_CURSOR_DATE = "1995-06-01 00:00:00"
+_KS_CURSOR_KEY = 42
+_KS_PAGE = 20
+
+_OP193_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE (o_orderdate > TIMESTAMP '{_KS_CURSOR_DATE}')
+   OR (o_orderdate = TIMESTAMP '{_KS_CURSOR_DATE}' AND o_orderkey > {_KS_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_KS_PAGE}
+"""
+
+
+@register("op193_keyset_pagination", oracle=_OP193_SQL)
+def op193_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-based) pagination: fetch the page AFTER a cursor
+    row by filtering on the sort key instead of skipping rows — the
+    scale-correct twin of op52's LIMIT/OFFSET (offset N scans and
+    discards N rows on every page, so page latency grows linearly
+    into deep result sets; the reference's dataset-search pagination
+    has exactly this failure mode at depth). The cursor tuple
+    predicate pushes to the parquet scan (o_orderdate range lands in
+    PushedFilters), and the page plans as TakeOrderedAndProject —
+    per-partition top-20 then merge, NEVER a global sort or a
+    skip-scan. Same row-order contract as op52 (total order via the
+    unique key tiebreak), so pages never duplicate or drop rows
+    between requests even under concurrent inserts outside the
+    cursor range."""
+    o = load_table(spark, sf_dir, "orders")
+    cur_d = F.lit(_KS_CURSOR_DATE).cast("timestamp")
+    after = (F.col("o_orderdate") > cur_d) | (
+        (F.col("o_orderdate") == cur_d)
+        & (F.col("o_orderkey") > _KS_CURSOR_KEY)
+    )
+    return (
+        o.filter(after)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_KS_PAGE)
+    )

@@ -321,3 +321,32 @@ def test_containment_catches_planted_dups_and_quote_inclusion(spark):
     r = got[0]
     assert r["doc_a"] == 1 and r["containment_a"] == 1.0
     assert r["containment_b"] < 0.5
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """The keyset page after cursor row R must equal the OFFSET page
+    that starts right after R in the same total order — the semantic
+    contract that lets an API migrate from offset to keyset tokens."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    o = load_table(spark, sf_dir, "orders")
+    ordered = o.select("o_orderkey", "o_orderdate", "o_totalprice").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    allrows = ordered.collect()
+    cur_d = r5b._KS_CURSOR_DATE
+    import datetime
+
+    cd = datetime.datetime.fromisoformat(cur_d)
+    idx = sum(
+        1
+        for r in allrows
+        if (r["o_orderdate"], r["o_orderkey"]) <= (cd, r5b._KS_CURSOR_KEY)
+    )
+    want = [tuple(r) for r in allrows[idx : idx + r5b._KS_PAGE]]
+    got = [
+        tuple(r)
+        for r in OPS["op193_keyset_pagination"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
