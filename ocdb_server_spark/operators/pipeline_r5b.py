@@ -751,3 +751,56 @@ def op193_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(_KS_PAGE)
     )
+
+
+# --------------------------------------------------------------------------
+# op194: mergeable MinHash rollup — similarity sketches as algebra
+# --------------------------------------------------------------------------
+
+_MH_K = 16  # signature width (same as op79)
+
+
+@register("op194_minhash_rollup", oracle=None)  # ROWS: xxhash64-based
+def op194_minhash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE MinHash signatures rolled up to a corpus signature by
+    ELEMENTWISE MIN — the similarity-sketch member of the mergeable-
+    aggregate family (op166 HLL∪, op171 algebraic rollup): because
+    min(minhash(A), minhash(B)) = minhash(A∪B) exactly, any hierarchy
+    level re-aggregates from stored signatures instead of re-shingling
+    raw text, and two stored signatures estimate the Jaccard overlap
+    of whole sub-corpora (matching components / dedup-across-dumps at
+    100 TB without touching documents).
+
+    One explode over shingles feeds the source-level 16-min partial
+    agg (shuffle = 16 longs per source); the corpus row then derives
+    PURELY from the source signatures. tests/test_pipeline_r5b.py
+    proves the rollup law: corpus-from-sources ≡ corpus-from-shingles,
+    and that planted duplicate sources produce identical signatures.
+
+    ROWS-oracle: signatures are xxhash64-based (no DuckDB twin — same
+    rationale as op79)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("source", F.expr("split(lower(text), ' ')").alias("w"))
+    shingles = F.expr(
+        "array_distinct(filter("
+        "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+        "           (x, y) -> concat_ws(' ', x, y)),"
+        "  s -> contains(s, ' ')))"
+    )
+    sh = w.select("source", F.explode(shingles).alias("shingle"))
+    per_source = sh.groupBy("source").agg(
+        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh{i}") for i in range(_MH_K)]
+    )
+    src_rows = per_source.select(
+        F.lit("source").alias("level"),
+        F.col("source").alias("key"),
+        *[F.col(f"mh{i}") for i in range(_MH_K)],
+    )
+    corpus = per_source.agg(
+        *[F.expr(f"min(mh{i}) AS mh{i}") for i in range(_MH_K)]
+    ).select(
+        F.lit("corpus").alias("level"),
+        F.lit("*").alias("key"),
+        *[F.col(f"mh{i}") for i in range(_MH_K)],
+    )
+    return src_rows.unionAll(corpus)

@@ -350,3 +350,61 @@ def test_keyset_page_equals_offset_page(spark, sf_dir):
         for r in OPS["op193_keyset_pagination"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_minhash_rollup_law_and_duplicate_sources(spark, sf_dir):
+    """min(minhash(A), minhash(B)) = minhash(A∪B): the corpus row the
+    op derives FROM source signatures must equal the signature computed
+    directly from all shingles; and two sources with identical content
+    must emit identical signatures (crafted corpus)."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    rows = OPS["op194_minhash_rollup"].fn(spark, sf_dir).collect()
+    sig = {
+        (r["level"], r["key"]): tuple(r[f"mh{i}"] for i in range(r5b._MH_K))
+        for r in rows
+    }
+    corpus = sig[("corpus", "*")]
+    srcs = [v for (lvl, _), v in sig.items() if lvl == "source"]
+    assert corpus == tuple(min(s[i] for s in srcs) for i in range(r5b._MH_K))
+
+    # direct computation from all shingles, bypassing the rollup
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.expr("split(lower(text), ' ')").alias("w"))
+    shingles = F.expr(
+        "array_distinct(filter("
+        "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+        "           (x, y) -> concat_ws(' ', x, y)),"
+        "  s -> contains(s, ' ')))"
+    )
+    sh = w.select(F.explode(shingles).alias("shingle"))
+    direct = sh.agg(
+        *[
+            F.expr(f"min(xxhash64({i}, shingle)) AS mh{i}")
+            for i in range(r5b._MH_K)
+        ]
+    ).collect()[0]
+    assert corpus == tuple(direct[f"mh{i}"] for i in range(r5b._MH_K))
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "s1"),
+            (2, "alpha beta gamma delta epsilon", "s2"),
+            (3, "zeta eta theta iota kappa", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = r5b.load_table
+    try:
+        r5b.load_table = lambda s, sf, name: crafted
+        got = {
+            r["key"]: tuple(r[f"mh{i}"] for i in range(r5b._MH_K))
+            for r in r5b.op194_minhash_rollup(spark, "crafted").collect()
+        }
+    finally:
+        r5b.load_table = orig
+    assert got["s1"] == got["s2"], "identical sources must share a signature"
+    assert got["s1"] != got["s3"]
