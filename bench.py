@@ -105,6 +105,7 @@ def main() -> None:
         floor = min(floor, time.perf_counter() - t0)
 
     timings: dict[str, float] = {}
+    noop_timings: dict[str, float] = {}
     build_total = 0.0
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -116,6 +117,17 @@ def main() -> None:
             df.toArrow()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Transparency: the rounds-1-4 noop-write measurement, emitted
+        # alongside so the methodology switch hides nothing — the gap
+        # between the two IS the write-command overhead documented in
+        # BASELINE.md (plus, for top-k plans, the lost executeCollect
+        # fast path), not a change in the queries.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        noop_timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     adjusted = {n: round(max(0.0, t - floor), 4) for n, t in timings.items()}
@@ -142,6 +154,7 @@ def main() -> None:
                 "comparable5_yardstick_sec": round(
                     sum(YARDSTICK_MS.values()) / 1000, 4
                 ),
+                "queries_noop_write_legacy": noop_timings,
                 "plan_build_sec": round(build_total, 4),
                 "job_floor_sec": round(floor, 4),
                 "sf": sf,
