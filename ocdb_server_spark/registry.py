@@ -149,6 +149,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r4b,
         pipeline_r5,
         pipeline_r5b,
+        multimodal_codecs,
         udfs,
         northstar,
         pipeline_ext,
