@@ -1,6 +1,6 @@
-"""op195/op196 — REAL multimodal decode, hash-certified.
+"""op195–op197 — REAL multimodal decode + DSP, hash-certified.
 
-These two ops retire the "decode kernel is stubbed" caveat for the
+These ops retire the "decode kernel is stubbed" caveat for the
 two classic uncompressed formats: standards-conformant PCM WAV and
 24-bit BMP files are synthesized from closed-form integer formulas,
 decoded back through Arrow-batched mapInPandas with the REAL parsers
@@ -197,4 +197,82 @@ def op196_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_bmp_stats,
         "asset_id long, width long, height long,"
         " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# ------------------------------------------------------- WAV + FFT
+
+_FFT_N = 128          # assets
+_FFT_SAMPLES = 1024   # per asset (power of two)
+_FFT_AMP = 8000
+
+
+_OP197_SQL = f"""
+WITH a AS (SELECT range AS i FROM range(0, {_FFT_N}))
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST({_FFT_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(3 + (i % 40) * 2 AS BIGINT) AS dominant_bin,
+       CAST(3 + (i % 40) * 2 AS DOUBLE) * {_WAV_RATE} / {_FFT_SAMPLES}
+         AS dominant_freq_hz
+FROM a
+"""
+
+
+def _gen_sine_wav(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.codecs import encode_wav
+
+    for pdf in it:
+        ids, payloads = [], []
+        for i in pdf["id"]:
+            i = int(i)
+            m = 3 + (i % 40) * 2  # exact FFT bin
+            k = np.arange(_FFT_SAMPLES)
+            s = np.rint(
+                _FFT_AMP * np.sin(2.0 * np.pi * m * k / _FFT_SAMPLES)
+            ).astype(np.int16)
+            ids.append(i)
+            payloads.append(encode_wav(s, _WAV_RATE))
+        yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+
+def _dominant_freq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.codecs import decode_wav
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("asset_id", "n_samples", "dominant_bin", "dominant_freq_hz")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            rate, _ch, n, s = decode_wav(bytes(payload))
+            spec = np.abs(np.fft.rfft(s.astype(np.float64)))
+            bin_ = int(np.argmax(spec[1:])) + 1  # skip DC
+            out["asset_id"].append(int(aid))
+            out["n_samples"].append(n)
+            out["dominant_bin"].append(bin_)
+            out["dominant_freq_hz"].append(bin_ * rate / n)
+        yield pd.DataFrame(out)
+
+
+@register("op197_audio_dominant_freq", oracle=_OP197_SQL)
+def op197_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSP feature extraction, certified: pure sine tones planted
+    EXACTLY on FFT bins (bin 3..81 of a 1024-sample frame) are
+    WAV-encoded, decoded by the real RIFF parser, and their dominant
+    frequency recovered via numpy rfft + argmax — the first step of
+    every audio-embedding / spectrogram pipeline. Because each tone
+    sits on an exact bin, the int16 quantization of the sine cannot
+    move the argmax, so the extracted bin is deterministic and the
+    oracle states it in closed form: a hash match certifies
+    decode + FFT + peak-pick end to end. sf_dir unused
+    (self-generated corpus); payloads never shuffle."""
+    gen = spark.range(_FFT_N).repartition(8).mapInPandas(
+        _gen_sine_wav, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _dominant_freq,
+        "asset_id long, n_samples long, dominant_bin long,"
+        " dominant_freq_hz double",
     )
