@@ -6,12 +6,16 @@ metadata — the same pattern op82 proves for text+vector. Decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so payload bytes never round-trip per-row.
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernel is STUBBED: `decode_image_stub` raises
-NotImplementedError unless `fake=True`, in which case it produces a
-deterministic fake (width/height parsed from the synthetic payload
-header) — making the Spark-side plumbing (schema, batch iteration,
-partition sizing) real and testable (tests/test_multimodal.py).
+COMPRESSED codec libraries (JPEG/MP3/H.264) are NOT in this
+container, so this module's decode kernel is STUBBED:
+`decode_image_stub` raises NotImplementedError unless `fake=True`,
+in which case it produces a deterministic fake — making the
+Spark-side plumbing (schema, batch iteration, partition sizing) real
+and testable (tests/test_multimodal.py). The UNCOMPRESSED formats
+are decoded for real: sources/codecs.py implements PCM WAV and
+24-bit BMP in pure struct+numpy (stdlib-`wave` interop proven), and
+op195–op197 hash-certify those decoders against closed-form
+oracles.
 
 Scale notes: media tables partition by (modality, date); payloads cap
 at `spark.sql.files.maxPartitionBytes` granularity so one task never
