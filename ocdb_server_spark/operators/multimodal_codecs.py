@@ -1,4 +1,4 @@
-"""op195–op197 — REAL multimodal decode + DSP, hash-certified.
+"""op195–op200 — REAL multimodal decode + DSP, hash-certified.
 
 These ops retire the "decode kernel is stubbed" caveat for the
 two classic uncompressed formats: standards-conformant PCM WAV and
@@ -276,3 +276,219 @@ def op197_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, n_samples long, dominant_bin long,"
         " dominant_freq_hz double",
     )
+
+
+# ------------------------------------------------------- BMP resize
+
+_RS_FACTOR = 2  # 2x2 box-average downscale
+
+
+_OP198_SQL = f"""
+WITH a AS (
+  SELECT range AS i,
+         16 + (range % 4) * 8 AS w,
+         8 + (range % 3) * 8 AS h
+  FROM range(0, {_BMP_N})
+),
+px AS (
+  SELECT a.i, a.w, a.h, r.rr, c.cc,
+         (a.i + 3 * r.rr + 7 * c.cc) % 256 AS red,
+         (2 * a.i + 5 * r.rr + c.cc) % 256 AS grn,
+         (3 * a.i + r.rr + 2 * c.cc) % 256 AS blu
+  FROM a, UNNEST(range(0, a.h)) AS r(rr), UNNEST(range(0, a.w)) AS c(cc)
+),
+small AS (
+  SELECT i, w, h, rr // {_RS_FACTOR} AS sr, cc // {_RS_FACTOR} AS sc,
+         SUM(red) // {_RS_FACTOR * _RS_FACTOR} AS red,
+         SUM(grn) // {_RS_FACTOR * _RS_FACTOR} AS grn,
+         SUM(blu) // {_RS_FACTOR * _RS_FACTOR} AS blu
+  FROM px GROUP BY i, w, h, sr, sc
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(w // {_RS_FACTOR} AS BIGINT) AS out_width,
+       CAST(h // {_RS_FACTOR} AS BIGINT) AS out_height,
+       CAST(SUM(red) AS BIGINT) AS sum_r,
+       CAST(SUM(grn) AS BIGINT) AS sum_g,
+       CAST(SUM(blu) AS BIGINT) AS sum_b
+FROM small GROUP BY i, w, h
+"""
+
+
+def _resize_bmp_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.codecs import decode_bmp
+
+    f = _RS_FACTOR
+    for pdf in it:
+        out = {k: [] for k in
+               ("asset_id", "out_width", "out_height", "sum_r", "sum_g", "sum_b")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            w, h, px = decode_bmp(bytes(payload))
+            p = px.astype(np.int64)
+            ow, oh = w // f, h // f
+            # 2x2 box average with floor division — integer-exact
+            small = (
+                p[: oh * f, : ow * f]
+                .reshape(oh, f, ow, f, 3)
+                .sum(axis=(1, 3))
+                // (f * f)
+            )
+            sums = small.sum(axis=(0, 1))
+            out["asset_id"].append(int(aid))
+            out["out_width"].append(ow)
+            out["out_height"].append(oh)
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(out)
+
+
+@register("op198_bmp_resize", oracle=_OP198_SQL)
+def op198_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE, for real: the decoded BMPs downscale 2× by
+    integer-exact box averaging (sum of each 2×2 block, floor-div 4 —
+    the standard antialiased downscale, kept in int64 so the
+    closed-form oracle can restate it exactly). Completes the
+    decode / feature-extract / RESIZE / frame-sample verb set the
+    north-star multimodal family promises, with a working kernel.
+    Payloads and pixel arrays never leave their task; only the
+    resized-image summary rows continue."""
+    gen = spark.range(_BMP_N).repartition(8).mapInPandas(
+        _gen_bmp, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _resize_bmp_stats,
+        "asset_id long, out_width long, out_height long,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# ------------------------------------------------------- audio frames
+
+_FR_LEN = 32   # samples per frame
+_FR_TOPK = 3   # loudest frames reported per asset
+
+
+_OP199_SQL = f"""
+WITH a AS (SELECT range AS i FROM range(0, {_WAV_N})),
+s AS (
+  SELECT a.i, u.k // {_FR_LEN} AS frame_idx,
+         ((a.i * 31 + u.k * 7) % 2001) - 1000 AS v
+  FROM a, UNNEST(range(0, 400 + (a.i % 5) * 100)) AS u(k)
+),
+fr AS (
+  SELECT i, frame_idx,
+         CAST(SUM(v * v) AS BIGINT) AS energy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY i, frame_idx
+),
+r AS (
+  SELECT i, frame_idx, energy,
+         ROW_NUMBER() OVER (PARTITION BY i
+                            ORDER BY energy DESC, frame_idx) AS rnk
+  FROM fr WHERE n = {_FR_LEN}
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       energy,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_FR_TOPK}
+"""
+
+
+def _loudest_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.codecs import decode_wav
+
+    for pdf in it:
+        out = {k: [] for k in ("asset_id", "frame_idx", "energy", "rnk")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            _rate, _ch, n, s = decode_wav(bytes(payload))
+            nf = n // _FR_LEN  # complete frames only (matches oracle)
+            e = (
+                s[: nf * _FR_LEN]
+                .astype(np.int64)
+                .reshape(nf, _FR_LEN)
+            )
+            energy = (e * e).sum(axis=1)
+            order = sorted(range(nf), key=lambda j: (-energy[j], j))
+            for rnk, j in enumerate(order[:_FR_TOPK], start=1):
+                out["asset_id"].append(int(aid))
+                out["frame_idx"].append(j)
+                out["energy"].append(int(energy[j]))
+                out["rnk"].append(rnk)
+        yield pd.DataFrame(out)
+
+
+@register("op199_audio_loudest_frames", oracle=_OP199_SQL)
+def op199_audio_loudest_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FRAME-SAMPLING, for real: decoded PCM splits into
+    32-sample frames and the 3 loudest frames per asset are reported
+    (frame energy = exact int64 sum of squares; deterministic
+    tiebreak) — the clip-selection step audio training pipelines run
+    before feature extraction (keep the energetic windows, drop
+    silence). The oracle restates frame bucketing and top-k from the
+    generation formula. Payloads never shuffle; the per-asset top-k
+    runs inside the decode task."""
+    gen = spark.range(_WAV_N).repartition(8).mapInPandas(
+        _gen_wav, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _loudest_frames,
+        "asset_id long, frame_idx long, energy long, rnk long",
+    )
+
+
+# ------------------------------------------------------- cross-modal join
+
+_OP200_SQL = f"""
+WITH wav AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         CAST(SUM(v * v) AS BIGINT) AS sum_sq
+  FROM (
+    SELECT a.i, ((a.i * 31 + u.k * 7) % 2001) - 1000 AS v
+    FROM (SELECT range AS i FROM range(0, {_WAV_N})) a,
+         UNNEST(range(0, 400 + (a.i % 5) * 100)) AS u(k)
+  ) GROUP BY i
+),
+bmp AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         CAST(SUM((i + 3 * r.rr + 7 * c.cc) % 256) AS BIGINT) AS sum_r
+  FROM (SELECT range AS i, 16 + (range % 4) * 8 AS w, 8 + (range % 3) * 8 AS h
+        FROM range(0, {_BMP_N})) a,
+       UNNEST(range(0, a.h)) AS r(rr), UNNEST(range(0, a.w)) AS c(cc)
+  GROUP BY i
+)
+SELECT w.asset_id, w.sum_sq, b.sum_r
+FROM wav w JOIN bmp b ON w.asset_id = b.asset_id
+"""
+
+
+@register("op200_multimodal_fuse", oracle=_OP200_SQL)
+def op200_multimodal_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal fusion: decoded AUDIO features join decoded IMAGE
+    features on asset_id — the end-to-end multimodal pipeline (two
+    independent decode stages, each confined to its own tasks, meeting
+    in one equi-join of fixed-width feature rows). op82 proved
+    text⋈vector; this is its decoded-media sibling, and the join input
+    on each side is the certified output of op195/op196 — bytes were
+    decoded for real upstream, but only integer features ever reach
+    the shuffle. The oracle recomputes both sides from the generation
+    formulas and joins them itself."""
+    wav = spark.range(_WAV_N).repartition(8).mapInPandas(
+        _gen_wav, "asset_id long, payload binary"
+    ).mapInPandas(
+        _decode_wav_features,
+        "asset_id long, sample_rate long, n_samples long,"
+        " duration_ms long, sum_sq long, peak long",
+    ).select("asset_id", "sum_sq")
+    bmp = spark.range(_BMP_N).repartition(8).mapInPandas(
+        _gen_bmp, "asset_id long, payload binary"
+    ).mapInPandas(
+        _decode_bmp_stats,
+        "asset_id long, width long, height long,"
+        " sum_r long, sum_g long, sum_b long",
+    ).select("asset_id", "sum_r")
+    return wav.join(bmp, "asset_id")
