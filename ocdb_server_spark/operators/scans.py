@@ -63,8 +63,12 @@ def op03_source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "fixture.sb")
-    with open(path, "w") as f:
+    # atomic write (tmp + rename): concurrent sweeps write identical
+    # bytes, but a reader must never see a torn file mid-write
+    tmp_path = f"{path}.{os.getpid()}.tmp"
+    with open(tmp_path, "w") as f:
         f.write(FIXTURE)
+    os.replace(tmp_path, path)
     return read_seabass(spark, path)
 
 
@@ -98,7 +102,11 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality pruning column), reads it back and counts per
     partition — verifying partition discovery round-trips.
     """
-    out = os.path.join(tempfile.gettempdir(), "ocdb_spark_sink_roundtrip")
+    # sf-tagged scratch: two concurrent runs at different scale factors
+    # must never overwrite each other's files mid-read (op159/op172's
+    # rule — a race here produced a transient snapshot drift in r5)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_sink_roundtrip_{tag}")
     li = load_table(spark, sf_dir, "lineitem")
     (
         li.filter(F.col("l_quantity") > 45)
@@ -132,7 +140,8 @@ def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tmp
 
-    base = _os.path.join(_tmp.gettempdir(), "ocdb_spark_fmt_roundtrip")
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_fmt_roundtrip_{tag}")
     src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000.0)

@@ -408,3 +408,44 @@ def test_minhash_rollup_law_and_duplicate_sources(spark, sf_dir):
         r5b.load_table = orig
     assert got["s1"] == got["s2"], "identical sources must share a signature"
     assert got["s1"] != got["s3"]
+
+
+def test_bottomk_sketch_merge_algebra_and_accuracy(spark, sf_dir):
+    """(a) the op's merged 'all' sketch must equal the DIRECT global
+    bottom-k computed from raw rows (merge = union + cut, exactly);
+    (b) the sketch-estimated global median must land within the
+    [0.30, 0.70] true-CDF band (64-point sample bound)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators import pipeline_r5b as r5b
+
+    rows = OPS["op201_bottomk_quantile_sketch"].fn(spark, sf_dir).collect()
+    overall = next(r for r in rows if r["level"] == "all")
+    assert overall["k"] == r5b._BK_K
+
+    e = load_table(spark, sf_dir, "events").select(
+        "value", F.xxhash64("event_id").alias("tag")
+    )
+    direct = (
+        e.withColumn("rn", F.row_number().over(W.orderBy("tag")))
+        .filter(F.col("rn") <= r5b._BK_K)
+        .agg(F.expr("bround(percentile(value, 0.5), 6)").alias("p50"))
+        .collect()[0]["p50"]
+    )
+    assert overall["est_p50"] == direct, "merge != direct global sketch"
+
+    n = e.count()
+    rank = e.filter(F.col("value") <= overall["est_p50"]).count() / n
+    assert 0.30 <= rank <= 0.70, f"median estimate rank {rank} out of band"
+
+    # per-type sketches are deterministic: same rows on a re-run
+    again = {
+        (r["level"], r["key"]): (r["est_p25"], r["est_p50"], r["est_p75"])
+        for r in OPS["op201_bottomk_quantile_sketch"].fn(spark, sf_dir).collect()
+    }
+    first = {
+        (r["level"], r["key"]): (r["est_p25"], r["est_p50"], r["est_p75"])
+        for r in rows
+    }
+    assert again == first
