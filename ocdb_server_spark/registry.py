@@ -80,8 +80,13 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
          never swept, OR swept but errored/mismatched (a fixed op
          whose only row is an old failure is exactly the one to
          re-check first) — cheapest first, then
-      2. already-certified ops (cheapest first) — re-certifying is
-         pure upside if the budget stretches, and harmless if not.
+      2. already-certified ops, STALEST driver evidence first
+         (round of the latest green row, ascending), then cheapest
+         first within a round. Once everything is certified (true
+         since round 5), the budget's ~50 slots should refresh the
+         ops whose evidence predates the most shared-helper churn
+         (op22-op41's latest green rows are r1-era), not re-check
+         the same cheapest scans every round — round-5 verdict #1.
 
     "Certified" means the op's LATEST row actually passed: err is
     null (or the designed ``no_oracle`` rows-only check) and no
@@ -101,19 +106,21 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    certified: set[str] = set()
+    # certified[op] = round number of the op's LATEST green row.
     # Later rounds override earlier ones (sorted() gives r01 < r02 < ...):
     # an op that failed in r1 but passed in r3 is certified; one that
     # passed in r1 but erred in r3 is NOT.
+    certified: dict[str, int] = {}
     for fname in sorted(os.listdir(root)):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
             try:
+                rnd = int("".join(ch for ch in fname[len("CORRECTNESS_r"):-len(".json")] if ch.isdigit()) or 0)
                 with open(os.path.join(root, fname)) as f:
                     for key, row in json.load(f).items():
                         if _row_is_green(row):
-                            certified.add(key)
+                            certified[key] = rnd
                         else:
-                            certified.discard(key)
+                            certified.pop(key, None)
             except Exception:
                 pass  # a malformed file must never break the registry
     costs: dict[str, float] = {}
@@ -125,7 +132,9 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     pos = {k: i for i, k in enumerate(keys)}
 
     def key_fn(k: str):
-        return (k in certified, costs.get(k, float("inf")), pos[k])
+        # Uncertified first (certified.get → 0 sorts before any round);
+        # among certified, oldest evidence round first, then cheapest.
+        return (certified.get(k, 0), costs.get(k, float("inf")), pos[k])
 
     return sorted(keys, key=key_fn)
 

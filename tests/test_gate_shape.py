@@ -100,18 +100,25 @@ def test_sweep_order_fronts_errored_ops(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         "op_flip": dict(green_sql, hash_match=False, err=None),  # ...broke in r2
         "op_late": green_rows,         # ...certified in r2
+        "op_fresh": green_sql,         # re-certified in r2 (fresh evidence)
     }))
 
-    keys = ["op_green", "op_rows", "op_crash", "op_flip", "op_virgin", "op_late"]
+    # op_fresh registers FIRST but has the freshest evidence (r2) — the
+    # round-5 verdict's staleness rule must sort it behind the r1-era
+    # certified ops despite registration order.
+    keys = ["op_fresh", "op_green", "op_rows", "op_crash", "op_flip",
+            "op_virgin", "op_late"]
     ordered = _sweep_order(keys, root=str(tmp_path))
 
     front = {"op_crash", "op_flip", "op_virgin"}
-    back = {"op_green", "op_rows", "op_late"}
+    back = {"op_green", "op_rows", "op_late", "op_fresh"}
     assert set(ordered[:3]) == front, f"uncertified ops must front: {ordered}"
     assert set(ordered[3:]) == back, f"certified ops must trail: {ordered}"
-    # within a group, no costs file → registration order preserved
+    # within the uncertified group, no costs file → registration order
     assert ordered[:3] == ["op_crash", "op_flip", "op_virgin"]
-    assert ordered[3:] == ["op_green", "op_rows", "op_late"]
+    # certified: STALEST round first (r1 before r2), registration order
+    # within a round — op_fresh's r2 evidence sorts it behind r1 ops.
+    assert ordered[3:] == ["op_green", "op_rows", "op_fresh", "op_late"]
 
 
 @pytest.mark.parametrize("name", ALL_OPS)
