@@ -33,16 +33,31 @@ HEADLINE = [
     "op79_minhash_neardup",      # MinHash+LSH candidate pairs
 ]
 
-# DuckDB 1.0.0 warm-view yardsticks, ms — BASELINE.md "Measured this
-# session (2026-08-13)" table, same machine class as the driver bench.
+# DuckDB 1.0.0 warm-view yardsticks, ms — re-measured 2026-08-14 by
+# scripts/yardstick.py under bench-EQUIVALENT conditions (round-5
+# ADVICE): best-of-7 `.arrow()` fetch of each query's registered oracle
+# SQL; op80 as the same serving shape this engine runs (precomputed
+# norm table ≈ warm cache, literal query vector ≈ plan-build fetch —
+# the legacy inline-subquery shape measured 13-15 ms, emitted by the
+# script as op80_legacy_inline). Median of 3 script runs.
+# These are MACHINE- AND METHODOLOGY-SPECIFIC constants (32× Xeon
+# 2.10 GHz, this container), not portable — see yardstick_note in the
+# output JSON; re-run scripts/yardstick.py on any new machine.
 # Only the 5 queries with a measured DuckDB counterpart appear here.
 YARDSTICK_MS = {
-    "op17_agg_groupby": 69.9,
-    "op42_win_row_number_topk_group": 59.0,
-    "op39_join_multiway_star": 70.7,
-    "op69_stream_tumbling": 18.7,
-    "op80_sim_cosine_knn": 7.6,
+    "op17_agg_groupby": 102.0,
+    "op42_win_row_number_topk_group": 24.8,
+    "op39_join_multiway_star": 46.5,
+    "op69_stream_tumbling": 14.5,
+    "op80_sim_cosine_knn": 9.1,
 }
+
+YARDSTICK_NOTE = (
+    "yardstick_duckdb_ms re-measured 2026-08-14 by scripts/yardstick.py "
+    "symmetrically to this bench (warm views, best-of-7, .arrow() fetch; "
+    "op80 = precomputed-norm table + literal query vector). Machine- and "
+    "methodology-specific — not portable constants."
+)
 
 
 def main() -> None:
@@ -146,6 +161,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_floor_adjusted": adjusted,
                 "yardstick_duckdb_ms": YARDSTICK_MS,
+                "yardstick_note": YARDSTICK_NOTE,
                 "yardstick_ratio_raw": ratios,
                 "yardstick_ratio_floor_adjusted": adj_ratios,
                 "comparable5_total_sec": round(

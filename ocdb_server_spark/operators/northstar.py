@@ -251,6 +251,14 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-build job — and top-k plans as TakeOrderedAndProject:
     per-partition partial top-10, driver merge, zero shuffles.
 
+    EAGER-CAPTURE CONTRACT (round-5 ADVICE): unlike the package's
+    lazy-plan rule (op120/op75), this op deliberately snapshots the
+    query vector at BUILD time — a kNN request serves the vector the
+    caller asked with, not whatever the row mutates to mid-flight, so
+    rebuilding the plan is the way to re-read it (same contract as a
+    bound parameter in a prepared statement). A missing query id is a
+    caller error and raises ValueError, not TypeError-on-None.
+
     Float discipline: literal doubles + a left-to-right ``+`` chain are
     bit-identical to the zip_with/aggregate fold they replaced, and the
     Python-side query norm is the same sequential IEEE-double sum, so
@@ -258,10 +266,14 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     en = load_embeddings_normed(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in en.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qrow = en.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        raise ValueError(
+            "op80: query vec_id=0 not present in embeddings table — the "
+            "kNN query vector is a bound parameter fetched at plan time "
+            "(see eager-capture contract in the docstring)"
+        )
+    qvec = [float(x) for x in qrow[0]]
     qn = 0.0
     for x in qvec:
         qn += x * x

@@ -609,13 +609,39 @@ def ivf_topk(
     )
 
 
+def _ivf_k_for(sf_dir: str) -> int:
+    """K ≈ ⌈√n⌉ from the parquet FOOTER row count — the 'index metadata
+    the build already has' (docstring contract above): a driver-side
+    footer read, no Spark job, so the round-4 no-eager-count rule
+    holds. Round-5 ADVICE: a fixed default K=45 silently mis-sizes any
+    corpus that isn't the 2k test table; derive it instead. Clamped to
+    [8, 65536]: below 8 probing is pointless, above 64k the broadcast
+    codebook would outgrow its few-MB budget (re-shard the index
+    instead). Falls back to 45 (⌈√2048⌉, the test-corpus sizing) if the
+    footer is unreadable (e.g. a multi-file dataset directory)."""
+    import math
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        n = pq.ParquetFile(path).metadata.num_rows
+        return max(8, min(65536, math.isqrt(max(n - 1, 0)) + 1))
+    except Exception:
+        return 45
+
+
 @register("op95_sim_ivf_knn", oracle=None)  # ROWS: IVF probe is approximate
 def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors of the vec_id=0 query
     over the embeddings table — see ivf_topk for the index design
-    (K=45 data-seeded broadcast codebook, map-side list assignment,
+    (K=⌈√n⌉ data-seeded broadcast codebook sized from the parquet
+    footer row count (_ivf_k_for), map-side list assignment,
     nprobe-pruned exact search; recall gate in test_pipeline_ext)."""
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=_ivf_k_for(sf_dir)
+    )
 
 
 # --------------------------------------------------------------- op97

@@ -80,7 +80,11 @@ def op178_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic tiebreak), running-sum their sizes, and cut a new
     bin every time the cumulative offset crosses a target multiple —
     bin = (cum − size) div target, pure integer arithmetic in both
-    engines. Output: one manifest row per planned output file.
+    engines (Spark's `div`, DuckDB's `//` — exact at ANY cumulative
+    magnitude; the earlier double-divide-then-cast agreed with the
+    oracle only below 2^53 ≈ 9 PB of cumulative bytes, a boundary a
+    100 TB-design op has no business flirting with — round-5 ADVICE).
+    Output: one manifest row per planned output file.
 
     Scale: everything after the first aggregate runs over FILE
     METADATA (~10⁶ rows at 100 TB — kilobytes of state), so the
@@ -98,9 +102,10 @@ def op178_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = files.select(
         "bytes",
-        ((F.sum("bytes").over(w) - F.col("bytes")) / F.lit(_COMPACT_TARGET))
-        .cast("bigint")
-        .alias("bin"),
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("offset"),
+    ).select(
+        "bytes",
+        F.expr(f"offset div {_COMPACT_TARGET}").alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n_files"),
