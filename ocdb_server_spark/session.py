@@ -35,6 +35,12 @@ def get_spark(
     """
     if profile not in ("batch", "interactive"):
         raise ValueError(f"unknown profile {profile!r}")
+    # Vendored-protobuf fallback must be wired BEFORE the session
+    # exists: transformWithStateInPandas' state server runs in Python
+    # WORKERS, which inherit $PYTHONPATH at daemon launch (_vendor.py).
+    from ocdb_server_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

