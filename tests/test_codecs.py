@@ -105,3 +105,146 @@ def test_bmp_top_down_variant():
     w, h, back = decode_bmp(bytes(b))
     assert (w, h) == (6, 4)
     assert np.array_equal(back, px)
+
+
+# ------------------------------------------------------------------ JPEG
+
+from ocdb_server_spark.sources.jpeg import (  # noqa: E402
+    QTABLE,
+    QTABLE_ZZ,
+    ZIGZAG,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    fdct_quantize,
+    idct2d,
+)
+
+
+def _rand_coeffs(n_blocks, seed, dc_range=80, n_ac=6, ac_range=9):
+    rng = np.random.RandomState(seed)
+    qc = np.zeros((n_blocks, 64), dtype=np.int64)
+    qc[:, 0] = rng.randint(-dc_range, dc_range + 1, n_blocks)
+    for b in range(n_blocks):
+        for p in rng.choice(np.arange(1, 64), n_ac, replace=False):
+            qc[b, p] = rng.randint(-ac_range, ac_range + 1)
+    return qc
+
+
+def test_jpeg_coefficient_roundtrip_exact():
+    """Entropy coding is lossless: encode known quantized coefficients,
+    decode, get the identical int array back (exercises DC prediction
+    with negative diffs, AC run lengths, EOB)."""
+    qc = _rand_coeffs(12, seed=11)
+    payload = encode_jpeg_gray(qc, 32, 24)
+    w, h, got, _px = decode_jpeg_gray(payload)
+    assert (w, h) == (32, 24)
+    assert np.array_equal(got, qc)
+
+
+def test_jpeg_zrl_and_final_coefficient():
+    """>16-zero gaps force ZRL symbols; a nonzero coefficient at
+    zigzag position 63 forces the no-EOB path."""
+    qc = np.zeros((2, 64), dtype=np.int64)
+    qc[0, 0], qc[0, 1], qc[0, 40] = 50, 3, -4   # run of 38 -> 2x ZRL
+    qc[1, 0], qc[1, 63] = -17, 5                 # run 62 -> 3x ZRL, no EOB
+    _w, _h, got, _px = decode_jpeg_gray(encode_jpeg_gray(qc, 16, 8))
+    assert np.array_equal(got, qc)
+
+
+def test_jpeg_byte_stuffing():
+    """Find coefficients whose entropy stream contains 0xFF bytes (the
+    stuffed case) and prove the decode still round-trips. With enough
+    random blocks a 0xFF byte is statistically certain."""
+    qc = _rand_coeffs(64, seed=3)
+    payload = encode_jpeg_gray(qc, 64, 64)
+    scan = payload[payload.index(b"\xff\xda") + 10 : -2]
+    assert b"\xff\x00" in scan, "fixture must exercise byte stuffing"
+    _w, _h, got, _px = decode_jpeg_gray(payload)
+    assert np.array_equal(got, qc)
+
+
+def test_jpeg_dc_only_pixels_exact():
+    """DC-only blocks decode to flat pixels 2*qdc + 128 EXACTLY (the
+    closed form op203's oracle relies on)."""
+    qc = np.zeros((4, 64), dtype=np.int64)
+    qc[:, 0] = [-63, -1, 0, 63]
+    _w, _h, _qc, px = decode_jpeg_gray(encode_jpeg_gray(qc, 16, 16))
+    for b, dc in enumerate([-63, -1, 0, 63]):
+        blk = px[(b // 2) * 8 : (b // 2) * 8 + 8, (b % 2) * 8 : (b % 2) * 8 + 8]
+        assert np.all(blk == dc * 2 + 128)
+
+
+def test_jpeg_dezigzag_orientation():
+    """A single AC coefficient at zigzag position 1 (natural position
+    (0,1) = horizontal frequency) must produce a block that varies
+    along x and is CONSTANT along y — catches a transposed de-zigzag
+    or IDCT that a flat/roundtrip test cannot see."""
+    qc = np.zeros((1, 64), dtype=np.int64)
+    qc[0, 1] = 20  # zigzag 1 -> natural index 1 -> (row 0, col 1)
+    _w, _h, _qc, px = decode_jpeg_gray(encode_jpeg_gray(qc, 8, 8))
+    assert np.all(px == px[0:1, :]), "rows must be identical (no y variation)"
+    assert px[0, 0] != px[0, 7], "must vary along x"
+    # and the exact values match a direct IDCT of the natural-order block
+    nat = np.zeros(64)
+    nat[1] = 20 * QTABLE_ZZ[1]
+    ref = np.clip(np.rint(idct2d(nat.reshape(8, 8)) + 128.0), 0, 255)
+    assert np.array_equal(px.astype(np.float64), ref)
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    """pixels -> fdct_quantize -> encode -> decode stays within the
+    quantization error envelope for a smooth image."""
+    img = np.clip(
+        np.add.outer(np.arange(24) * 3, np.arange(32) * 2) + 40, 0, 255
+    ).astype(np.uint8)
+    qc = fdct_quantize(img)
+    _w, _h, _qc, back = decode_jpeg_gray(encode_jpeg_gray(qc, 32, 24))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_zigzag_table_is_involution_consistent():
+    """ZIGZAG maps zigzag index -> natural index and must be a
+    permutation whose first entries follow the spec's scan."""
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:8].tolist() == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert np.array_equal(QTABLE_ZZ, QTABLE[ZIGZAG])
+
+
+def _imageio_decode(spark, payload: bytes):
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img is not None, "javax.imageio could not parse our JPEG"
+    w, h = img.getWidth(), img.getHeight()
+    raster = img.getRaster()
+    out = np.empty((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = raster.getSample(x, y, 0)
+    return out
+
+
+def test_jpeg_imageio_interop_dc_exact(spark):
+    """INTEROP (the compressed-format analog of the stdlib-wave WAV
+    proof): the JVM's javax.imageio — an independent public baseline-
+    JPEG implementation shipped with JDK 17 — must parse our encoder's
+    bytes, and on DC-only images (exact flat blocks, no IDCT rounding
+    freedom) agree pixel-for-pixel."""
+    qc = np.zeros((6, 64), dtype=np.int64)
+    for b in range(6):
+        qc[b, 0] = (b * 17) % 127 - 63
+    payload = encode_jpeg_gray(qc, 24, 16)
+    _w, _h, _qc, mine = decode_jpeg_gray(payload)
+    theirs = _imageio_decode(spark, payload)
+    assert np.array_equal(mine.astype(np.int64), theirs)
+
+
+def test_jpeg_imageio_interop_ac_within_one(spark):
+    """On AC-rich images the two independent IDCTs may differ by ±1
+    per pixel (T.81 leaves IDCT accuracy implementation-defined within
+    tolerance); anything larger means a real decode bug."""
+    qc = _rand_coeffs(4, seed=3, dc_range=60, n_ac=5, ac_range=6)
+    payload = encode_jpeg_gray(qc, 16, 16)
+    _w, _h, _qc, mine = decode_jpeg_gray(payload)
+    theirs = _imageio_decode(spark, payload)
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 1

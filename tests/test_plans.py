@@ -599,3 +599,18 @@ def test_lateral_topk_decorrelates_to_windowgrouplimit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_jpeg_ops_payload_never_shuffles(spark, sf_dir):
+    """op202/op203 (same contract as the op195-op200 codec family):
+    the ONLY exchange is the repartition of tiny generator-id rows —
+    encoded payload bytes are produced and decoded inside one task and
+    must never cross an exchange (at 100 TB the payloads are the
+    data; shuffling them is the scale-killer)."""
+    for name in ("op202_jpeg_decode_stats", "op203_jpeg_pixel_decode"):
+        plan = _plan(OPS[name].fn(spark, sf_dir))
+        assert plan.count("Exchange") == 1, f"{name}: expected 1 exchange:\n{plan}"
+        # the exchange's child is the 1-column Range generator, so the
+        # payload column cannot exist below it
+        after = plan.split("Exchange")[1]
+        assert "Range" in after, f"{name}: exchange must sit on the id Range"
