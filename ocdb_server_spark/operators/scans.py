@@ -212,3 +212,107 @@ def op147_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang").isin("en", "de"))
         .select("doc_id", "n_chars", "lang")
     )
+
+
+# ----------------------------------------------- op204: long-format records
+
+# Field -> product-group dim (search.SearchColumns.pgroup_map's table
+# form; reference analog: ocdb/res/product-groups.json [U] maps group
+# name -> member field list).
+_PGROUPS = [
+    ("depth", "hydrography"), ("wt", "hydrography"), ("sal", "hydrography"),
+    ("chl", "chlorophyll"), ("kd490", "chlorophyll"),
+    ("lu412", "radiometry"), ("lu443", "radiometry"), ("es412", "radiometry"),
+]
+
+# Oracle: the three fixtures' observations transcribed BY HAND from the
+# fixture text (independent of both the Spark parser and any Python
+# helper — a parse bug on either side breaks the hash), aggregated the
+# same way. Values quantized ROUND(v*1000) -> BIGINT per the
+# cross-engine float rule (same double literal, same product, same
+# round in both engines).
+_OP204_SQL = """
+WITH obs(dataset_id, field, value) AS (VALUES
+  ('ds1','depth',1.0),('ds1','chl',0.52),('ds1','wt',12.3),('ds1','sal',35.1),
+  ('ds1','depth',2.5),('ds1','wt',12.1),('ds1','sal',35.0),
+  ('ds1','depth',5.0),('ds1','chl',0.31),('ds1','sal',34.9),
+  ('ds1','depth',7.5),('ds1','chl',0.22),('ds1','wt',11.8),
+  ('ds1','depth',10.0),('ds1','wt',11.5),('ds1','sal',34.7),
+  ('ds2','depth',1.0),('ds2','lu412',1.11),('ds2','lu443',2.22),('ds2','es412',3.33),
+  ('ds2','depth',5.0),('ds2','lu443',2.10),('ds2','es412',3.20),
+  ('ds2','depth',10.0),('ds2','lu412',0.95),('ds2','lu443',1.98),
+  ('ds2','depth',20.0),('ds2','lu412',0.80),('ds2','es412',3.05),
+  ('ds3','depth',2.0),('ds3','chl',0.50),('ds3','kd490',0.061),('ds3','sal',35.2),
+  ('ds3','depth',4.0),('ds3','kd490',0.055),('ds3','sal',35.1),
+  ('ds3','depth',8.0),('ds3','chl',0.42),('ds3','sal',35.0)
+),
+pg(field, pgroup) AS (VALUES
+  ('depth','hydrography'),('wt','hydrography'),('sal','hydrography'),
+  ('chl','chlorophyll'),('kd490','chlorophyll'),
+  ('lu412','radiometry'),('lu443','radiometry'),('es412','radiometry')
+)
+SELECT o.dataset_id,
+       COALESCE(p.pgroup, 'other') AS pgroup,
+       o.field,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CAST(ROUND(o.value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+FROM obs o LEFT JOIN pg p ON o.field = p.field
+GROUP BY o.dataset_id, p.pgroup, o.field
+"""
+
+
+@register("op204_records_long_format", oracle=_OP204_SQL)
+def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL storage model, end to end (round-5
+    verdict item 5; SURVEY §1.3/§7.2): three heterogeneous
+    SeaBASS-style files — different `/fields=` sets AND different
+    delimiters (comma/space/tab) — ingest through
+    sources/seabass.read_seabass_long into ONE long open-schema record
+    table `(dataset_id, field, value)`, then product-group resolution
+    runs against it as a broadcast field->group dim join (the table
+    form of search.SearchColumns.pgroup_map; tests/test_seabass.py
+    additionally drives search.find_datasets with a pgroup query over
+    this exact frame). Output: per (dataset_id, pgroup, field)
+    observation count and quantized sum.
+
+    Scale shape: wide->long is a generator expression (no shuffle);
+    the group dim broadcasts (it is product metadata, KBs forever);
+    the only exchange is the final partial-agged groupBy on
+    (dataset_id, field) — at 10^9 records per day this is one
+    well-keyed aggregation, and heterogeneous schema drift adds
+    files, not migrations. The oracle restates the fixtures'
+    observations as a hand-transcribed VALUES table — a parse bug on
+    either engine's side breaks the hash."""
+    from ocdb_server_spark.sources.seabass import (
+        FIXTURE,
+        FIXTURE2,
+        FIXTURE3,
+        read_seabass_long,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
+    os.makedirs(d, exist_ok=True)
+    frames = []
+    for ds_id, content in (("ds1", FIXTURE), ("ds2", FIXTURE2), ("ds3", FIXTURE3)):
+        path = os.path.join(d, f"{ds_id}.sb")
+        tmp_path = f"{path}.{os.getpid()}.tmp"
+        with open(tmp_path, "w") as f:
+            f.write(content)
+        os.replace(tmp_path, path)  # atomic: same rule as op03
+        frames.append(read_seabass_long(spark, path, ds_id))
+    long_tbl = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    dim = spark.createDataFrame(_PGROUPS, "field string, pgroup string")
+    return (
+        long_tbl.join(F.broadcast(dim), "field", "left")
+        .groupBy(
+            "dataset_id",
+            F.coalesce(F.col("pgroup"), F.lit("other")).alias("pgroup"),
+            "field",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_q"),
+        )
+    )

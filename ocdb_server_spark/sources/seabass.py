@@ -49,6 +49,42 @@ FIXTURE = """/begin_header
 """
 
 
+# Heterogeneous fixtures for the LONG-format open-schema demo (op204):
+# same format, DIFFERENT /fields= sets and delimiters — the reference's
+# per-file dynamic schema (SURVEY §1.3: every SeaBASS file declares its
+# own columns; the store's common shape is the long record
+# (dataset_id, field, value), not a union of wide schemas).
+FIXTURE2 = """/begin_header
+/investigators=A_B
+/affiliations=Example_Lab
+/experiment=EXP2024
+/cruise=CR002
+/delimiter=space
+/missing=-999
+/fields=depth,lu412,lu443,es412
+/units=m,uW/cm^2/nm/sr,uW/cm^2/nm/sr,uW/cm^2/nm
+/end_header
+1.0   1.11  2.22  3.33
+5.0  -999   2.10  3.20
+10.0  0.95  1.98 -999
+20.0  0.80 -999   3.05
+"""
+
+FIXTURE3 = """/begin_header
+/investigators=C_D
+/experiment=EXP2024
+/cruise=CR003
+/delimiter=tab
+/missing=-999
+/fields=depth,chl,kd490,sal
+/units=m,mg/m^3,1/m,PSU
+/end_header
+2.0\t0.50\t0.061\t35.2
+4.0\t-999\t0.055\t35.1
+8.0\t0.42\t-999\t35.0
+"""
+
+
 def parse_header(lines: list[str]) -> dict[str, str]:
     """Parse `/key=value` header lines (between /begin_header and
     /end_header) into a dict. Mirrors the reference's header scan."""
@@ -98,3 +134,28 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
             c = F.nullif(c, F.lit(tok))
         cols.append(c.cast("double").alias(name))
     return body.select(*cols)
+
+
+def read_seabass_long(spark: SparkSession, path: str, dataset_id: str) -> DataFrame:
+    """Read one SeaBASS-style file into the LONG open-schema record
+    shape `(dataset_id, field, value)` — the Spark mapping of the
+    reference's `/fields=`-driven dynamic per-file schema (SURVEY
+    §1.3/§7.2): heterogeneous files that could never union as wide
+    frames union trivially as long records, and field-level queries
+    (product groups, wavelength ranges) become plain predicates.
+
+    The unpivot is a JVM-side `stack()` over the wide parse (one
+    generator expression, no shuffle); missing-token observations
+    (NULL after the wide parse) are dropped — a missing value is an
+    absent record, not a stored NULL, matching the reference's sparse
+    per-file storage."""
+    wide = read_seabass(spark, path)
+    n = len(wide.columns)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in wide.columns)
+    return (
+        wide.select(
+            F.lit(dataset_id).alias("dataset_id"),
+            F.expr(f"stack({n}, {pairs})").alias("field", "value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
