@@ -71,6 +71,13 @@ class DatasetQuery:
     offset: int = 0
     count: int = 100
     geojson: bool = False
+    # Keyset (seek) cursor — the scale-correct pager (op193's shape):
+    # the previous page's LAST row's values for SearchColumns.order_by,
+    # as a tuple of the same length. When set, `offset` is ignored and
+    # the page is WHERE (order_by tuple) > after ORDER BY order_by
+    # LIMIT count — a pushed-down predicate + TakeOrderedAndProject,
+    # instead of offset's scan-and-discard (linear in page depth).
+    after: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -89,6 +96,11 @@ class SearchColumns:
     wdepth: str | None = None  # numeric depth column
     status: str | None = None
     order_key: str = "id"  # unique key for deterministic paging
+    # Full page ordering; defaults to (order_key,). The LAST element
+    # must be the unique key — that total order is what makes cursor
+    # pages non-overlapping and gap-free under concurrent writes
+    # outside the cursor range (op193's contract).
+    order_by: tuple[str, ...] | None = None
     default_text_fields: tuple[str, ...] = ()
     # Product-group resolution (reference: ocdb/res/product-groups.json
     # [U] maps group name → field-name list; find_datasets expands
@@ -178,15 +190,47 @@ def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
     return pred
 
 
+def _keyset_after(order_by: tuple[str, ...], after: tuple) -> Column:
+    """Lexicographic `(order_by columns) > after` as the OR-of-ANDs
+    row-value predicate (op193's pushed-predicate shape: each leading-
+    column strict comparison is a plain range filter Parquet scans can
+    push; no row_number, no offset scan-and-discard)."""
+    if len(after) != len(order_by):
+        raise ValueError(
+            f"cursor 'after' has {len(after)} values for {len(order_by)} "
+            f"order_by columns {order_by!r}"
+        )
+    pred = F.lit(False)
+    eq = F.lit(True)
+    for c, v in zip(order_by, after):
+        pred = pred | (eq & (F.col(c) > F.lit(v)))
+        eq = eq & (F.col(c) == F.lit(v))
+    return pred
+
+
 def find_datasets(
     df: DataFrame, q: DatasetQuery, cols: SearchColumns
 ) -> DatasetQueryResult:
     """One call = the reference's whole request lifecycle: compile every
     param into a single Catalyst predicate, count the hits, return the
-    deterministic page."""
+    deterministic page.
+
+    Paging: `q.after` (keyset cursor) beats `q.offset` — the cursor
+    tuple compiles into one more pushed predicate and the page plans as
+    TakeOrderedAndProject, so page N costs the same as page 1.
+    total_count is for the WHOLE query either way (the cursor pages
+    through it, it doesn't redefine it)."""
     hits = df.filter(_predicate(q, cols))
     total = hits.count()
-    page = hits.orderBy(cols.order_key).offset(q.offset).limit(q.count)
+    order_by = cols.order_by or (cols.order_key,)
+    if q.after is not None:
+        page = (
+            hits.filter(_keyset_after(order_by, q.after))
+            .orderBy(*order_by)
+            .limit(q.count)
+        )
+    else:
+        page = hits.orderBy(*order_by).offset(q.offset).limit(q.count)
     if q.geojson:
         # Reference parity: geojson=True adds each hit's location as a
         # GeoJSON Point (the reference attaches per-dataset lon/lat

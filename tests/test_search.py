@@ -253,3 +253,59 @@ def test_geojson_output(part):
             DatasetQuery(geojson=True),
             SearchColumns(order_key="p_partkey"),
         )
+
+
+def test_keyset_cursor_walk_equals_offset_walk(orders):
+    """Cursor-paged traversal (after=last sort tuple) must visit
+    exactly the rows offset paging visits, in the same total order —
+    no dups, no gaps — while each page is a pushed filter + top-k
+    instead of a deep skip-scan (round-5 verdict item 6)."""
+    cols = SearchColumns(
+        order_key="o_orderkey", order_by=("o_orderdate", "o_orderkey")
+    )
+    q0 = DatasetQuery(expr="o_totalprice:[100000 TO 200000]", count=10_000)
+    full = find_datasets(orders, q0, cols)
+    expected = [
+        (r["o_orderdate"], r["o_orderkey"]) for r in full.datasets.collect()
+    ]
+    assert full.total_count == len(expected)
+
+    seen, after, size = [], None, 97
+    while True:
+        q = DatasetQuery(
+            expr="o_totalprice:[100000 TO 200000]", count=size, after=after
+        )
+        res = find_datasets(orders, q, cols)
+        rows = res.datasets.collect()
+        if not rows:
+            break
+        seen.extend((r["o_orderdate"], r["o_orderkey"]) for r in rows)
+        after = seen[-1]
+        assert res.total_count == full.total_count  # total is query-wide
+    assert seen == expected
+
+
+def test_keyset_cursor_predicate_pushes_down(orders):
+    """The cursor tuple must land in PushedFilters (the leading
+    strict-> component is a plain range predicate) and the page must
+    plan as TakeOrderedAndProject — the op193 shape, now in the
+    flagship search path."""
+    import datetime
+
+    cols = SearchColumns(
+        order_key="o_orderkey", order_by=("o_orderdate", "o_orderkey")
+    )
+    cur = (datetime.datetime(1995, 6, 1), 42)
+    res = find_datasets(orders, DatasetQuery(count=20, after=cur), cols)
+    plan = res.datasets._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters:")[1][:500]
+    assert "o_orderdate" in pushed, f"cursor must push to scan: {pushed}"
+
+
+def test_keyset_cursor_arity_mismatch_raises(orders):
+    cols = SearchColumns(
+        order_key="o_orderkey", order_by=("o_orderdate", "o_orderkey")
+    )
+    with pytest.raises(ValueError, match="cursor"):
+        find_datasets(orders, DatasetQuery(after=(1,)), cols)
