@@ -698,3 +698,90 @@ def op203_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, width long, height long, pixel_sum long,"
         " min_px long, max_px long",
     )
+
+
+# ------------------------------------------------------------------- PNG
+
+_PNG_N = 60
+
+
+def _gen_png(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.png import encode_png_gray
+
+    for pdf in it:
+        ids, payloads = [], []
+        for i in pdf["id"]:
+            i = int(i)
+            w = 20 + (i % 5) * 7
+            h = 10 + (i % 4) * 5
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            px = ((i * 13 + r * 7 + c * 3) % 256).astype(np.uint8)
+            ids.append(i)
+            # default filter schedule cycles 0..4: every PNG filter's
+            # RECONSTRUCTION is load-bearing in the certified hash
+            payloads.append(encode_png_gray(px))
+        yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+
+def _decode_png_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.png import decode_png_gray
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("asset_id", "width", "height", "pixel_sum", "min_px", "max_px")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            w, h, px = decode_png_gray(bytes(payload))
+            p64 = px.astype(np.int64)
+            out["asset_id"].append(int(aid))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["pixel_sum"].append(int(p64.sum()))
+            out["min_px"].append(int(p64.min()))
+            out["max_px"].append(int(p64.max()))
+        yield pd.DataFrame(out)
+
+
+_OP205_SQL = f"""
+WITH a AS (SELECT range AS i,
+                  20 + (range % 5) * 7 AS w,
+                  10 + (range % 4) * 5 AS h
+           FROM range(0, {_PNG_N})),
+px AS (SELECT a.i, a.w, a.h, (a.i * 13 + r.r * 7 + c.c * 3) % 256 AS v
+       FROM a, UNNEST(range(0, a.h)) AS r(r), UNNEST(range(0, a.w)) AS c(c))
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(ANY_VALUE(w) AS BIGINT) AS width,
+       CAST(ANY_VALUE(h) AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS BIGINT) AS min_px,
+       CAST(MAX(v) AS BIGINT) AS max_px
+FROM px GROUP BY i
+"""
+
+
+@register("op205_png_decode_stats", oracle=_OP205_SQL)
+def op205_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode, for real and LOSSLESS: 60 grayscale PNGs (pixels
+    from a closed-form formula, per-row filter types cycling through
+    all five — None/Sub/Up/Average/Paeth) are encoded with
+    sources/png.py and decoded back: chunk walk with CRC32 verify,
+    zlib inflate, filter reconstruction. Because PNG is lossless the
+    features are the EXACT pixels' sum/min/max and the oracle
+    recomputes them from the generation formula — the hash certifies
+    the whole codec with no coefficient-domain indirection (contrast
+    op202/op203's split JPEG certification). Two-way javax.imageio
+    interop (our bytes there, its bytes here, both pixel-exact) is in
+    tests/test_codecs.py. Same no-payload-shuffle contract as the
+    whole codec family."""
+    gen = spark.range(_PNG_N).repartition(8).mapInPandas(
+        _gen_png, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _decode_png_stats,
+        "asset_id long, width long, height long, pixel_sum long,"
+        " min_px long, max_px long",
+    )

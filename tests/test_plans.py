@@ -607,7 +607,11 @@ def test_jpeg_ops_payload_never_shuffles(spark, sf_dir):
     encoded payload bytes are produced and decoded inside one task and
     must never cross an exchange (at 100 TB the payloads are the
     data; shuffling them is the scale-killer)."""
-    for name in ("op202_jpeg_decode_stats", "op203_jpeg_pixel_decode"):
+    for name in (
+        "op202_jpeg_decode_stats",
+        "op203_jpeg_pixel_decode",
+        "op205_png_decode_stats",
+    ):
         plan = _plan(OPS[name].fn(spark, sf_dir))
         assert plan.count("Exchange") == 1, f"{name}: expected 1 exchange:\n{plan}"
         # the exchange's child is the 1-column Range generator, so the
