@@ -280,3 +280,36 @@ def op146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@register(
+    "op206_stream_tws_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_q,
+           CAST(MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS max_q
+    FROM events GROUP BY user_id
+    """,
+)
+def op206_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST hash-certified arbitrary-state streaming op: unlike
+    op69-op74 (whose queries() entries are batch-equivalents, per the
+    §2.9 convention), this entry RUNS the real Spark-4
+    transformWithStateInPandas pipeline — RocksDB state store,
+    schema'd value state, Update-mode emissions, availableNow trigger
+    (streaming/jobs.stream_tws_user_stats; enabled in this container
+    by the vendored-protobuf fallback, _vendor.py) — and its final
+    per-user (n_events, sum_q, max_q) hash-matches the plain SQL
+    aggregate. That works because the state transition is
+    order-insensitive integer algebra: value is quantized JVM-side
+    with the oracle's own decimal-cast expression BEFORE entering
+    Python state, so the stream's nondeterministic batch/row order
+    cannot move a single bit of the final answer. Deliberately eager
+    (runs the stream at build time, like op74): the certified artifact
+    IS the streaming execution."""
+    from ocdb_server_spark.streaming.jobs import stream_tws_user_stats
+
+    return stream_tws_user_stats(spark, sf_dir)

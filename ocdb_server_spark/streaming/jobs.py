@@ -454,3 +454,88 @@ def stream_stateful_running_count_tws(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events")
     )
+
+
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op206's REAL streaming pipeline: per-user running
+    (n_events, sum_q, max_q) via transformWithStateInPandas —
+    arbitrary schema'd state (a 3-field tuple), RocksDB state store,
+    availableNow trigger, memory sink.
+
+    Exactness contract: `q` is quantized JVM-SIDE before the stateful
+    operator (CAST(value AS DECIMAL(18,6)) * 1e6 AS BIGINT — the same
+    expression the oracle runs), so the Python state only ever adds
+    and maxes int64: order-independent, no float drift, which is what
+    lets op206 carry a full SQL oracle where op73/op74 settle for
+    rows-only. The final per-user row is the last Update emission
+    (n_events is strictly increasing, so max(n_events) picks it
+    deterministically)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState(
+                "s", "n bigint, sum_q bigint, max_q bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._s.exists():
+                n, sum_q, max_q = self._s.get()
+            else:
+                n, sum_q, max_q = 0, 0, None
+            for pdf in rows:
+                n += len(pdf)
+                sum_q += int(pdf["q"].sum())
+                m = int(pdf["q"].max())
+                max_q = m if max_q is None else max(max_q, m)
+            self._s.update((n, sum_q, max_q))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_q": [sum_q],
+                    "max_q": [max_q],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _stream_events(spark, sf_dir).select(
+            "user_id",
+            F.expr(
+                "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+            ).alias("q"),
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType="user_id bigint, n_events bigint,"
+            " sum_q bigint, max_q bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sunk = _run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_q", "max_q")
+    )

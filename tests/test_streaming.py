@@ -203,3 +203,35 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     got = jobs.stream_stream_join(spark, sf_dir)
     want = load_all()["op146_stream_stream_join"].fn(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_tws_user_stats_matches_batch(spark, sf_dir):
+    """op206 (hash-certified TWS): the real transformWithStateInPandas
+    pipeline's final per-user stats must equal the batch aggregate
+    bit-for-bit — possible because state math is all int64 (value
+    quantized JVM-side before entering Python state)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state-server protocol needs protobuf (real or vendored)",
+    )
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.streaming.jobs import stream_tws_user_stats
+
+    streamed = stream_tws_user_stats(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+            ).cast("bigint").alias("sum_q"),
+            F.max(
+                F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+            ).cast("bigint").alias("max_q"),
+        )
+    )
+    cols = ["user_id", "n_events", "sum_q", "max_q"]
+    s = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert s == b
