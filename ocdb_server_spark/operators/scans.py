@@ -316,3 +316,69 @@ def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_q"),
         )
     )
+
+
+# ------------------------------------------- op207: compressed text ingest
+
+_OP207_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("op207_gzip_jsonl_ingest", oracle=_OP207_SQL)
+def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingest, end to end: documents are exported as
+    GZIP-COMPRESSED JSON-LINES (the de-facto interchange format of
+    every large text-corpus release) and read back through Spark's
+    codec-transparent text path with an EXPLICIT schema (never infer
+    on a 100 TB corpus: inference is a full extra pass). The per-lang
+    aggregate over the re-read frame must hash-match the oracle
+    computed on the ORIGINAL parquet — certifying the whole JSON
+    escape → gzip → gunzip → JSON parse round-trip, text content
+    included (sum of re-read text lengths).
+
+    Scale notes, documented trade: gzip is NOT splittable — one .gz
+    file = one read task, so exports write MANY moderate files
+    (maxRecordsPerFile caps them here; a real 100 TB release shards to
+    ~256 MB) or choose a splittable codec (bzip2, or zstd+seekable
+    frames). The read task count assertion lives in
+    tests/test_sinks.py."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_gzip_jsonl_{tag}")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    (
+        d.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", 2000)
+        .json(out)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )

@@ -109,3 +109,30 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert a == b and len(a) == 1000
     # hval formula matches the documented Knuth hash
     assert all(h == (i * 2654435761) % 10000 for i, _, h in a)
+
+
+def test_gzip_jsonl_files_are_one_task_each(spark, sf_dir, tmp_path):
+    """op207's documented scale trade: gzip is not splittable, so each
+    .gz shard maps to exactly ONE read task regardless of
+    maxPartitionBytes — which is why the export shards into many
+    moderate files. Also proves the shard-size knob works and the
+    round-trip loses nothing."""
+    import glob
+
+    from ocdb_server_spark.io import load_table
+
+    out = str(tmp_path / "gz")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    n = d.count()
+    (
+        d.repartition(1)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", max(1, n // 4))
+        .json(out)
+    )
+    files = glob.glob(out + "/*.json.gz")
+    assert len(files) >= 2, "fixture must produce multiple shards"
+    back = spark.read.schema("doc_id long, text string, lang string").json(out)
+    assert back.count() == n
+    assert back.rdd.getNumPartitions() == len(files)
