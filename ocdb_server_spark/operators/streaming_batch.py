@@ -313,3 +313,37 @@ def op206_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocdb_server_spark.streaming.jobs import stream_tws_user_stats
 
     return stream_tws_user_stats(spark, sf_dir)
+
+
+@register(
+    "op208_stream_centroid_maintenance",
+    oracle="""
+    WITH z AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_q
+    FROM z GROUP BY label, dim
+    """,
+)
+def op208_stream_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming centroid maintenance, hash-certified (§7.5's deferred
+    design, unblocked by the vendored protobuf): embedding vectors
+    arrive as a stream, explode JVM-side to quantized (label, dim, q)
+    rows, and a transformWithStateInPandas processor keyed by the
+    COMPOSITE (label, dim) key maintains exact integer (n, sum_q)
+    accumulators — the incremental twin of op145's batch centroids
+    (centroid component = sum_q/n/1e6 downstream, kept integral here
+    so the SQL oracle is exact). Same determinism argument as op206:
+    int64 state algebra is order-insensitive, so the stream's batch
+    order cannot change the final hash. Runs the REAL pipeline
+    (RocksDB state store, Update mode, availableNow) at build time."""
+    from ocdb_server_spark.streaming.jobs import stream_tws_centroid_maintenance
+
+    return stream_tws_centroid_maintenance(spark, sf_dir)

@@ -539,3 +539,91 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_q", "max_q")
     )
+
+
+def stream_tws_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op208's pipeline: per-(label, dim) running centroid accumulators
+    over a STREAM of embedding vectors — the §7.5 'streaming centroid
+    maintenance' design, the incremental twin of op145's batch
+    centroid build (a production vector pipeline keeps class/cluster
+    centroids fresh as vectors arrive instead of re-scanning the
+    corpus).
+
+    Spark shape: vectors explode JVM-side to (label, dim, q) rows
+    with q = round(component * 1e6) AS BIGINT — integer-exact, and
+    the per-dim row stream shrinks state to one (n, sum_q) pair per
+    (label, dim) key (a COMPOSITE grouping key: op206 covers the
+    single-key path). Final centroid component = sum_q / n / 1e6,
+    derivable downstream; this job emits the exact integer
+    accumulators so the oracle stays integral."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DimAccum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("s", "n bigint, sum_q bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._s.exists():
+                n, sum_q = self._s.get()
+            else:
+                n, sum_q = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                sum_q += int(pdf["q"].sum())
+            self._s.update((n, sum_q))
+            yield pd.DataFrame(
+                {
+                    "label": [key[0]],
+                    "dim": [key[1]],
+                    "n": [n],
+                    "sum_q": [sum_q],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    exploded = stream.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias("q"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = exploded.groupBy("label", "dim").transformWithStateInPandas(
+            statefulProcessor=DimAccum(),
+            outputStructType="label bigint, dim int, n bigint, sum_q bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sunk = _run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label", "dim").orderBy(F.col("n").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "n", "sum_q")
+    )

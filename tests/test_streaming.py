@@ -235,3 +235,34 @@ def test_stream_tws_user_stats_matches_batch(spark, sf_dir):
     s = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert s == b
+
+
+def test_stream_centroid_maintenance_matches_batch(spark, sf_dir):
+    """op208: the composite-key TWS centroid accumulators must equal
+    the batch posexplode aggregate exactly (int64 state algebra)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state-server protocol needs protobuf (real or vendored)",
+    )
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.streaming.jobs import stream_tws_centroid_maintenance
+
+    streamed = stream_tws_centroid_maintenance(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("cast(round(cast(x as double) * 1000000) as bigint)")
+            ).cast("bigint").alias("sum_q"),
+        )
+        .select(
+            "label", F.col("dim").cast("bigint").alias("dim"), "n", "sum_q"
+        )
+    )
+    cols = ["label", "dim", "n", "sum_q"]
+    s = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert s == b
