@@ -382,3 +382,144 @@ def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
         F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
     )
+
+
+# ------------------------------- op209/op210: ORC and XML source breadth
+
+_OP209_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("op209_orc_source_sink", oracle=_OP209_SQL)
+def op209_orc_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the second COLUMNAR format Spark
+    ships natively (reference analog: none; its store keeps originals
+    on disk and rows in MongoDB. This is lake-format breadth for the
+    Spark re-design: a deployment whose upstream emits ORC ingests it
+    with the same pushdown economics as parquet).
+
+    orders is exported to ORC (zstd) and re-read; the re-read scan
+    carries BOTH pruning kinds — ReadSchema keeps 4 of 5 columns and
+    the o_orderdate predicate reaches the ORC reader's PushedFilters
+    (search-argument row-group skipping; asserted in tests/
+    test_sinks.py). The per-priority aggregate over the re-read frame
+    must hash-match the oracle computed on the ORIGINAL parquet —
+    certifying value fidelity (timestamps included: ORC stores UTC
+    instants, session tz is UTC both engines) across the round-trip.
+
+    Scale: ORC is splittable and stripe-indexed like parquet — at
+    100 TB the export is one write job (maxRecordsPerFile shards) and
+    the re-read scan skips stripes on the pushed min/max, so the
+    round-trip costs two scans of the projected columns, not the
+    table."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_orc_orders_{tag}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    (
+        o.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", 100_000)
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_price_cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+_OP210_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_q,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("op210_xml_ingest", oracle=_OP210_SQL)
+def op210_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE XML data source (spark-xml was
+    merged upstream in 4.0) — the interchange format of instrument/
+    observation metadata feeds adjacent to the reference's domain
+    (SeaBASS headers are `/key=value`; sibling archives ship XML).
+
+    events is exported as XML (rowTag=event) and re-read with an
+    EXPLICIT schema (no inference pass — same rule as op207: schema
+    inference over a 100 TB drop is a full extra read). Doubles are
+    quantized to int64 micros BEFORE the export so the text round-trip
+    is exact by construction rather than trusting double formatting;
+    the per-type aggregate over the re-read frame hash-matches the
+    oracle on the ORIGINAL parquet, certifying escape → serialize →
+    parse end to end.
+
+    Scale: XML rows are self-describing and verbose (~4× parquet),
+    and Spark 4's native XML reader does NOT split within a file
+    (measured here: a 1.7 MB single file stays 1 task under a 16 KB
+    maxPartitionBytes — the rowTag parser needs whole-file context
+    for nesting). Parallel ingest therefore comes from MANY files
+    (maxRecordsPerFile shards the export; the one-task-per-file
+    property is asserted in tests/test_sinks.py) — same playbook as
+    op207's gzip, and the reason downstream tables are parquet with
+    XML only at the edge."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_xml_events_{tag}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_q"),
+    )
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("maxRecordsPerFile", 5000)
+        .save(out)
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value_q", LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "event").schema(schema).load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("value_q").cast("bigint").alias("sum_value_q"),
+        F.sum("user_id").cast("bigint").alias("sum_user_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

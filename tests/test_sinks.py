@@ -136,3 +136,90 @@ def test_gzip_jsonl_files_are_one_task_each(spark, sf_dir, tmp_path):
     back = spark.read.schema("doc_id long, text string, lang string").json(out)
     assert back.count() == n
     assert back.rdd.getNumPartitions() == len(files)
+
+
+def test_orc_roundtrip_pushdown_and_fidelity(spark, sf_dir, tmp_path):
+    """op209's scale claims: the ORC re-read scan prunes columns
+    (ReadSchema) and pushes the timestamp predicate to the reader
+    (PushedFilters — ORC search arguments skip stripes on min/max),
+    and the round-trip is value-exact including timestamps."""
+    from ocdb_server_spark.io import load_table
+
+    out = str(tmp_path / "orc")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    o.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    q = back.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" not in rs, rs
+    # value fidelity: exact same (key, date) multiset both directions
+    orig = {
+        (r.o_orderkey, r.o_orderdate, round(r.o_totalprice, 2))
+        for r in o.collect()
+    }
+    rt = {
+        (r.o_orderkey, r.o_orderdate, round(r.o_totalprice, 2))
+        for r in back.collect()
+    }
+    assert orig == rt
+
+
+def test_xml_roundtrip_exact_one_task_per_file(spark, sf_dir, tmp_path):
+    """op210's contract: XML round-trip with explicit schema is exact
+    (quantized int64 values by construction), and — measured, not
+    assumed — Spark 4's native XML reader does NOT split within a
+    file (the rowTag parser needs whole-file context), so parallelism
+    comes from sharding the export into many files, op207-style."""
+    import glob
+
+    from ocdb_server_spark.io import load_table
+
+    out = str(tmp_path / "xml")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_q"),
+    )
+    n = ev.count()
+    (
+        ev.repartition(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("maxRecordsPerFile", max(1, n // 4))
+        .save(out)
+    )
+    files = glob.glob(out + "/*.xml")
+    assert len(files) >= 2, "fixture must produce multiple shards"
+    schema = "event_id long, user_id long, value_q long"
+    back = (
+        spark.read.format("xml").option("rowTag", "event").schema(schema).load(out)
+    )
+    assert back.count() == n
+    orig = {(r.event_id, r.user_id, r.value_q) for r in ev.collect()}
+    rt = {(r.event_id, r.user_id, r.value_q) for r in back.collect()}
+    assert orig == rt
+    # unsplittable-within-file: small maxPartitionBytes still yields
+    # exactly one task per shard file
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        nparts = (
+            spark.read.format("xml")
+            .option("rowTag", "event")
+            .schema(schema)
+            .load(out)
+            .rdd.getNumPartitions()
+        )
+        assert nparts == len(files), (nparts, len(files))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
