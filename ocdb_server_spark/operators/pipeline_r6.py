@@ -1,0 +1,578 @@
+"""Round-6 pipeline extensions — SURVEY.md §2.18 (op211+).
+
+- op211: mergeable GRAM MATRIX (X^T X) over the embedding corpus —
+  the covariance/PCA building block: per-partition numpy int64
+  partials via mapInPandas, summed by (i, j). The d×d partial is the
+  mergeable-sketch pattern applied to linear algebra: the shuffle
+  carries #partitions × d(d+1)/2 rows no matter how many vectors
+  stream through, and int64 quantization makes the whole thing
+  hash-certifiable against a pair-join oracle.
+- op212: k-means LLOYD ITERATIONS, integer-exact — two full
+  assign/update rounds over quantized embeddings with deterministic
+  seeds; the op186 discipline (exact int64 recurrence ≡ unrolled
+  CTEs) extended from scalar fixpoints to vector ones.
+- op213: BFS reachability (4 hops) over the part↔supplier graph —
+  iterative frontier expansion in Spark certified against DuckDB's
+  actual WITH RECURSIVE, i.e. the recursive-CTE surface Spark lacks,
+  re-expressed as a bounded join loop.
+- op214: ranking-quality AUC via the Mann-Whitney rank-sum — the
+  "is this quality score actually separating good from bad docs"
+  measurement run before gating a corpus on it.
+- op215: COUNT-MIN SKETCH point queries — mergeable frequency
+  counters (depth×width int64) built per-partition in mapInPandas;
+  estimates for a fixed probe set are FULLY SQL-oracled because CMS
+  counters are themselves exact bucket counts under an
+  engine-portable hash (completes the mergeable family:
+  HLL/MinHash/bottom-k/MG/CMS).
+
+Same package rules: DataFrame/Catalyst only, Python only inside
+Arrow-batched mapInPandas kernels, shuffles carry ids + counters,
+cross-engine floats quantized to int64 before any sum.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op211: mergeable gram matrix (X^T X) — per-partition numpy partials
+# --------------------------------------------------------------------------
+
+_GRAM_SCALE = 1000  # q = round(x·1e3): embeddings are in [-0.53, 0.46] so
+# |q| ≤ 530, per-pair product ≤ 2.9e5, 64-dim per-row contribution ≤ 1.9e7
+# → int64 overflows only past ~4.9e11 vectors; at larger corpora drop the
+# scale to 1e2 (one decimal digit of quantization per 100× rows).
+
+_OP211_SQL = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT) AS qx
+  FROM embeddings, range(1, 65) t(i)
+)
+SELECT a.d AS i, b.d AS j,
+       CAST(SUM(a.qx * b.qx) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY a.d, b.d
+"""
+
+
+@register("op211_gram_matrix", oracle=_OP211_SQL)
+def op211_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix G = X^T X over the embedding corpus (upper
+    triangle, 2080 rows for d=64) — the one-pass sufficient statistic
+    behind PCA/whitening/linear probes on a training corpus.
+
+    Plan: quantize JVM-side (transform(embedding, x -> int64)), then
+    ONE mapInPandas pass computes a per-partition numpy ``X.T @ X``
+    partial (int64 matmul — exact, no BLAS float path for integer
+    dtypes) and emits d(d+1)/2 rows per PARTITION, not per vector;
+    the final groupBy(i, j) sums partials. This is the mergeable-
+    sketch shape applied to linear algebra: at 100 TB the shuffle
+    carries (#partitions × 2080) rows while the vectors themselves
+    never leave their scan tasks. Int64 quantization (q = round(x·1e3))
+    makes every partial order-insensitive, so the hash match against
+    the oracle's pair-join restatement certifies the matmul kernel,
+    the partial emission, and the merge.
+
+    Oracle: the O(n·d²) self-join restatement — same quantization,
+    exact integer products, grouped on (i, j). Overflow headroom is
+    documented at _GRAM_SCALE."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {_GRAM_SCALE}) as bigint))"
+        ).alias("q")
+    )
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            part = x.T @ x
+            acc = part if acc is None else acc + part
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "g": acc[iu, ju]}
+        )
+
+    partials = e.mapInPandas(gram, schema="i int, j int, g long")
+    return partials.groupBy("i", "j").agg(F.sum("g").cast("bigint").alias("g"))
+
+
+# --------------------------------------------------------------------------
+# op212: k-means Lloyd iterations — integer-exact, hash-certified
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_OFF = 1000  # offset puts quantized components in [~474, ~1459] — all
+# POSITIVE, so integer division (centroid update) truncates identically in
+# Spark (`div`), DuckDB (`//`) and Python; distances are offset-invariant
+# ((q+off) − (c+off) = q − c), so the offset changes no assignment.
+
+_OP212_SQL = f"""
+WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) + {_KM_OFF} AS qx
+  FROM embeddings, range(1, 65) t(i)),
+c0 AS (SELECT vec_id AS cid, d, qx AS c FROM q WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT q.vec_id, c0.cid, SUM((q.qx - c0.c) * (q.qx - c0.c)) AS dist
+  FROM q JOIN c0 ON q.d = c0.d
+  GROUP BY q.vec_id, c0.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a1.cid, q.d, SUM(q.qx) // COUNT(*) AS c
+  FROM a1 JOIN q ON a1.vec_id = q.vec_id
+  GROUP BY a1.cid, q.d),
+d2 AS (
+  SELECT q.vec_id, c1.cid, SUM((q.qx - c1.c) * (q.qx - c1.c)) AS dist
+  FROM q JOIN c1 ON q.d = c1.d
+  GROUP BY q.vec_id, c1.cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT a2.cid, q.d, SUM(q.qx) // COUNT(*) AS c
+  FROM a2 JOIN q ON a2.vec_id = q.vec_id
+  GROUP BY a2.cid, q.d),
+c2s AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS centroid_l1 FROM c2 GROUP BY cid),
+m AS (SELECT cid, COUNT(*) AS n, SUM(vec_id) AS s FROM a2 GROUP BY cid)
+SELECT m.cid AS cluster_id,
+       CAST(m.n AS BIGINT) AS n_members,
+       CAST(m.s AS BIGINT) AS sum_vec_ids,
+       c2s.centroid_l1 AS centroid_l1
+FROM m JOIN c2s ON m.cid = c2s.cid
+"""
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form quantized embeddings: (vec_id, d, qx) with the
+    offset-positive int64 components op212's recurrence runs on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        (F.round(F.col("x").cast("double") * 1000).cast("bigint") + _KM_OFF).alias(
+            "qx"
+        ),
+    )
+
+
+def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd ASSIGN step: nearest centroid per vector, exact int64
+    distances, deterministic (dist, cid) tiebreak. cents is k×d rows —
+    always broadcast, so the per-iteration cost is one map-side join
+    fan-out (k rows per (vec, d)) + one (vec_id, cid) partial agg +
+    one per-vec_id window; vectors shuffle as ids + counters only."""
+    from pyspark.sql import Window
+
+    d = (
+        q.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("vec_id", "cid")
+    )
+
+
+def _km_update(assign: DataFrame, q: DataFrame) -> DataFrame:
+    """One Lloyd UPDATE step: per-(cid, d) integer-mean centroid.
+    `div` (truncating integer division) on all-positive sums matches
+    DuckDB's `//` exactly — the op186 cross-engine-integer rule."""
+    return (
+        assign.join(q, "vec_id")
+        .groupBy("cid", "d")
+        .agg(F.expr("sum(qx) div count(*)").alias("c"))
+    )
+
+
+@register("op212_kmeans_lloyd", oracle=_OP212_SQL)
+def op212_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two k-means Lloyd iterations (k=4, seeds = vec_id<4), INTEGER-
+    EXACT and hash-certified — extending op186's "iterative algorithm
+    as unrolled CTEs" discipline from scalar PageRank to vector
+    clustering: quantized offset-positive int64 components make every
+    distance, argmin and centroid update bit-identical between the
+    Spark join loop and the oracle's unrolled SQL, regardless of
+    partitioning or summation order.
+
+    Per iteration: centroids (k×d = 256 rows) broadcast into the
+    assign join — the classic k-means distribution (centroids move,
+    vectors don't); the update groupBy shuffles (cid, d) partials.
+    The whole two-iteration program is ONE lazy Catalyst plan — no
+    driver-side collect of centroids (op80's eager-capture lesson),
+    which stays viable for bounded unrolled iteration counts; a
+    convergence-loop variant would persist() each c_t like op96/op186.
+
+    Output: per final cluster — membership count, vec_id checksum,
+    centroid L1 checksum (the 64 integer components summed)."""
+    q = _km_quantized(spark, sf_dir)
+    c0 = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "d", F.col("qx").alias("c")
+    )
+    a1 = _km_assign(q, c0)
+    c1 = _km_update(a1, q)
+    a2 = _km_assign(q, c1)
+    c2 = _km_update(a2, q)
+    m = a2.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("sum_vec_ids"),
+    )
+    c2s = c2.groupBy("cid").agg(F.sum("c").cast("bigint").alias("centroid_l1"))
+    return (
+        m.join(c2s, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", "sum_vec_ids", "centroid_l1"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op213: BFS reachability — bounded join loop vs real WITH RECURSIVE
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEEDS = 3  # seed set: suppliers with s_suppkey <= 3
+
+_OP213_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs
+),
+walk(node, dist) AS (
+  SELECT 2 * s_suppkey + 1, 0 FROM supplier WHERE s_suppkey <= {_BFS_SEEDS}
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.dist < {_BFS_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+SELECT CAST(dist AS INTEGER) AS dist,
+       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node // 2) AS BIGINT) AS sum_key
+FROM best
+GROUP BY dist, node_type
+"""
+
+
+@register("op213_bfs_reachability", oracle=_OP213_SQL)
+def op213_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS (4 hops) from a seed supplier set over the
+    symmetrized part↔supplier graph (op186's edge encoding) — the
+    RECURSIVE-CTE query surface Spark SQL lacks, re-expressed as the
+    bounded frontier loop it compiles to on any engine. The oracle is
+    DuckDB's ACTUAL `WITH RECURSIVE` + min-dist rollup, so the hash
+    match certifies the loop against a genuinely independent
+    recursion implementation, not a restatement of our own unrolling.
+
+    Per hop: frontier ⋈ edges (shuffle on src) → anti-join against
+    the visited set (BFS's "first discovery is min dist" invariant)
+    → union into visited. Distances and keys are integers end to end
+    — nothing to quantize. Scale: the classic Pregel/message-passing
+    shape; edges persist()ed once and shuffle-joined per hop, visited
+    stays (node, dist) — at a 10^10-edge graph each hop is one
+    edges⋈frontier shuffle, and the hop count bounds total work.
+
+    Output: per (dist, node_type) — node count + key checksum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    rev = pairs.select(
+        (2 * F.col("l_suppkey") + 1).alias("src"),
+        (2 * F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionAll(rev).persist()
+    sup = load_table(spark, sf_dir, "supplier")
+    visited = sup.filter(F.col("s_suppkey") <= _BFS_SEEDS).select(
+        (2 * F.col("s_suppkey") + 1).alias("node"), F.lit(0).alias("dist")
+    )
+    frontier = visited
+    for hop in range(1, _BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        # persist each discovered frontier: without it the lazy union
+        # re-derives every earlier hop per iteration (quadratic
+        # recomputation — same lesson as op96's localCheckpoint)
+        new = (
+            reached.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .persist()
+        )
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited.groupBy(
+        "dist",
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias(
+            "node_type"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("node div 2")).cast("bigint").alias("sum_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op214: ranking-quality AUC — tie-corrected Mann-Whitney, integer-exact
+# --------------------------------------------------------------------------
+
+_OP214_SQL = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+by_score AS (
+  SELECT score,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos_g
+  FROM scored GROUP BY score),
+ranked AS (
+  SELECT score, n, n_pos_g,
+         COALESCE(SUM(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM by_score),
+tot AS (
+  SELECT CAST(SUM(n_pos_g) AS BIGINT) AS n_pos,
+         CAST(SUM(n - n_pos_g) AS BIGINT) AS n_neg,
+         CAST(SUM(n_pos_g * (2 * (before + 1) + (n - 1))) AS BIGINT) AS r2_pos
+  FROM ranked)
+SELECT n_pos, n_neg,
+       r2_pos - n_pos * (n_pos + 1) AS u2,
+       CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM tot
+"""
+
+
+@register("op214_auc_ranksum", oracle=_OP214_SQL)
+def op214_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality AUC via the tie-corrected Mann-Whitney rank
+    sum — the "does this score actually separate the classes"
+    measurement a quality-filter pipeline runs before gating a corpus
+    on a classifier (here: does document length separate en from
+    non-en — AUC ≈ 0.5 says no, as designed for this corpus).
+
+    Scale shape: the naive formulation ranks every row in one GLOBAL
+    window (a total sort of the corpus). This one aggregates to the
+    DISTINCT-SCORE table first (bounded: a score is a bucketed
+    measurement, here ≤ ~600 values), runs the cumulative window over
+    those few rows, and weights each group's tie-averaged rank by its
+    positive count — one scan + one tiny window, no global sort of
+    rows. Integer discipline: tie-averaged ranks kept in HALVED units
+    (avg_rank·2 = 2·min_rank + (ties−1) — always integral), so U is
+    exact int64 algebra and the only float is the final single
+    division (exact ints → IEEE double, bit-identical both engines).
+
+    AUC = [Σ_pos avg_rank − n_pos(n_pos+1)/2] / (n_pos·n_neg)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    by_score = d.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos_g"),
+    )
+    # window over DISTINCT scores only — the documented bounded
+    # exception to the no-unpartitioned-window rule (op178's metadata
+    # argument: cardinality is the score's codomain, not the corpus)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    tot = ranked.agg(
+        F.sum("n_pos_g").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos_g")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos_g")
+            * (2 * (F.col("before") + 1) + (F.col("n") - 1))
+        )
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        (
+            u2.cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op215: count-min sketch point queries — mergeable counters, SQL-certified
+# --------------------------------------------------------------------------
+
+_CMS_W = 64  # width (buckets per row)
+# depth-3 row hashes: Knuth's multiplicative constant + the two public
+# xxhash32 primes — any odd multipliers decorrelate; these are the ones
+# already used elsewhere in the package (op174) and in sources/pyds.py.
+_CMS_MULTS = (2654435761, 2246822519, 3266489917)
+# word -> integer key, portable across engines: first 24 bits of md5.
+# Spark: conv(hex, 16, 10); DuckDB: '0x'-prefixed cast. Verified equal.
+_CMS_KEY_SPARK = "cast(conv(substr(md5(word), 1, 6), 16, 10) as bigint)"
+_CMS_KEY_DUCK = "('0x' || substr(md5(word), 1, 6))::BIGINT"
+_CMS_PROBES = ("spark", "batch", "window", "vector", "the", "nonexistentword")
+
+
+def _cms_mulmod32(col: str, mult: int, int_div: str) -> str:
+    """(col · mult) mod 2³² overflow-free — op174's portable hash."""
+    u32 = 4294967296
+    a = f"(({col}) % {u32})"
+    lo = f"({a} % 65536)"
+    hi = f"({a} {int_div} 65536)"
+    return (
+        f"((({lo} * {mult}) % {u32}"
+        f" + ((({hi} * {mult}) % {u32}) * 65536) % {u32}) % {u32})"
+    )
+
+
+def _cms_bucket(key_expr: str, mult: int, int_div: str) -> str:
+    return f"({_cms_mulmod32(key_expr, mult, int_div)} % {_CMS_W})"
+
+
+def _op215_buckets_duck(src: str) -> str:
+    """UNION ALL of the depth rows: (r, bucket, word) drawn from src —
+    every branch carries its own FROM (a shared trailing FROM binds to
+    the last branch only; learned the hard way building this op)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {_cms_bucket(_CMS_KEY_DUCK, m, '//')} AS b, word"
+        f" FROM {src}"
+        for r, m in enumerate(_CMS_MULTS)
+    )
+
+
+def _op215_sql() -> str:
+    probes = ", ".join(f"('{w}')" for w in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+w AS (SELECT word FROM toks WHERE word <> ''),
+counters AS (
+  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({_op215_buckets_duck('w')}) GROUP BY r, b),
+probes(word) AS (VALUES {probes}),
+probe_buckets AS (
+  {_op215_buckets_duck('probes')}),
+est AS (
+  SELECT pb.word, MIN(c.c) AS est
+  FROM probe_buckets pb JOIN counters c ON pb.r = c.r AND pb.b = c.b
+  GROUP BY pb.word),
+exact AS (
+  SELECT p.word, CAST(COUNT(w.word) AS BIGINT) AS exact_n
+  FROM probes p LEFT JOIN w ON w.word = p.word
+  GROUP BY p.word)
+SELECT e.word, COALESCE(est.est, 0) AS cms_est, e.exact_n,
+       COALESCE(est.est, 0) - e.exact_n AS overcount
+FROM exact e LEFT JOIN est ON e.word = est.word
+"""
+
+
+@register("op215_cms_pointquery", oracle=_op215_sql())
+def op215_cms_pointquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH (Cormode–Muthukrishnan) frequency estimates
+    for a fixed probe set, with the exact counts and the (provably
+    ≥ 0) overcount alongside — completing the mergeable-summary
+    family: HLL=cardinality (op166), MinHash=similarity (op194),
+    bottom-k=quantiles (op201), Misra-Gries=heavy hitters (op185),
+    CMS=point frequencies.
+
+    Why this sketch is FULLY SQL-certified where op166 stays ROWS:
+    CMS counters are themselves exact aggregates — counter[r][b] =
+    COUNT(*) of tokens whose row-r hash lands in bucket b — under an
+    engine-portable hash (24-bit md5 prefix → _mulmod32 row mixes).
+    So the whole sketch state AND the min-over-rows estimates are
+    deterministic relational algebra, and the driver hash certifies
+    build + merge + probe end to end.
+
+    Merge = Spark's own partial aggregation: each map task counts its
+    partition into ≤ depth×width rows before the exchange — the
+    map-side combine IS the sketch union, so a 100 TB build shuffles
+    (#tasks × 192) counter rows, never tokens. Probes join the
+    3-row-per-word bucket table against the 192-row counter table —
+    broadcast, trivially.
+
+    Estimate guarantee (est ≥ exact; est ≤ exact + εN w.h.p.) is
+    asserted in tests/test_pipeline_r6.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    hash_rows = ", ".join(
+        f"({r}, {_cms_bucket(_CMS_KEY_SPARK, m, 'div')})"
+        for r, m in enumerate(_CMS_MULTS)
+    )
+    stack_expr = (
+        f"stack({len(_CMS_MULTS)}, "
+        + ", ".join(
+            f"{r}, {_cms_bucket(_CMS_KEY_SPARK, m, 'div')}"
+            for r, m in enumerate(_CMS_MULTS)
+        )
+        + ") as (r, b)"
+    )
+    counters = (
+        toks.select("word")
+        .selectExpr("word", stack_expr)
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "word string")
+    probe_buckets = probes.selectExpr("word", stack_expr)
+    est = (
+        probe_buckets.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("word")
+        .agg(F.min("c").alias("est"))
+    )
+    exact = (
+        probes.join(toks.groupBy("word").count(), "word", "left")
+        .select("word", F.coalesce(F.col("count"), F.lit(0)).alias("exact_n"))
+    )
+    return (
+        exact.join(F.broadcast(est), "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("est"), F.lit(0)).cast("bigint").alias("cms_est"),
+            F.col("exact_n").cast("bigint"),
+            (F.coalesce(F.col("est"), F.lit(0)) - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )

@@ -158,6 +158,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r4b,
         pipeline_r5,
         pipeline_r5b,
+        pipeline_r6,
         multimodal_codecs,
         udfs,
         northstar,

@@ -1,0 +1,154 @@
+"""Behavioral gates for the round-6 batch (op211–op215) — each op's
+oracle hash is the driver's check; these tests pin the *algorithmic*
+claims against independent pure-python/numpy references at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocdb_server_spark.operators import pipeline_r6 as r6
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from ocdb_server_spark.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, x
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir, emb):
+    _, x = emb
+    q = np.round(x * r6._GRAM_SCALE).astype(np.int64)
+    expect = q.T @ q
+    got = {
+        (r.i, r.j): r.g
+        for r in r6.op211_gram_matrix(spark, sf_dir).collect()
+    }
+    d = q.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), g in got.items():
+        assert i <= j
+        assert g == expect[i, j], (i, j)
+    # diagonal entries are sums of squares — strictly non-negative
+    assert all(got[(i, i)] >= 0 for i in range(d))
+
+
+def test_gram_partials_are_per_partition(spark, sf_dir):
+    """The mergeable-partial claim: the pre-merge frame carries at most
+    d(d+1)/2 rows PER PARTITION, independent of vector count."""
+    from ocdb_server_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nparts = e.rdd.getNumPartitions()
+    out = r6.op211_gram_matrix(spark, sf_dir)
+    # the final agg input is bounded by partitions × triangle size
+    assert out.count() == 64 * 65 // 2
+    assert nparts * 2080 < e.count() * 64 or e.count() < 2080, (
+        "at test scale the bound may not bite, but the structural row "
+        "count must hold"
+    )
+
+
+def _kmeans_reference(ids, x, k, iters):
+    q = np.round(x * 1000).astype(np.int64) + r6._KM_OFF
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    cents = {cid: q[list(ids).index(cid)] for cid in range(k)}
+    assign = None
+    for _ in range(iters):
+        assign = {}
+        for vid, row in zip(ids, q):
+            dists = sorted(
+                (int(((row - c) ** 2).sum()), cid) for cid, c in cents.items()
+            )
+            assign[vid] = dists[0][1]
+        for cid in range(k):
+            members = [row for vid, row in zip(ids, q) if assign[vid] == cid]
+            if members:
+                s = np.sum(members, axis=0)
+                cents[cid] = s // len(members)  # all-positive: floor==trunc
+    return assign, cents
+
+
+def test_kmeans_matches_python_reference(spark, sf_dir, emb):
+    ids, x = emb
+    assign, cents = _kmeans_reference(ids, x, r6._KM_K, 2)
+    got = {r.cluster_id: r for r in r6.op212_kmeans_lloyd(spark, sf_dir).collect()}
+    # every vector assigned exactly once
+    assert sum(r.n_members for r in got.values()) == len(ids)
+    from collections import Counter
+
+    ref_sizes = Counter(assign.values())
+    for cid, row in got.items():
+        assert row.n_members == ref_sizes[cid]
+        assert row.sum_vec_ids == sum(v for v, c in assign.items() if c == cid)
+        assert row.centroid_l1 == int(cents[cid].sum())
+
+
+def test_bfs_distances_match_python(spark, sf_dir):
+    from ocdb_server_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct().collect()
+    adj: dict[int, set[int]] = {}
+    for r in li:
+        p, s = 2 * r.l_partkey, 2 * r.l_suppkey + 1
+        adj.setdefault(p, set()).add(s)
+        adj.setdefault(s, set()).add(p)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    seeds = {2 * r.s_suppkey + 1 for r in sup if r.s_suppkey <= r6._BFS_SEEDS}
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for hop in range(1, r6._BFS_HOPS + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        frontier = nxt
+    from collections import Counter
+
+    expect = Counter(
+        (d, "part" if n % 2 == 0 else "supplier") for n, d in dist.items()
+    )
+    got = {
+        (r.dist, r.node_type): r.n_nodes
+        for r in r6.op213_bfs_reachability(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_auc_matches_bruteforce_pairs(spark, sf_dir):
+    from ocdb_server_spark.io import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "n_chars", "lang"
+    ).collect()
+    pos = [r.n_chars for r in rows if r.lang == "en"]
+    neg = [r.n_chars for r in rows if r.lang != "en"]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    out = r6.op214_auc_ranksum(spark, sf_dir).collect()[0]
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert out.auc == pytest.approx(expect, abs=1e-12)
+    assert 0.0 <= out.auc <= 1.0
+
+
+def test_cms_overestimate_guarantee(spark, sf_dir):
+    rows = r6.op215_cms_pointquery(spark, sf_dir).collect()
+    assert {r.word for r in rows} == set(r6._CMS_PROBES)
+    for r in rows:
+        # CMS never undercounts; the absent probe has exact 0
+        assert r.overcount >= 0, r
+        assert r.cms_est >= r.exact_n
+    absent = next(r for r in rows if r.word == "nonexistentword")
+    assert absent.exact_n == 0
