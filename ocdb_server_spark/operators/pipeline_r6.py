@@ -576,3 +576,247 @@ def op215_cms_pointquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op216: BPE merge training — 3 unrolled rounds, hash-certified
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _op216_sql() -> str:
+    """Unrolled BPE trainer in DuckDB: each round counts adjacent
+    symbol pairs over the (vocab-sized) word-frequency table, picks
+    the argmax pair under a total (cnt DESC, lhs, rhs) order, and
+    applies the merge with plain leftmost-non-overlapping REPLACE —
+    the exact string semantics Spark's `replace` shares."""
+    ctes = ["""
+toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE word <> '' GROUP BY word),
+seqs0 AS (
+  SELECT word, freq,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM words)"""]
+    for k in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""
+pairs{k} AS (
+  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(trim(seq), ' ') AS sym, freq FROM seqs{k - 1}),
+       UNNEST(range(1, len(sym))) t(i)
+  GROUP BY lhs, rhs),
+best{k} AS (
+  SELECT lhs, rhs, cnt FROM pairs{k}
+  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+seqs{k} AS (
+  SELECT word, freq,
+         replace(seq, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS seq
+  FROM seqs{k - 1}, best{k} b)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + finals
+
+
+@register("op216_bpe_train", oracle=_op216_sql())
+def op216_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE TRAINING (Sennrich 2016) — the tokenizer-build step
+    itself, not a proxy: three merge rounds learned from the corpus,
+    hash-certified against the oracle's unrolled restatement.
+
+    The trainer runs on the WORD-FREQUENCY table, not the corpus —
+    the classic BPE compression: the corpus is touched once (one
+    explode + groupBy to vocab-sized (word, freq)), and every
+    subsequent pair-count/merge round is arithmetic over ~|vocab|
+    rows. At 100 TB that makes training cost one token scan plus
+    per-round vocab-sized aggregates — the reason real tokenizer
+    trainers (SentencePiece/HF) do exactly this.
+
+    Determinism: pair selection is argmax under the TOTAL order
+    (count DESC, lhs, rhs) — ties cannot diverge; the merge rewrite
+    is leftmost-non-overlapping string replace with space sentinels,
+    whose greedy-left semantics are identical in Spark, DuckDB and
+    Python (pinned vs a pure-python reference BPE in tests). Each
+    round's argmax is a 1-row TakeOrdered broadcast-joined into the
+    sequence update — the whole 3-round program is one lazy plan.
+
+    Output: (merge_rank, lhs, rhs, merged, pair_count) — the learned
+    merge table, i.e. the artifact a tokenizer ships."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    seqs = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    merge_rows = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            seqs.select(
+                F.split(F.trim(F.col("seq")), " ").alias("sym"), "freq"
+            )
+            # single-symbol words have no pairs — and Spark's
+            # sequence(1, 0) is DESCENDING [1, 0], not empty, so the
+            # guard is load-bearing, not cosmetic
+            .filter(F.expr("size(sym) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(element_at(sym, i) as lhs, "
+                        "element_at(sym, i + 1) as rhs))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "lhs", "rhs").limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(k).alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        b = best.select(
+            F.col("lhs").alias("_bl"), F.col("rhs").alias("_br")
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(b))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(seq, ' ' || _bl || ' ' || _br || ' ', "
+                    "' ' || _bl || _br || ' ')"
+                ).alias("seq"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+# --------------------------------------------------------------------------
+# op217: BPE apply — tokenizer cost report with the learned merges
+# --------------------------------------------------------------------------
+
+
+def _op217_sql() -> str:
+    """op216's unrolled trainer, extended: after the merge rounds the
+    per-word symbol counts are joined back to the corpus and rolled
+    up per language — the 'what does this tokenizer cost on my
+    corpus' report."""
+    train = _op216_sql()
+    # reuse the trainer's CTE chain up to seqs{N}; strip its final SELECT
+    ctes = train[: train.rindex("SELECT 1 AS merge_rank")].rstrip()
+    assert ctes.endswith(")"), ctes[-80:]
+    n = _BPE_ROUNDS
+    return f"""{ctes},
+wordcost AS (
+  SELECT word, len(string_split(trim(seq), ' ')) AS n_bpe,
+         length(word) AS n_char
+  FROM seqs{n}),
+doctoks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_char) AS BIGINT) AS char_tokens,
+       CAST(SUM(w.n_bpe) AS BIGINT) AS bpe_tokens
+FROM doctoks d JOIN wordcost w ON d.word = w.word
+WHERE d.word <> ''
+GROUP BY d.lang
+"""
+
+
+@register("op217_bpe_apply", oracle=_op217_sql())
+def op217_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: encode the corpus with op216's learned merge table
+    and report per-language token costs (char-level baseline vs
+    post-merge BPE count) — the measurement that decides whether a
+    tokenizer's merge budget is spent on the right languages.
+
+    Shape: merges apply to the WORD VOCABULARY (op216's compression
+    insight — apply is a per-distinct-word rewrite, not a per-token
+    one), then the vocab-sized (word → n_bpe) cost table joins back
+    to the exploded corpus. That join is vocab⋈corpus — broadcast
+    the cost side at any real scale. The merge loop re-derives
+    op216's argmax pairs inside the same lazy plan, so train+apply
+    is still one Catalyst program with no driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    seqs = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            seqs.select(
+                F.split(F.trim(F.col("seq")), " ").alias("sym"), "freq"
+            )
+            .filter(F.expr("size(sym) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(element_at(sym, i) as lhs, "
+                        "element_at(sym, i + 1) as rhs))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        b = (
+            pairs.orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .select(F.col("lhs").alias("_bl"), F.col("rhs").alias("_br"))
+        )
+        seqs = seqs.crossJoin(F.broadcast(b)).select(
+            "word",
+            "freq",
+            F.expr(
+                "replace(seq, ' ' || _bl || ' ' || _br || ' ', "
+                "' ' || _bl || _br || ' ')"
+            ).alias("seq"),
+        )
+    wordcost = seqs.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_bpe"),
+        F.length("word").alias("n_char"),
+    )
+    doctoks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        doctoks.join(F.broadcast(wordcost), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_char").cast("bigint").alias("char_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        )
+    )

@@ -152,3 +152,77 @@ def test_cms_overestimate_guarantee(spark, sf_dir):
         assert r.cms_est >= r.exact_n
     absent = next(r for r in rows if r.word == "nonexistentword")
     assert absent.exact_n == 0
+
+
+def _bpe_reference(word_freqs, rounds):
+    """Pure-python BPE trainer (Sennrich 2016 reference semantics):
+    greedy leftmost merge, argmax pair under (count DESC, lhs, rhs)."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, sym in seqs.items():
+            f = word_freqs[w]
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((l, r, l + r, cnt))
+        for w, sym in seqs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@pytest.fixture(scope="module")
+def word_freqs(spark, sf_dir):
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    c = Counter()
+    for r in rows:
+        c.update(w for w in r.text.split(" ") if w)
+    return dict(c)
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir, word_freqs):
+    merges, _ = _bpe_reference(word_freqs, r6._BPE_ROUNDS)
+    got = sorted(
+        r6.op216_bpe_train(spark, sf_dir).collect(), key=lambda r: r.merge_rank
+    )
+    assert len(got) == r6._BPE_ROUNDS
+    for row, (l, r, merged, cnt) in zip(got, merges):
+        assert (row.lhs, row.rhs, row.merged, row.pair_count) == (l, r, merged, cnt)
+
+
+def test_bpe_apply_costs_match_reference(spark, sf_dir, word_freqs):
+    from collections import defaultdict
+
+    from ocdb_server_spark.io import load_table
+
+    _, seqs = _bpe_reference(word_freqs, r6._BPE_ROUNDS)
+    rows = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    exp = defaultdict(lambda: [0, 0, 0])  # n_words, char, bpe
+    for r in rows:
+        for w in r.text.split(" "):
+            if not w:
+                continue
+            exp[r.lang][0] += 1
+            exp[r.lang][1] += len(w)
+            exp[r.lang][2] += len(seqs[w])
+    got = {r.lang: r for r in r6.op217_bpe_apply(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for lang, (n, ch, bp) in exp.items():
+        row = got[lang]
+        assert (row.n_words, row.char_tokens, row.bpe_tokens) == (n, ch, bp)
+        # merges only ever shorten: BPE cost is bounded by char cost
+        assert row.bpe_tokens <= row.char_tokens
