@@ -42,9 +42,34 @@ def ensure_protobuf() -> bool:
     pp = os.environ.get("PYTHONPATH", "")
     if VENDOR_DIR not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (pp + os.pathsep + VENDOR_DIR) if pp else VENDOR_DIR
+    # A session built BEFORE this ran (the driver's bare session: it
+    # creates its SparkSession first, then imports __spark_entry__)
+    # has already captured its env — but Python workers and the TWS
+    # state server take their env from `sc.environment` at worker
+    # LAUNCH, which is mutable post-hoc. Verified end-to-end: setting
+    # it here makes transformWithStateInPandas work in a session that
+    # existed before the vendor path did.
+    _wire_active_context()
     # Invalidate caches so the just-added path is honored, then confirm.
     importlib.invalidate_caches()
     try:
         return importlib.util.find_spec("google.protobuf") is not None
     except (ImportError, ModuleNotFoundError, ValueError):
         return False
+
+
+def _wire_active_context() -> None:
+    """Append the vendor dir to a LIVE SparkContext's worker env."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+    except Exception:  # pyspark absent/odd — nothing to wire
+        return
+    if sc is None:
+        return
+    pp = sc.environment.get("PYTHONPATH", "")
+    if VENDOR_DIR not in pp.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            (pp + os.pathsep + VENDOR_DIR) if pp else VENDOR_DIR
+        )

@@ -347,3 +347,36 @@ def op208_stream_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     from ocdb_server_spark.streaming.jobs import stream_tws_centroid_maintenance
 
     return stream_tws_centroid_maintenance(spark, sf_dir)
+
+
+@register(
+    "op218_stream_tws_topk",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q
+      FROM events),
+    r AS (
+      SELECT user_id, event_id, q,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY q DESC, event_id) AS rank
+      FROM q)
+    SELECT user_id, CAST(rank AS INTEGER) AS rank, q, event_id
+    FROM r WHERE rank <= 3
+    """,
+)
+def op218_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user TOP-3 via transformWithStateInPandas LIST
+    STATE — the third TWS state primitive run for real (ValueState:
+    op206; composite-key ValueState: op208), hash-certified against
+    the batch window top-k because the kept list is a pure function
+    of the input set: (q, event_id) is unique, the order
+    (q DESC, event_id) total, the merge-and-recut transition
+    order-insensitive, and q quantized JVM-side pre-state (op206's
+    rule). State is bounded at 3 rows/key — streaming top-k with
+    O(k) memory, not 'sort the history'. Eager by design: the
+    certified artifact IS the streaming execution
+    (streaming/jobs.stream_tws_topk_liststate)."""
+    from ocdb_server_spark.streaming.jobs import stream_tws_topk_liststate
+
+    return stream_tws_topk_liststate(spark, sf_dir)

@@ -266,3 +266,38 @@ def test_stream_centroid_maintenance_matches_batch(spark, sf_dir):
     s = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     b = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert s == b
+
+
+def test_stream_tws_topk_matches_batch_window(spark, sf_dir):
+    """op218's ListState top-k must equal the batch window top-3 under
+    the same (q DESC, event_id) total order — the pure-function-of-
+    the-input-set argument that justifies its SQL oracle."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state-server protocol needs protobuf (real or vendored)",
+    )
+    from pyspark.sql import Window as W
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.streaming.jobs import stream_tws_topk_liststate
+
+    streamed = stream_tws_topk_liststate(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").alias("q"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("q").desc(), "event_id")
+    batch = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "q", "event_id")
+    )
+    s = {(r.user_id, r.rank): (r.q, r.event_id) for r in streamed.collect()}
+    b = {(r.user_id, r.rank): (r.q, r.event_id) for r in batch.collect()}
+    assert s == b
+    # bounded-state claim: no user carries more than 3 rows
+    from collections import Counter
+
+    per_user = Counter(u for (u, _) in s)
+    assert max(per_user.values()) <= 3
