@@ -820,3 +820,168 @@ def op217_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op220: triangle counting — oriented 3-way self-join, hash-certified
+# --------------------------------------------------------------------------
+
+_OP220_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM pairs a JOIN pairs b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+nodes AS (
+  SELECT a AS s FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT s AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY s
+"""
+
+
+@register("op220_triangle_count", oracle=_OP220_SQL)
+def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE COUNTS over the supplier co-supply graph
+    (suppliers sharing ≥1 part) — the clustering-coefficient /
+    community-density primitive, and a third graph-algorithm family
+    beside op186's fixpoint and op213's traversal.
+
+    Algorithm: ORIENTED triangle enumeration — every edge stored once
+    as (lo < hi), triangles found by the 2-path join e1(a,b)⋈e2(b,c)
+    closed by the membership join e3(a,c); orientation means each
+    triangle is produced exactly once and the join never explores
+    both directions (the standard distributed-triangle trick; a
+    production variant orients by DEGREE instead of id to bound the
+    2-path fanout on skewed graphs — id-orientation keeps the oracle
+    portable here and is exact either way).
+
+    Scale notes: the risky step is the bipartite PROJECTION (a part
+    with k suppliers emits k²/2 edges) — bounded by the data model
+    here (few suppliers per part); web-scale projections cap or
+    sample hub parts first (op192's df-cap pattern). After that,
+    every join is an equi-join on supplier ids: shuffles carry
+    (int, int) edges only. Exact integer counts — nothing to
+    quantize; the oracle is the same algebra in DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("s"))
+        .unionAll(tri.select(F.col("b").alias("s")))
+        .unionAll(tri.select(F.col("c").alias("s")))
+    )
+    return nodes.groupBy(F.col("s").alias("s_suppkey")).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+# --------------------------------------------------------------------------
+# op221: near-dup canonicalization — LSH pairs → components → keep-best
+# --------------------------------------------------------------------------
+
+
+def neardup_canonicalize(docs: DataFrame) -> DataFrame:
+    """Full dedup DECISION pipeline over a documents frame:
+    MinHash-LSH candidate pairs (northstar.minhash_neardup_pairs) →
+    connected components (components.connected_components) → one
+    KEPT doc per duplicate cluster (longest text wins, doc_id
+    tiebreak — the RefinedWeb keep-best rule). Returns one row per
+    cluster: (component, n_members, keep_doc_id, kept_n_chars,
+    dropped_docs, dropped_chars)."""
+    from pyspark.sql import Window
+
+    from ocdb_server_spark.operators.components import connected_components
+    from ocdb_server_spark.operators.northstar import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(docs)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    members = labels.join(
+        docs.select("doc_id", "n_chars"), labels.id == docs.doc_id
+    ).select("component", "doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter("rn = 1").select(
+        "component",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_chars").alias("kept_n_chars"),
+    )
+    stats = members.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return (
+        stats.join(kept, "component")
+        .select(
+            "component",
+            "n_members",
+            "keep_doc_id",
+            "kept_n_chars",
+            (F.col("n_members") - 1).cast("bigint").alias("dropped_docs"),
+            (F.col("total_chars") - F.col("kept_n_chars"))
+            .cast("bigint")
+            .alias("dropped_chars"),
+        )
+    )
+
+
+@register("op221_neardup_canonicalize", oracle=None)  # ROWS: xxhash LSH (op79's rationale)
+def op221_neardup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup canonicalization — the integration of the
+    dedup family into the decision a corpus build actually ships:
+    op79's LSH candidate pairs, op96's connected components, and the
+    keep-best-quality rule, composed into 'which doc survives each
+    duplicate cluster and how much is dropped'.
+
+    ROWS by design (xxhash64 signatures — op79's rationale); the
+    behavioral gate is a planted-cluster test (test_pipeline_r6):
+    crafted near-dup clusters must collapse to their longest member
+    with exact drop accounting, singletons must not appear. On the
+    generated corpora the result follows op79's pair output (this
+    round's sf0.01 surfaces ~25 LSH clusters; sf0.1 additionally
+    plants 8 duplicate texts per FIXTURES.md, which must all
+    canonicalize).
+
+    Scale: every stage is the already-audited scale path — signature
+    shuffles (never text), min-label propagation with localCheckpoint,
+    one keyed window per cluster. The composition adds no new shuffle
+    class."""
+    return neardup_canonicalize(load_table(spark, sf_dir, "documents"))

@@ -380,3 +380,27 @@ def op218_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocdb_server_spark.streaming.jobs import stream_tws_topk_liststate
 
     return stream_tws_topk_liststate(spark, sf_dir)
+
+
+@register(
+    "op219_stream_tws_mapstate",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_q
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def op219_stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running stats via TWS MAP STATE — the
+    last of the three TWS state primitives run for real (ValueState
+    op206, ListState op218): the event_type sub-key makes state
+    access a RocksDB point lookup instead of a whole-value rewrite,
+    the shape per-entity-per-category state takes at serving scale.
+    Hash-certified against the batch groupBy because map values are
+    order-insensitive int64 (count, sum) algebra over JVM-quantized
+    inputs (streaming/jobs.stream_tws_mapstate_type_stats)."""
+    from ocdb_server_spark.streaming.jobs import stream_tws_mapstate_type_stats
+
+    return stream_tws_mapstate_type_stats(spark, sf_dir)

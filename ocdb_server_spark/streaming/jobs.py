@@ -779,3 +779,108 @@ def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("max_seen"))
         .select("user_id", "rank", "q", "event_id")
     )
+
+
+def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op219's pipeline: per-user, per-event-type running (n, sum_q)
+    via transformWithStateInPandas MAP STATE — with op206 (ValueState)
+    and op218 (ListState) this exercises every TWS state primitive
+    for real. The map key is the event_type (sub-key WITHIN the
+    stream key: user_id), so state reads/writes are point lookups
+    into RocksDB rather than a whole-blob rewrite — the reason
+    MapState exists and the shape per-entity-per-category serving
+    state takes at scale.
+
+    Same exactness contract as op206: q quantized JVM-side with the
+    oracle's decimal-cast expression, map values are (int64 count,
+    int64 sum) — order-insensitive algebra, so the final emission
+    hash-matches the batch groupBy(user_id, event_type) oracle."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "m", "event_type string", "n bigint, sum_q bigint"
+            )
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_seen = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n_seen += len(pdf)
+                g = pdf.groupby("event_type")["q"].agg(["count", "sum"])
+                for et, row in g.iterrows():
+                    if self._m.containsKey((et,)):
+                        n0, s0 = self._m.getValue((et,))
+                    else:
+                        n0, s0 = 0, 0
+                    self._m.updateValue(
+                        (et,), (n0 + int(row["count"]), s0 + int(row["sum"]))
+                    )
+            self._n.update((n_seen,))
+            ets, ns, sums = [], [], []
+            for (et,), (n, s) in self._m.iterator():
+                ets.append(et)
+                ns.append(n)
+                sums.append(s)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ets),
+                    "n_seen": [n_seen] * len(ets),
+                    "event_type": ets,
+                    "n": ns,
+                    "sum_q": sums,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # Driver sessions are built BEFORE this package imports — wire the
+    # vendored protobuf into the LIVE context's worker env (no-op when
+    # a real google.protobuf is installed). See _vendor.py.
+    from ocdb_server_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        ev = _stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+            ).alias("q"),
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeStats(),
+            outputStructType="user_id bigint, n_seen bigint,"
+            " event_type string, n bigint, sum_q bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sunk = _run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    return (
+        sunk.withColumn("max_seen", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("user_id", "event_type", "n", "sum_q")
+    )

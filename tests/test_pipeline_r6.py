@@ -226,3 +226,40 @@ def test_bpe_apply_costs_match_reference(spark, sf_dir, word_freqs):
         assert (row.n_words, row.char_tokens, row.bpe_tokens) == (n, ch, bp)
         # merges only ever shorten: BPE cost is bounded by char cost
         assert row.bpe_tokens <= row.char_tokens
+
+
+def test_neardup_canonicalize_planted_clusters(spark):
+    """op221's decision pipeline on crafted clusters: two near-dup
+    groups + two singletons → exactly two cluster rows, each keeping
+    its longest member with exact drop accounting."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again today"
+    base_b = "spark shuffles partition data across executors during wide joins"
+    rows = [
+        # cluster A: 3 docs sharing nearly all 2-shingles
+        (1, base_a + " extra tail words here", None),
+        (2, base_a, None),
+        (3, base_a + " extra tail", None),
+        # cluster B: 2 docs
+        (10, base_b + " at scale", None),
+        (11, base_b, None),
+        # singletons — entirely different shingle sets
+        (20, "completely unrelated text about cooking pasta with garlic", None),
+        (21, "orbital mechanics requires delta v budgets for transfers", None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t, _ in rows], "doc_id long, text string, n_chars long"
+    )
+    from ocdb_server_spark.operators.pipeline_r6 import neardup_canonicalize
+
+    out = {r.component: r for r in neardup_canonicalize(docs).collect()}
+    assert len(out) == 2, out
+    a = out[1]  # min doc_id labels the component
+    assert a.n_members == 3
+    assert a.keep_doc_id == 1  # longest member of cluster A
+    assert a.dropped_docs == 2
+    assert a.dropped_chars == sum(len(t) for i, t, _ in rows[1:3])
+    b = out[10]
+    assert b.n_members == 2
+    assert b.keep_doc_id == 10
+    assert b.dropped_docs == 1
+    assert b.dropped_chars == len(base_b)
