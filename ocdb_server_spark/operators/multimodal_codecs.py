@@ -785,3 +785,100 @@ def op205_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, width long, height long, pixel_sum long,"
         " min_px long, max_px long",
     )
+
+
+# ------------------------------------------------------------------- GIF
+
+_GIF_N = 60
+
+
+def _gen_gif(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.gif import encode_gif_gray
+
+    for pdf in it:
+        ids, payloads = [], []
+        for i in pdf["id"]:
+            i = int(i)
+            w = 18 + (i % 6) * 9
+            h = 12 + (i % 5) * 6
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            if i % 3 == 2:
+                # low-entropy stripes: long runs exercise deep LZW
+                # prefixes and the KwKwK reconstruction path
+                px = np.broadcast_to(
+                    (((r // 3) * 17 + i * 5) % 256).astype(np.uint8), (h, w)
+                )
+            else:
+                px = ((i * 13 + r * 7 + c * 3) % 256).astype(np.uint8)
+            ids.append(i)
+            payloads.append(encode_gif_gray(px))
+        yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+
+def _decode_gif_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.gif import decode_gif_gray
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("asset_id", "width", "height", "pixel_sum", "min_px", "max_px")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            w, h, px = decode_gif_gray(bytes(payload))
+            p64 = px.astype(np.int64)
+            out["asset_id"].append(int(aid))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["pixel_sum"].append(int(p64.sum()))
+            out["min_px"].append(int(p64.min()))
+            out["max_px"].append(int(p64.max()))
+        yield pd.DataFrame(out)
+
+
+_OP222_SQL = f"""
+WITH a AS (SELECT range AS i,
+                  18 + (range % 6) * 9 AS w,
+                  12 + (range % 5) * 6 AS h
+           FROM range(0, {_GIF_N})),
+px AS (SELECT a.i, a.w, a.h,
+              CASE WHEN a.i % 3 = 2
+                   THEN ((r.r // 3) * 17 + a.i * 5) % 256
+                   ELSE (a.i * 13 + r.r * 7 + c.c * 3) % 256 END AS v
+       FROM a, UNNEST(range(0, a.h)) AS r(r), UNNEST(range(0, a.w)) AS c(c))
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(ANY_VALUE(w) AS BIGINT) AS width,
+       CAST(ANY_VALUE(h) AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS BIGINT) AS min_px,
+       CAST(MAX(v) AS BIGINT) AS max_px
+FROM px GROUP BY i
+"""
+
+
+@register("op222_gif_decode_stats", oracle=_OP222_SQL)
+def op222_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode for real — the THIRD compressed image format and the
+    remaining classic compression family: LZW with variable-width
+    codes (JPEG covered lossy DCT+Huffman, PNG covered DEFLATE). 60
+    grayscale-palette GIFs from a closed-form formula (one corpus
+    slice is low-entropy stripes so deep LZW prefixes and the KwKwK
+    self-referential code path are load-bearing) are encoded by
+    sources/gif.py's REAL compressing LZW encoder and decoded back:
+    container walk, palette handling, variable-width code unpack,
+    dictionary reconstruction, CLEAR resets, 4-pass interlace
+    support. Lossless ⇒ the oracle restates exact pixel sums from
+    the generation formula — the hash certifies the entire codec.
+    Two-way javax.imageio interop (incl. its INTERLACED output) in
+    tests/test_codecs.py. No payload ever shuffles (mapInPandas both
+    stages, codec-family contract)."""
+    gen = spark.range(_GIF_N).repartition(8).mapInPandas(
+        _gen_gif, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _decode_gif_stats,
+        "asset_id long, width long, height long, pixel_sum long,"
+        " min_px long, max_px long",
+    )

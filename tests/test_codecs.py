@@ -317,3 +317,68 @@ def test_png_imageio_interop_two_way(spark):
     jvm.javax.imageio.ImageIO.write(bimg, "png", baos)
     _w, _h, ours = decode_png_gray(bytes(baos.toByteArray()))
     assert np.array_equal(ours, img)
+
+
+# ---------------------------------------------------------------- GIF / LZW
+
+from ocdb_server_spark.sources.gif import decode_gif_gray, encode_gif_gray
+
+
+def _gif_img(seed: int, h: int = 57, w: int = 83):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+
+def test_gif_roundtrip_noise_runs_and_overflow():
+    """Self-roundtrip across the LZW regimes: incompressible noise
+    (literal-heavy), striped runs (deep prefixes + KwKwK), and an
+    image large enough to hit 12-bit codes and a CLEAR reset."""
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (23, 31)).astype(np.uint8),
+        np.tile(np.array([[7, 7, 7, 9]], np.uint8), (50, 50)),
+        ((np.arange(40)[:, None] * 3 + np.arange(33)[None, :] * 5) % 256).astype(
+            np.uint8
+        ),
+        rng.integers(0, 256, (200, 300)).astype(np.uint8),  # 12-bit + CLEAR
+        np.zeros((1, 1), np.uint8),
+        np.full((3, 500), 255, np.uint8),
+    ]
+    for px in cases:
+        w, h, out = decode_gif_gray(encode_gif_gray(px))
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert np.array_equal(out, px)
+
+
+def test_gif_imageio_interop_two_way(spark):
+    """Two-way interop with JDK-17 javax.imageio: its GIF writer emits
+    INTERLACED streams (so this also certifies our 4-pass
+    de-interlace), and its reader must get our compressing-LZW bytes
+    back pixel-exact. Pins the width-transition semantics (decoder
+    bumps at table==2^width; encoder's strict > check) against an
+    independent implementation."""
+    img = _gif_img(seed=3)
+    h, w = img.shape
+    jvm = spark._jvm
+    # theirs -> ours
+    bimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    wr = bimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            wr.setSample(x, y, 0, int(img[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bimg, "gif", baos)
+    w2, h2, ours = decode_gif_gray(bytes(baos.toByteArray()))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(ours, img)
+    # ours -> theirs
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_gif_gray(img)))
+    jimg = jvm.javax.imageio.ImageIO.read(bais)
+    assert jimg is not None, "javax.imageio could not parse our GIF"
+    ras = jimg.getRaster()
+    theirs = np.array(
+        [[ras.getSample(x, y, 0) for x in range(w)] for y in range(h)]
+    )
+    assert np.array_equal(theirs, img)
