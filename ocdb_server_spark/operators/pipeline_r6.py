@@ -985,3 +985,82 @@ def op221_neardup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed window per cluster. The composition adds no new shuffle
     class."""
     return neardup_canonicalize(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# op223: 2-D skyline (Pareto frontier) — partial skylines + merge
+# --------------------------------------------------------------------------
+
+_OP223_SQL = """
+SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate >= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate > a.o_orderdate)
+)
+"""
+
+
+def _skyline_kernel(it):
+    """Vectorized 2-D skyline of (price, date), both maximized: sort
+    by price desc / date desc; a row survives iff its date equals its
+    price-group's max AND strictly exceeds the best date seen in any
+    strictly-higher price group. Equal (price, date) ties all survive
+    (neither strictly dominates)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        price = pdf["o_totalprice"].to_numpy()
+        date = pdf["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((-date, -price))
+        p, d = price[order], date[order]
+        new_group = np.concatenate(([True], p[1:] != p[:-1]))
+        grp_id = np.cumsum(new_group) - 1
+        cm = np.maximum.accumulate(d)
+        last_of_group = np.where(np.concatenate((new_group[1:], [True])))[0]
+        best_before_group = np.concatenate(
+            ([np.iinfo(np.int64).min], cm[last_of_group[:-1]])
+        )
+        best_before = best_before_group[grp_id]
+        group_max = d[np.where(new_group)[0]][grp_id]
+        survive = (d == group_max) & (d > best_before)
+        keep = order[survive]
+        yield pdf.iloc[keep][["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
+@register("op223_skyline", oracle=_OP223_SQL)
+def op223_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) of orders maximizing
+    (o_totalprice, o_orderdate) — the multi-criteria "best trade-off"
+    query (Börzsönyi 2001), a relational surface neither engine has a
+    native operator for.
+
+    Distributed algorithm: the skyline is MERGEABLE — phase 1 computes
+    each partition's partial skyline with a fully vectorized
+    sort + strict-prefix-cummax numpy kernel (O(n log n), no Python
+    row loop), phase 2 re-runs the SAME kernel over the union of
+    partials in one task. Correct because every dominator of a
+    non-skyline point can be chosen from the global skyline, and
+    global skyline points survive any partition's partial pass — so
+    dominated points cannot sneak through and skyline points cannot
+    be lost. At 100 TB the shuffle carries only partial-skyline rows
+    (typically O(distinct prices per partition) — tiny vs the scan);
+    the final pass is one task over frontier candidates.
+
+    Certified against the oracle's QUADRATIC NOT-EXISTS restatement —
+    the naive semantics, independently evaluated, must equal the
+    two-phase algorithm exactly (dominance ties included: equal
+    (price, date) rows all survive, neither strictly dominates).
+    Comparisons only — no arithmetic — so doubles/timestamps need no
+    quantization."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    schema = "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    partials = o.mapInPandas(_skyline_kernel, schema)
+    return partials.repartition(1).mapInPandas(_skyline_kernel, schema)

@@ -263,3 +263,59 @@ def test_neardup_canonicalize_planted_clusters(spark):
     assert b.keep_doc_id == 10
     assert b.dropped_docs == 1
     assert b.dropped_chars == len(base_b)
+
+
+def test_skyline_matches_bruteforce_and_keeps_ties(spark, sf_dir):
+    """op223: two-phase skyline equals the quadratic dominance scan;
+    a crafted frame checks that equal (price, date) ties all survive
+    and dominated points are dropped."""
+    from datetime import datetime
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _skyline_kernel,
+        op223_skyline,
+    )
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    pts = [(r.o_orderkey, r.o_totalprice, r.o_orderdate) for r in rows]
+
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+            for b in pts
+            if b is not a
+        )
+
+    expect = {p[0] for p in pts if not dominated(p)}
+    got = {r.o_orderkey for r in op223_skyline(spark, sf_dir).collect()}
+    assert got == expect
+    # tie semantics on a crafted frame: two identical maxima both kept
+    t = datetime(2001, 1, 1)
+    crafted = spark.createDataFrame(
+        [
+            (1, 100.0, t),
+            (2, 100.0, t),  # exact tie with 1 — both survive
+            (3, 100.0, datetime(2000, 1, 1)),  # same price, older — dominated
+            (4, 50.0, datetime(2005, 5, 5)),  # later date — survives
+            (5, 49.0, datetime(2005, 5, 5)),  # dominated by 4
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    out = {
+        r.o_orderkey
+        for r in crafted.repartition(3)
+        .mapInPandas(
+            _skyline_kernel,
+            "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+        )
+        .repartition(1)
+        .mapInPandas(
+            _skyline_kernel,
+            "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+        )
+        .collect()
+    }
+    assert out == {1, 2, 4}
