@@ -230,7 +230,9 @@ def op212_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per final cluster — membership count, vec_id checksum,
     centroid L1 checksum (the 64 integer components summed)."""
-    q = _km_quantized(spark, sf_dir)
+    # q feeds both assigns, both updates and the final stats (5 uses):
+    # persist the quantized long form once — still lazy, no collect
+    q = _km_quantized(spark, sf_dir).persist()
     c0 = q.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), "d", F.col("qx").alias("c")
     )
@@ -883,6 +885,9 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
         )
         .distinct()
+        # e1/e2/e3 reference this 3×: persist so the projection+distinct
+        # runs once (op186's graph-structure rule), not per alias
+        .persist()
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -1064,3 +1069,141 @@ def op223_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "o_orderkey long, o_totalprice double, o_orderdate timestamp"
     partials = o.mapInPandas(_skyline_kernel, schema)
     return partials.repartition(1).mapInPandas(_skyline_kernel, schema)
+
+
+# --------------------------------------------------------------------------
+# op224: feature hashing (the hashing trick) — integer-exact sparse pooling
+# --------------------------------------------------------------------------
+
+_FH_BUCKETS = 32
+_FH_MULT = 2654435761  # Knuth; bucket = mulmod32(key) % B, sign from bit 16
+
+
+def _fh_exprs(key_expr: str, int_div: str) -> tuple[str, str]:
+    """(bucket, sign) expressions over an integer key — engine-portable:
+    bucket from the low bits of the mixed hash, sign from a mid bit
+    (bit 16) so bucket and sign are decorrelated."""
+    mixed = _cms_mulmod32(key_expr, _FH_MULT, int_div)
+    bucket = f"({mixed} % {_FH_BUCKETS})"
+    sign = f"(CASE WHEN ({mixed} {int_div} 65536) % 2 = 0 THEN 1 ELSE -1 END)"
+    return bucket, sign
+
+
+def _op224_sql() -> str:
+    key = "('0x' || substr(md5(word), 1, 6))::BIGINT"
+    bucket, sign = _fh_exprs(key, "//")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+w AS (SELECT lang, word FROM toks WHERE word <> '')
+SELECT lang, CAST({bucket} AS INTEGER) AS bucket,
+       CAST(SUM({sign}) AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM w GROUP BY lang, bucket
+"""
+
+
+@register("op224_feature_hashing", oracle=_op224_sql())
+def op224_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger 2009): token
+    features pooled into a FIXED 32-dim signed sparse vector per
+    language — the no-vocabulary featurization that makes streaming /
+    unbounded-cardinality features trainable (no dictionary build, no
+    OOV, memory fixed at B buckets). The signed hash keeps pooled
+    sums unbiased (E[collision contribution] = 0).
+
+    Engine-portable end to end: token → 24-bit md5 key (op215's
+    idiom) → _mulmod32 mix → bucket from low bits, SIGN from bit 16
+    (decorrelated), ±1 sums in int64 — deterministic algebra, full
+    SQL oracle. Scale: one explode + one map-side-combined groupBy to
+    (groups × 32) rows; the pooled vector never exceeds B entries
+    per group no matter the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    bucket, sign = _fh_exprs(_CMS_KEY_SPARK, "div")
+    return (
+        toks.selectExpr(
+            "lang", f"cast({bucket} as int) as bucket", f"{sign} as sgn"
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("value"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op225: temporal train/test split + cold-start leakage audit
+# --------------------------------------------------------------------------
+
+_TSPLIT_CUT = "2024-01-20 00:00:00"  # events span Jan 2024: ~2/3 train, 1/3 test
+
+
+_OP225_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN ts < TIMESTAMP '{_TSPLIT_CUT}' THEN 'train' ELSE 'test' END
+           AS split
+  FROM events),
+train_users AS (
+  SELECT DISTINCT user_id FROM tagged WHERE split = 'train')
+SELECT t.event_type,
+       CAST(SUM(CASE WHEN t.split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN t.split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(SUM(CASE WHEN t.split = 'test'
+                      AND tu.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold_start
+FROM tagged t LEFT JOIN train_users tu ON t.user_id = tu.user_id
+GROUP BY t.event_type
+"""
+
+
+@register("op225_temporal_split", oracle=_OP225_SQL)
+def op225_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/test split + cold-start audit — op176's
+    hash-split sibling for the time-ordered case: evaluation on
+    future data demands a time cutoff, and the first thing to audit
+    is COLD-START leakage (test rows from users the train window
+    never saw — the rows a per-user model cannot score). Reports per
+    event_type: train rows, test rows, cold-start test rows.
+
+    Scale: one scan + one distinct on user_id + one left join keyed
+    on user_id (broadcast when the train-user set is small, shuffle
+    otherwise — Catalyst's call) + one agg. The cutoff predicate on a
+    time-partitioned lake table prunes partitions on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.when(F.col("ts") < F.lit(_TSPLIT_CUT).cast("timestamp"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_users = (
+        ev.filter("split = 'train'").select("user_id").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        ev.join(train_users, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.sum(
+                F.when(
+                    (F.col("split") == "test") & F.col("seen").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cold_start"),
+        )
+    )

@@ -319,3 +319,49 @@ def test_skyline_matches_bruteforce_and_keeps_ties(spark, sf_dir):
         .collect()
     }
     assert out == {1, 2, 4}
+
+
+def test_feature_hashing_fixed_width_and_unbiased_shape(spark, sf_dir):
+    """op224: pooled vectors never exceed B buckets per group, every
+    bucket is in [0, B), and |value| <= n_tokens (signed ±1 pooling)."""
+    from collections import Counter
+
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _FH_BUCKETS,
+        op224_feature_hashing,
+    )
+
+    rows = op224_feature_hashing(spark, sf_dir).collect()
+    per_lang = Counter(r.lang for r in rows)
+    assert max(per_lang.values()) <= _FH_BUCKETS
+    for r in rows:
+        assert 0 <= r.bucket < _FH_BUCKETS
+        assert abs(r.value) <= r.n_tokens
+        assert (r.value - r.n_tokens) % 2 == 0  # ±1 sum parity
+
+
+def test_temporal_split_partitions_and_cold_start(spark, sf_dir):
+    """op225: train+test == all rows; cold-start rows are exactly the
+    test rows of users absent from the train window."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _TSPLIT_CUT,
+        op225_temporal_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    rows = ev.collect()
+    from datetime import datetime
+
+    cut = datetime.fromisoformat(_TSPLIT_CUT)
+    train_users = {r.user_id for r in rows if r.ts < cut}
+    got = {r.event_type: r for r in op225_temporal_split(spark, sf_dir).collect()}
+    for et in {r.event_type for r in rows}:
+        sub = [r for r in rows if r.event_type == et]
+        n_train = sum(1 for r in sub if r.ts < cut)
+        n_test = len(sub) - n_train
+        n_cold = sum(
+            1 for r in sub if r.ts >= cut and r.user_id not in train_users
+        )
+        g = got[et]
+        assert (g.n_train, g.n_test, g.n_cold_start) == (n_train, n_test, n_cold)
