@@ -19,11 +19,24 @@
   "is this quality score actually separating good from bad docs"
   measurement run before gating a corpus on it.
 - op215: COUNT-MIN SKETCH point queries — mergeable frequency
-  counters (depth×width int64) built per-partition in mapInPandas;
-  estimates for a fixed probe set are FULLY SQL-oracled because CMS
-  counters are themselves exact bucket counts under an
-  engine-portable hash (completes the mergeable family:
-  HLL/MinHash/bottom-k/MG/CMS).
+  counters, FULLY SQL-oracled because CMS counters are themselves
+  exact bucket counts under an engine-portable hash (completes the
+  mergeable family: HLL/MinHash/bottom-k/MG/CMS).
+- op216/op217: BPE tokenizer TRAINING and APPLY — 3 unrolled merge
+  rounds over the word-frequency table, certified against unrolled
+  SQL and a pure-python reference tokenizer.
+- op220: per-node TRIANGLE COUNTS — oriented 3-way self-join over
+  the persisted co-supply edge cache.
+- op221: near-dup CANONICALIZATION — op79's LSH pairs → op96's
+  components → keep-best rule, the dedup family's shipped decision
+  (ROWS; planted-cluster behavioral gate).
+- op223: 2-D SKYLINE (Pareto frontier) — mergeable partial skylines
+  via a vectorized sort+cummax kernel, certified against the
+  quadratic NOT-EXISTS semantics.
+- op224: FEATURE HASHING — signed hashing-trick pooling into a fixed
+  32-bucket vector, engine-portable hash, int64-exact.
+- op225: TEMPORAL train/test split + cold-start leakage audit —
+  op176's hash split for the time-ordered eval case.
 
 Same package rules: DataFrame/Catalyst only, Python only inside
 Arrow-batched mapInPandas kernels, shuffles carry ids + counters,

@@ -618,3 +618,60 @@ def test_jpeg_ops_payload_never_shuffles(spark, sf_dir):
         # payload column cannot exist below it
         after = plan.split("Exchange")[1]
         assert "Range" in after, f"{name}: exchange must sit on the id Range"
+
+
+def test_gram_matrix_partials_before_exchange(spark, sf_dir):
+    """op211: the mapInPandas partial must sit BELOW the (i,j)
+    exchange — the shuffle carries d(d+1)/2 partial rows per
+    partition, never a vector."""
+    plan = _plan(OPS["op211_gram_matrix"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    # the only exchange is the partial-merge groupBy
+    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) == 1, plan
+
+
+def test_kmeans_centroids_broadcast_not_shuffled(spark, sf_dir):
+    """op212: both assign joins must BROADCAST the k×d centroid side;
+    vectors join map-side — the classic k-means distribution."""
+    plan = _plan(OPS["op212_kmeans_lloyd"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_edges_cached_and_no_cartesian(spark, sf_dir):
+    """op220: the 3× referenced edge frame reads the persisted cache
+    (one projection+distinct execution), and the oriented 3-way join
+    never degenerates into a cartesian product."""
+    plan = _plan(OPS["op220_triangle_count"].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_single_merge_exchange(spark, sf_dir):
+    """op223: exactly one exchange (the partial-skyline union into the
+    1-task merge) — the scan-side kernel runs before any shuffle."""
+    plan = _plan(OPS["op223_skyline"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 2, plan
+    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) == 1, plan
+
+
+def test_cms_counters_partial_agged(spark, sf_dir):
+    """op215: the counter build must show a two-phase HashAggregate
+    (partial_count below the exchange) — the map-side combine IS the
+    sketch merge."""
+    plan = _plan(OPS["op215_cms_pointquery"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan  # probes join the tiny counter table
+
+
+def test_auc_window_runs_over_distinct_scores_only(spark, sf_dir):
+    """op214: the (bounded) cumulative window must sit ABOVE the
+    score aggregation — ranked input is the distinct-score table,
+    not corpus rows."""
+    plan = _plan(OPS["op214_auc_ranksum"].fn(spark, sf_dir))
+    # Window appears after (textually above) a HashAggregate keyed on score
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1
+    assert "score" in plan[win_pos : win_pos + 400]
+    assert agg_pos > win_pos, "aggregate-to-distinct-scores must feed the window"
