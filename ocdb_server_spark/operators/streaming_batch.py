@@ -404,3 +404,60 @@ def op219_stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocdb_server_spark.streaming.jobs import stream_tws_mapstate_type_stats
 
     return stream_tws_mapstate_type_stats(spark, sf_dir)
+
+
+_OP226_GAP_US = 1_800_000 * 1000
+
+
+def _op226_sql() -> str:
+    """Sessionization + watermark-timer close, restated in SQL: gap
+    islands per user; every non-final session emits as 'batch'; the
+    final session emits as 'timer' iff its gap deadline
+    (end_ms + 30 min) is <= the run's final watermark
+    (floor(max_us/1000) - 1000 ms) — the comparison direction pinned
+    empirically against the real timer machinery at two scales."""
+    return f"""
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q
+  FROM events),
+o AS (
+  SELECT user_id, us, event_id, q,
+         LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM q),
+g AS (
+  SELECT user_id, us, q,
+         SUM(CASE WHEN prev IS NULL OR us - prev > {_OP226_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o),
+sess AS (
+  SELECT user_id, grp, MIN(us) AS start_us, MAX(us) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
+  FROM g GROUP BY user_id, grp),
+lastg AS (SELECT user_id, MAX(grp) AS lg FROM sess GROUP BY user_id),
+wm AS (SELECT MAX(us) // 1000 - 1000 AS wm_ms FROM q)
+SELECT s.user_id,
+       CASE WHEN s.grp < l.lg THEN 'batch' ELSE 'timer' END AS kind,
+       s.start_us, s.end_us, s.n, s.sum_q
+FROM sess s JOIN lastg l ON s.user_id = l.user_id CROSS JOIN wm
+WHERE s.grp < l.lg OR (s.end_us // 1000 + 1800000) <= wm.wm_ms
+"""
+
+
+@register("op226_stream_session_timers", oracle=_op226_sql())
+def op226_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization with TIMER-driven close — the last
+    unexercised piece of the TWS surface (registerTimer /
+    listTimers / deleteTimer / handleExpiredTimer, timeMode
+    EventTime): mid-stream sessions split on the 30-min gap inline;
+    each user's final session closes only when the global watermark
+    passes its deadline, emitted from handleExpiredTimer with
+    kind='timer' so the oracle certifies the timer path distinctly
+    from the arithmetic. Sessions the watermark never reaches stay
+    open and appear on neither side. Full determinism rationale in
+    streaming/jobs.stream_tws_session_timers."""
+    from ocdb_server_spark.streaming.jobs import stream_tws_session_timers
+
+    return stream_tws_session_timers(spark, sf_dir)

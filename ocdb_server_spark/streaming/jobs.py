@@ -884,3 +884,141 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_seen") == F.col("max_seen"))
         .select("user_id", "event_type", "n", "sum_q")
     )
+
+
+_SESS_GAP_MS = 1_800_000  # 30-minute inactivity gap
+_SESS_WM_DELAY_MS = 1_000  # watermark delay ("1 second")
+
+
+def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op226's pipeline: event-time SESSIONIZATION where completed
+    sessions close inline and each user's FINAL session closes via an
+    EVENT-TIME TIMER (registerTimer + handleExpiredTimer) when the
+    global watermark passes its gap deadline — the last piece of the
+    TWS API surface (state kinds: op206/208/218/219; timers: here).
+
+    Determinism argument (why a SQL oracle holds for timer-driven
+    output): with availableNow over one input file every key sees all
+    its rows in a single handleInputRows call, sorted in-processor by
+    (event_time, event_id) — so in-batch session splits are a pure
+    function of the input set. The final watermark is
+    floor(max_event_us/1000) − delay, a deterministic global; the
+    run's trailing no-data batch fires exactly the timers with
+    expiry ≤ that watermark. Emitted `kind` marks which path produced
+    each row ('batch' gap-split vs 'timer' watermark close) and the
+    oracle recomputes both — so the hash certifies the timer
+    machinery itself, not just the arithmetic. Sessions whose
+    deadline the watermark never reaches stay open and are absent
+    from BOTH sides."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = _SESS_GAP_MS * 1000
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open", "start_us bigint, last_us bigint, n bigint, sum_q bigint"
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            evs: list[tuple[int, int, int]] = []  # (us, event_id, q)
+            for pdf in rows:
+                evs.extend(
+                    zip(
+                        pdf["us"].astype(int),
+                        pdf["event_id"].astype(int),
+                        pdf["q"].astype(int),
+                    )
+                )
+            evs.sort()
+            cur = tuple(self._open.get()) if self._open.exists() else None
+            closed = []
+            for us, _eid, q in evs:
+                if cur is None:
+                    cur = (us, us, 1, q)
+                elif us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (us, us, 1, q)
+                else:
+                    cur = (cur[0], us, cur[2] + 1, cur[3] + q)
+            assert cur is not None
+            self._open.update(cur)
+            # one live deadline per key: re-arm to the new last event
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(cur[1] // 1000 + _SESS_GAP_MS)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "kind": ["batch"] * len(closed),
+                        "start_us": [c[0] for c in closed],
+                        "end_us": [c[1] for c in closed],
+                        "n": [c[2] for c in closed],
+                        "sum_q": [c[3] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._open.exists():
+                s = tuple(self._open.get())
+                self._open.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "kind": ["timer"],
+                        "start_us": [s[0]],
+                        "end_us": [s[1]],
+                        "n": [s[2]],
+                        "sum_q": [s[3]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    from ocdb_server_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        ev = (
+            _stream_events(spark, sf_dir)
+            .withWatermark("ts", "1 second")
+            .select(
+                "user_id",
+                "event_id",
+                F.expr("unix_micros(ts)").alias("us"),
+                F.expr(
+                    "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+                ).alias("q"),
+                "ts",
+            )
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType="user_id bigint, kind string, start_us bigint,"
+            " end_us bigint, n bigint, sum_q bigint",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        sunk = _run_to_memory(out, mode="append")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return sunk

@@ -301,3 +301,59 @@ def test_stream_tws_topk_matches_batch_window(spark, sf_dir):
 
     per_user = Counter(u for (u, _) in s)
     assert max(per_user.values()) <= 3
+
+
+def test_stream_tws_session_timers_fire_and_leave_open(spark, sf_dir):
+    """op226: both close paths must actually run — gap splits emit
+    kind='batch', watermark-passed finals emit kind='timer' from
+    handleExpiredTimer — and sessions the final watermark never
+    reaches stay open (absent). Checked against an independent
+    python sessionizer."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state-server protocol needs protobuf (real or vendored)",
+    )
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.streaming.jobs import (
+        _SESS_GAP_MS,
+        stream_tws_session_timers,
+    )
+
+    rows = stream_tws_session_timers(spark, sf_dir).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"batch", "timer"}, kinds
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(ts) as us",
+        "cast(cast(value as decimal(18,6)) * 1000000 as bigint) as q",
+    ).collect()
+    gap_us = _SESS_GAP_MS * 1000
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id, r.q))
+    wm_ms = max(r.us for r in ev) // 1000 - 1000
+    expect = set()
+    n_open = 0
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions, cur = [], None
+        for us, _eid, q in evs:
+            if cur is None:
+                cur = [us, us, 1, q]
+            elif us - cur[1] > gap_us:
+                sessions.append(cur)
+                cur = [us, us, 1, q]
+            else:
+                cur = [cur[0], us, cur[2] + 1, cur[3] + q]
+        sessions.append(cur)
+        for i, s in enumerate(sessions):
+            if i < len(sessions) - 1:
+                expect.add((u, "batch", *s))
+            elif s[1] // 1000 + _SESS_GAP_MS <= wm_ms:
+                expect.add((u, "timer", *s))
+            else:
+                n_open += 1
+    got = {(r.user_id, r.kind, r.start_us, r.end_us, r.n, r.sum_q) for r in rows}
+    assert got == expect
+    assert n_open >= 1  # the fixture leaves at least the global-max user open
