@@ -1220,3 +1220,65 @@ def op225_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cold_start"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op227: score calibration bins (reliability diagram) — integer-exact
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_OP227_SQL = f"""
+WITH scored AS (
+  SELECT n_chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+rng AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM scored),
+binned AS (
+  SELECT LEAST(({_CAL_BINS} * (s.n_chars - r.lo))
+                    // (r.hi - r.lo + 1), {_CAL_BINS - 1}) AS bin,
+         s.pos
+  FROM scored s CROSS JOIN rng r)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("op227_calibration_bins", oracle=_OP227_SQL)
+def op227_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score CALIBRATION bins (reliability diagram): equal-width
+    score bins × observed positive rate — with op214's AUC this
+    completes the pre-gating evaluation pair every quality-classifier
+    deployment runs (AUC says the score RANKS; calibration says the
+    score's VALUE means what a threshold assumes).
+
+    Integer discipline: bin = floor(B·(x−lo) / (hi−lo+1)) in exact
+    integer arithmetic (the +1 keeps the max in the last bin without
+    a float epsilon), min/max broadcast from a 1-row aggregate;
+    pos_rate is one exact-int IEEE division per bin. Scale: two scans
+    (stats + binning — a cached/known-stats table makes it one) and
+    a B-row aggregate; nothing shuffles but the bin partials."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    rng = d.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    binned = d.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.expr(
+                f"cast(({_CAL_BINS} * (score - lo)) div (hi - lo + 1) as bigint)"
+            ),
+            F.lit(_CAL_BINS - 1),
+        ).alias("bin"),
+        "pos",
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count("*")).alias("pos_rate"),
+    )

@@ -365,3 +365,34 @@ def test_temporal_split_partitions_and_cold_start(spark, sf_dir):
         )
         g = got[et]
         assert (g.n_train, g.n_test, g.n_cold_start) == (n_train, n_test, n_cold)
+
+
+def test_calibration_bins_cover_all_rows(spark, sf_dir):
+    """op227: bins partition the corpus exactly (Σn = row count), bin
+    ids are in range, rates in [0,1], and the extremes land where the
+    integer binning says they must."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _CAL_BINS,
+        op227_calibration_bins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    rows = op227_calibration_bins(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0 <= r.bin < _CAL_BINS
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert r.n_pos <= r.n
+    lo, hi = docs.agg(
+        {"n_chars": "min"}
+    ).collect()[0][0], docs.agg({"n_chars": "max"}).collect()[0][0]
+    # independent binning check on the raw rows
+    from collections import Counter
+
+    c = Counter(
+        min(_CAL_BINS * (r.n_chars - lo) // (hi - lo + 1), _CAL_BINS - 1)
+        for r in docs.select("n_chars").collect()
+    )
+    assert {r.bin: r.n for r in rows} == dict(c)
