@@ -45,6 +45,8 @@ cross-engine floats quantized to int64 before any sum.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -1281,4 +1283,165 @@ def op227_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),
         (F.sum("pos").cast("double") / F.count("*")).alias("pos_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op228: merge-on-read position deletes — Iceberg-v2 semantics, pure Spark
+# --------------------------------------------------------------------------
+
+_OP228_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+"""
+
+
+@register("op228_mor_position_deletes", oracle=_OP228_SQL)
+def op228_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ position deletes — the Iceberg-v2 / Delta
+    deletion-vector read path (round-5 verdict "missing" item 3's
+    semantics), expressed in pure Spark since the table-format jars
+    are absent: a base table written as immutable parquet files, a
+    POSITION-delete file of (file_path, row_index) pairs (addressed
+    by physical position via Spark's `_metadata` hidden columns, NOT
+    by key — the point of position deletes: no key lookup, no base
+    rewrite), and the read path = base ANTI-JOIN deletes on
+    (file_path, row_index).
+
+    Certification closes the loop end to end: deletes are generated
+    from a predicate (o_orderkey % 7 = 0), the MoR read must
+    reproduce EXACTLY the oracle's predicate-filtered aggregate —
+    any positional misaddressing (row_index drift, file renaming,
+    anti-join key bug) breaks the hash.
+
+    Scale: the delete side is (path, bigint) pairs — tiny vs the
+    base; real engines push the anti-join into the scan as a bitmap
+    filter per file, which is the same join keyed the same way. The
+    base never rewrites; deletes accumulate until compaction
+    (op178's planner)."""
+    tag = os.path.join(
+        tempfile.gettempdir(),
+        f"ocdb_spark_mor_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+    )
+    base_path = os.path.join(tag, "base")
+    del_path = os.path.join(tag, "deletes")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.repartition(4).write.mode("overwrite").parquet(base_path)
+    base = spark.read.parquet(base_path).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    # writer-side: resolve the predicate ONCE to physical positions
+    (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select("_file", "_pos")
+        .write.mode("overwrite")
+        .parquet(del_path)
+    )
+    deletes = spark.read.parquet(del_path)
+    live = base.join(
+        F.broadcast(deletes),
+        (base["_file"] == deletes["_file"]) & (base["_pos"] == deletes["_pos"]),
+        "left_anti",
+    )
+    return live.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_live"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_price_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op229: deterministic negative sampling — contrastive-pair construction
+# --------------------------------------------------------------------------
+
+_NEG_K = 3
+_NEG_PRIME = 40503  # odd step decorrelated from the Knuth constant
+
+
+def _op229_sql() -> str:
+    ks = ", ".join(str(i) for i in range(_NEG_K))
+    mixed = _cms_mulmod32(f"(d.doc_id * {_NEG_K} + t.i)", 2654435761, "//")
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+cand AS (
+  SELECT d.doc_id, d.lang, t.i,
+         ({mixed} + {_NEG_PRIME} * t.i) % n.n_docs AS raw_neg
+  FROM documents d CROSS JOIN n, (SELECT unnest([{ks}]) AS i) t),
+pairs AS (
+  SELECT c.doc_id, c.lang, c.i,
+         CASE WHEN c.raw_neg = c.doc_id
+              THEN (c.raw_neg + 1) % n.n_docs
+              ELSE c.raw_neg END AS neg_id
+  FROM cand c CROSS JOIN n)
+SELECT p.lang, d2.lang AS neg_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d2.n_chars) AS BIGINT) AS sum_neg_chars
+FROM pairs p JOIN documents d2 ON p.neg_id = d2.doc_id
+GROUP BY p.lang, neg_lang
+"""
+
+
+@register("op229_negative_sampling", oracle=_op229_sql())
+def op229_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for contrastive training: each
+    document draws k=3 pseudo-random negatives by pure hash
+    arithmetic (mulmod32 mix + decorrelated per-slot stride, mod
+    corpus size, self-collision bumped) — reproducible across
+    re-runs, partitionings and cluster sizes (op176's property,
+    extended to PAIR construction), so a training job can rebuild
+    the exact pair set from ids alone, no stored pair table.
+
+    Requires contiguous 0..n-1 doc_ids (true of this corpus; a real
+    deployment first densifies ids — op98's shard-assign does
+    exactly that mapping). Plan: the only data motion is the join of
+    (doc_id, neg_id) pairs to the docs table on neg_id — k rows per
+    doc, shuffle carries ids; certified via the per-(lang, neg_lang)
+    pair-mix aggregate, which any mis-draw perturbs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # scalar corpus size: bounded driver value (like op95's K)
+    slots = spark.range(_NEG_K).select(F.col("id").cast("int").alias("i"))
+    mixed = _cms_mulmod32(f"(doc_id * {_NEG_K} + i)", 2654435761, "div")
+    cand = (
+        docs.select("doc_id", "lang")
+        .crossJoin(F.broadcast(slots))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "i",
+            f"({mixed} + {_NEG_PRIME} * i) % {n} as raw_neg",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "i",
+            f"case when raw_neg = doc_id then (raw_neg + 1) % {n} "
+            "else raw_neg end as neg_id",
+        )
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("n_chars").alias("neg_chars"),
+    )
+    return (
+        cand.join(d2, "neg_id")
+        .groupBy("lang", "neg_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("neg_chars").cast("bigint").alias("sum_neg_chars"),
+        )
     )

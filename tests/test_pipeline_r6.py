@@ -396,3 +396,56 @@ def test_calibration_bins_cover_all_rows(spark, sf_dir):
         for r in docs.select("n_chars").collect()
     )
     assert {r.bin: r.n for r in rows} == dict(c)
+
+
+def test_mor_deletes_are_positional_and_exact(spark, sf_dir):
+    """op228: the delete file must carry ONLY (file_path, row_index)
+    — no keys — and the MoR read must equal the predicate-filtered
+    base exactly."""
+    import glob
+    import os
+    import tempfile
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op228_mor_position_deletes
+
+    out = {r.o_orderpriority: r for r in op228_mor_position_deletes(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    exp = {
+        r.o_orderpriority: r
+        for r in o.filter("o_orderkey % 7 <> 0")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert {k: v.n_live for k, v in out.items()} == {
+        k: v["count"] for k, v in exp.items()
+    }
+    tag = os.path.join(
+        tempfile.gettempdir(),
+        f"ocdb_spark_mor_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+    )
+    deletes = spark.read.parquet(os.path.join(tag, "deletes"))
+    assert set(deletes.columns) == {"_file", "_pos"}, deletes.columns
+    n_deleted = o.filter("o_orderkey % 7 = 0").count()
+    assert deletes.count() == n_deleted
+    assert len(glob.glob(os.path.join(tag, "base", "*.parquet"))) >= 4
+
+
+def test_negative_sampling_reproducible_no_self_pairs(spark, sf_dir):
+    """op229: the pair set is a pure function of ids — identical
+    across partitionings; no doc draws itself; exactly k negatives
+    per doc."""
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _NEG_K,
+        op229_negative_sampling,
+    )
+    from ocdb_server_spark.io import load_table
+
+    a = {(r.lang, r.neg_lang): (r.n_pairs, r.sum_neg_chars)
+         for r in op229_negative_sampling(spark, sf_dir).collect()}
+    b = {(r.lang, r.neg_lang): (r.n_pairs, r.sum_neg_chars)
+         for r in op229_negative_sampling(spark, sf_dir).collect()}
+    assert a == b
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(v[0] for v in a.values()) == n_docs * _NEG_K
