@@ -1445,3 +1445,108 @@ def op229_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("neg_chars").cast("bigint").alias("sum_neg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op230: Hilbert-curve layout — unrolled integer recurrence, both engines
+# --------------------------------------------------------------------------
+
+_HIL_N = 256  # 256×256 grid → 8 unrolled steps
+_HIL_CHUNK = 256  # cells per layout chunk (≙ target file)
+
+
+def _hilbert_steps(int_div: str) -> list[tuple[str, str, str]]:
+    """The xy→d recurrence unrolled: per step s ∈ {128,…,1} emit
+    (d_expr, x_expr, y_expr) over columns named x, y, d. flip
+    constant N−1 (both the N−1 and s−1 textbook variants were
+    property-verified as true Hilbert curves — bijective with
+    unit-step adjacency on the full grid; tests pin this one)."""
+    steps = []
+    s = _HIL_N // 2
+    while s > 0:
+        rx = f"((x {int_div} {s}) % 2)"
+        ry = f"((y {int_div} {s}) % 2)"
+        d = (
+            f"d + {s * s} * (CASE WHEN {rx} = 1 "
+            f"THEN 3 - {ry} ELSE {ry} END)"
+        )
+        x = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {_HIL_N - 1} - y ELSE y END) ELSE x END"
+        )
+        y = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {_HIL_N - 1} - x ELSE x END) ELSE y END"
+        )
+        steps.append((d, x, y))
+        s //= 2
+    return steps
+
+
+def _op230_sql() -> str:
+    ctes = [
+        "h0 AS (SELECT o_custkey % 256 AS x,"
+        " CAST(epoch(o_orderdate) AS BIGINT) // 86400 % 256 AS y,"
+        " CAST(0 AS BIGINT) AS d, o_custkey % 256 AS x0,"
+        " CAST(epoch(o_orderdate) AS BIGINT) // 86400 % 256 AS y0"
+        " FROM orders"
+    ]
+    for k, (d, x, y) in enumerate(_hilbert_steps("//"), start=1):
+        ctes.append(
+            f"h{k} AS (SELECT ({x}) AS x, ({y}) AS y, ({d}) AS d, x0, y0"
+            f" FROM h{k - 1}"
+        )
+    n = len(_hilbert_steps("//"))
+    return (
+        "WITH "
+        + "),\n".join(ctes)
+        + f""")
+SELECT d // {_HIL_CHUNK} AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x0) AS BIGINT) AS min_x, CAST(MAX(x0) AS BIGINT) AS max_x,
+       CAST(MIN(y0) AS BIGINT) AS min_y, CAST(MAX(y0) AS BIGINT) AS max_y
+FROM h{n} GROUP BY chunk
+"""
+    )
+
+
+@register("op230_hilbert_layout", oracle=_op230_sql())
+def op230_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE layout keys — op161's Z-order sibling and the
+    curve real lakehouses prefer (Hilbert preserves locality strictly
+    better: consecutive keys are ALWAYS grid-adjacent, where Z-order
+    jumps at quadrant seams). The xy→d recurrence (8 rotation steps
+    for a 256×256 grid) is pure integer CASE arithmetic, unrolled
+    identically into the Spark plan and the oracle's chained CTEs —
+    op186's discipline applied to a bit-twiddling kernel; the python
+    property test proves the mapping is a true Hilbert curve
+    (bijection + unit-step adjacency over the full grid), and the
+    hash proves both engines compute that same curve.
+
+    The layout measurement: rows binned into 256-cell curve chunks
+    (≙ one output file each) report their (x, y) bounding boxes —
+    the min/max ranges a file-skipping reader (op181) would prune
+    on; Hilbert chunks have near-square boxes, which is the whole
+    point. One scan + one agg; the key is computed in the row
+    projection, exactly how a writer would `ORDER BY hilbert_d`
+    (op179's repartition+sort) before writing."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey % 256 AS x",
+        "unix_date(cast(o_orderdate as date)) % 256 AS y",
+        "cast(0 as bigint) AS d",
+        "o_custkey % 256 AS x0",
+        "unix_date(cast(o_orderdate as date)) % 256 AS y0",
+    )
+    for d, x, y in _hilbert_steps("div"):
+        o = o.selectExpr(
+            f"({x}) AS x", f"({y}) AS y", f"({d}) AS d", "x0", "y0"
+        )
+    return o.groupBy(
+        F.expr(f"d div {_HIL_CHUNK}").alias("chunk")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("x0").cast("bigint").alias("min_x"),
+        F.max("x0").cast("bigint").alias("max_x"),
+        F.min("y0").cast("bigint").alias("min_y"),
+        F.max("y0").cast("bigint").alias("max_y"),
+    )

