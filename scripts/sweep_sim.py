@@ -143,3 +143,14 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # Exit hard: once the registry includes transformWithStateInPandas
+    # ops, their state-server leaves non-daemon threads behind and a
+    # plain return hangs the process after all output is written
+    # (observed twice this round). Everything is flushed by now.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(0)
