@@ -1550,3 +1550,137 @@ def op230_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y0").cast("bigint").alias("min_y"),
         F.max("y0").cast("bigint").alias("max_y"),
     )
+
+
+# --------------------------------------------------------------------------
+# op231: Holt linear forecasting — grouped sequential recurrence,
+#        applyInPandas vs WITH RECURSIVE, integer-exact
+# --------------------------------------------------------------------------
+
+_HW_OFF = 1 << 41  # halving with possibly-negative operands: f2(x) =
+# (x + 2^41) div 2 − 2^40 equals floor(x/2) in Spark (`div` truncates,
+# but x + 2^41 ≥ 0 makes trunc == floor), DuckDB (`//`) and python —
+# the op186 portability rule extended to signed recurrences.
+_HW_H = 3  # forecast horizon (days)
+
+
+def _hw_f2(x: str, int_div: str) -> str:
+    return f"((({x}) + {_HW_OFF}) {int_div} 2 - {_HW_OFF // 2})"
+
+
+def _op231_sql() -> str:
+    f2 = lambda x: _hw_f2(x, "//")  # noqa: E731
+    l2 = f2("d.y + h.l + h.b")
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+maxt AS (SELECT MAX(t) AS m FROM daily),
+init AS (
+  SELECT d0.event_type, d0.y AS y0, d1.y AS y1
+  FROM daily d0 JOIN daily d1
+    ON d0.event_type = d1.event_type AND d0.t = 0 AND d1.t = 1),
+hw AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS t,
+         y0 AS l, y1 - y0 AS b
+  FROM init
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {l2} AS l,
+         {f2(f"h.b + ({l2}) - h.l")} AS b
+  FROM hw h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.event_type, h.l AS level, h.b AS trend,
+       h.l + 1 * h.b AS fc_1,
+       h.l + 2 * h.b AS fc_2,
+       h.l + 3 * h.b AS fc_3
+FROM hw h CROSS JOIN maxt m WHERE h.t = m.m
+"""
+
+
+@register("op231_holt_forecast", oracle=_op231_sql())
+def op231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR (double-exponential) forecasting of daily event
+    volumes per event_type, α=β=1/2 — the grouped SEQUENTIAL
+    RECURRENCE family: each day's (level, trend) depends on the
+    previous day's, so unlike every aggregate in this package the
+    computation is inherently ordered WITHIN a key. The Spark-idiomatic
+    shape for that is applyInPandas: one task per key runs the tiny
+    ordered loop over its ~30 daily rows (the same per-key-sequential
+    argument as sessionization), while keys parallelize freely —
+    at 10^6 series this is one shuffle on the series key and a
+    30-step python loop per series.
+
+    The oracle is DuckDB's actual WITH RECURSIVE stepping the SAME
+    integer recurrence (op213's independent-recursion pairing, now
+    over ordered rows): α=1/2 halving is f2(x) = (x+2^41) div 2 −
+    2^40, which equals floor(x/2) in Spark/DuckDB/python even for
+    negative trends — so level, trend and the h=1..3 forecasts are
+    bit-identical. Day spine is zero-filled (a missing day IS a 0
+    observation; alignment bug on either side breaks the hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).cast("bigint").alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(cast(0 as bigint), cast(datediff(d1, d0) as bigint))")
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = pdf["y"].astype(int).tolist()
+        f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+        l, bt = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            l_new = f2(y + l + bt)
+            bt = f2(bt + l_new - l)
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [l],
+                "trend": [bt],
+                **{f"fc_{h}": [l + h * bt] for h in range(1, _HW_H + 1)},
+            }
+        )
+
+    schema = (
+        "event_type string, level long, trend long, "
+        + ", ".join(f"fc_{h} long" for h in range(1, _HW_H + 1))
+    )
+    return daily.groupBy("event_type").applyInPandas(holt, schema)

@@ -500,3 +500,42 @@ def test_hilbert_chunks_have_tight_boxes(spark, sf_dir):
     for r in rows:
         assert r.max_x - r.min_x <= 31, r
         assert r.max_y - r.min_y <= 31, r
+
+
+def test_holt_forecast_matches_python_recurrence(spark, sf_dir):
+    """op231: the applyInPandas recurrence must equal an independent
+    python Holt over the zero-filled day spine, and forecasts must be
+    the linear extrapolation l + h·b exactly."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _HW_H,
+        _HW_OFF,
+        op231_holt_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as d"
+    ).collect()
+    d0 = min(r.d for r in ev)
+    d1 = max(r.d for r in ev)
+    ndays = (d1 - d0).days + 1
+    counts = Counter((r.event_type, (r.d - d0).days) for r in ev)
+    f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+    expect = {}
+    for et in {r.event_type for r in ev}:
+        ys = [counts.get((et, t), 0) for t in range(ndays)]
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            ln = f2(y + l + b)
+            b = f2(b + ln - l)
+            l = ln
+        expect[et] = (l, b)
+    got = {r.event_type: r for r in op231_holt_forecast(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for et, (l, b) in expect.items():
+        r = got[et]
+        assert (r.level, r.trend) == (l, b), et
+        for h in range(1, _HW_H + 1):
+            assert getattr(r, f"fc_{h}") == l + h * b
