@@ -1684,3 +1684,179 @@ def op231_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"fc_{h} long" for h in range(1, _HW_H + 1))
     )
     return daily.groupBy("event_type").applyInPandas(holt, schema)
+
+
+# --------------------------------------------------------------------------
+# op232: int64 day-presence bitmaps — bitmap-index algebra in pure SQL
+# --------------------------------------------------------------------------
+
+_OP232_SQL = """
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+bm AS (
+  SELECT user_id,
+         bit_or(CASE WHEN event_type = 'click'
+                     THEN CAST(1 AS BIGINT) << CAST(CAST(ts AS DATE) - d.d0 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END) AS bm_click,
+         bit_or(CASE WHEN event_type = 'purchase'
+                     THEN CAST(1 AS BIGINT) << CAST(CAST(ts AS DATE) - d.d0 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END) AS bm_purchase
+  FROM events CROSS JOIN b d
+  GROUP BY user_id)
+SELECT CAST(bit_count(bm_click) AS BIGINT) AS click_days,
+       CAST(bit_count(bm_purchase) AS BIGINT) AS purchase_days,
+       CAST(bit_count(bm_click & bm_purchase) AS BIGINT) AS coactive_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+FROM bm
+GROUP BY click_days, purchase_days, coactive_days
+"""
+
+
+@register("op232_day_bitmaps", oracle=_OP232_SQL)
+def op232_day_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX algebra on int64 words: per-user day-presence
+    bitmaps (bit i = active on day i; the 30-day window fits one
+    int64) built with `bit_or(1 << day)` and queried with `&` +
+    `bit_count` — the retention/co-activity representation bitmap
+    engines (roaring, Pilosa-style) scale to billions of users,
+    expressed here entirely in JVM integer aggregates: a bitmap is
+    ONE int64 per (user, type) regardless of event count, the AND is
+    free, and popcount is a single instruction.
+
+    Output: the (click_days, purchase_days, coactive_days) retention
+    histogram with user-checksums — any bit placed on the wrong day
+    or a broken AND changes a histogram cell. Scale: one map-side
+    combined groupBy(user) — shuffle carries 2 int64 words per user —
+    then a histogram agg; longer windows shard into array<bigint>
+    word vectors with zip_with(OR), same algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    bm = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "bit_or(CASE WHEN event_type = 'click' "
+                "THEN shiftleft(cast(1 as bigint), day) ELSE cast(0 as bigint) END)"
+            ).alias("bm_click"),
+            F.expr(
+                "bit_or(CASE WHEN event_type = 'purchase' "
+                "THEN shiftleft(cast(1 as bigint), day) ELSE cast(0 as bigint) END)"
+            ).alias("bm_purchase"),
+        )
+    )
+    return (
+        bm.select(
+            F.bit_count("bm_click").cast("bigint").alias("click_days"),
+            F.bit_count("bm_purchase").cast("bigint").alias("purchase_days"),
+            F.bit_count(F.expr("bm_click & bm_purchase"))
+            .cast("bigint")
+            .alias("coactive_days"),
+            "user_id",
+        )
+        .groupBy("click_days", "purchase_days", "coactive_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("sum_user_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op233: interval coverage — merge overlapping spans, exact covered time
+# --------------------------------------------------------------------------
+
+_COV_SPAN_US = 300_000_000  # each event covers [ts, ts + 5 min)
+
+_OP233_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_COV_SPAN_US} AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_e_before
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN max_e_before IS NULL OR s > max_e_before
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m),
+merged AS (
+  SELECT user_id, grp, MIN(s) AS s, MAX(e) AS e
+  FROM g GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS covered_us,
+       CAST(MIN(s) AS BIGINT) AS first_s,
+       CAST(MAX(e) AS BIGINT) AS last_e
+FROM merged GROUP BY user_id
+"""
+
+
+@register("op233_interval_coverage", oracle=_OP233_SQL)
+def op233_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL COVERAGE (union of overlapping spans): each event
+    covers [ts, ts+5 min); per user, overlapping spans merge and the
+    op reports merged-span count + exact covered microseconds — the
+    uptime/SLA/presence measurement (and op111's continuous-time
+    sibling: gaps-and-islands over real intervals, not discrete
+    days).
+
+    The sweep is one pass: per-user window orders spans and compares
+    each start against the running MAX END of everything before it
+    (not the previous row's end — an earlier long span can swallow
+    later short ones; using lag(e) is the classic wrong answer,
+    which the oracle's identical max-before formulation would catch
+    if either side regressed to it). All int64 microseconds — exact.
+    Scale: one keyed window + two keyed aggs, shuffle carries
+    (user_id, s, e) triples; at 10^12 events this is one
+    sort-within-user pass, the same shape as sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("s"),
+        (F.expr("unix_micros(ts)") + _COV_SPAN_US).alias("e"),
+    )
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("max_e_before", F.max("e").over(w_before))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = m.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("max_e_before").isNull()
+                | (F.col("s") > F.col("max_e_before")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = g.groupBy("user_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_us"),
+        F.min("s").cast("bigint").alias("first_s"),
+        F.max("e").cast("bigint").alias("last_e"),
+    )

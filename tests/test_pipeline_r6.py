@@ -539,3 +539,84 @@ def test_holt_forecast_matches_python_recurrence(spark, sf_dir):
         assert (r.level, r.trend) == (l, b), et
         for h in range(1, _HW_H + 1):
             assert getattr(r, f"fc_{h}") == l + h * b
+
+
+def test_day_bitmaps_match_set_semantics(spark, sf_dir):
+    """op232: bitmap popcounts must equal the set-based distinct-day
+    counts, including the AND = set intersection."""
+    from collections import defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op232_day_bitmaps
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "cast(ts as date) as d"
+    ).collect()
+    days = defaultdict(set)
+    for r in ev:
+        if r.event_type in ("click", "purchase"):
+            days[(r.user_id, r.event_type)].add(r.d)
+    from collections import Counter
+
+    hist = Counter()
+    users = {r.user_id for r in ev}
+    for u in users:
+        c = days.get((u, "click"), set())
+        p = days.get((u, "purchase"), set())
+        hist[(len(c), len(p), len(c & p))] += 1
+    got = {
+        (r.click_days, r.purchase_days, r.coactive_days): r.n_users
+        for r in op232_day_bitmaps(spark, sf_dir).collect()
+    }
+    assert got == dict(hist)
+
+
+def test_interval_coverage_swallowed_span_case(spark):
+    """op233's running-max-before formulation vs the classic lag(e)
+    mistake: a long span that swallows a later short one must still
+    merge with a third span overlapping the LONG one's end."""
+    from datetime import datetime
+
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _COV_SPAN_US,
+        op233_interval_coverage,
+    )
+
+    # craft via a temp view the op's shape reads? — call the kernel
+    # directly on a hand-built frame instead
+    import ocdb_server_spark.operators.pipeline_r6 as r6mod
+    from pyspark.sql import Window, functions as F
+
+    base = 1_700_000_000_000_000
+    long_span = 10 * _COV_SPAN_US
+    rows = [
+        (1, 1, base, base + long_span),             # long umbrella span
+        (1, 2, base + _COV_SPAN_US, base + 2 * _COV_SPAN_US),  # swallowed
+        (1, 3, base + long_span - 1, base + long_span - 1 + _COV_SPAN_US),
+        # overlaps the umbrella's end — lag(e) against row 2 would
+        # wrongly split here; max-before merges
+        (1, 4, base + 20 * _COV_SPAN_US, base + 21 * _COV_SPAN_US),  # separate
+    ]
+    iv = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    w_before = (
+        Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = iv.withColumn("max_e_before", F.max("e").over(w_before))
+    g = m.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("max_e_before").isNull() | (F.col("s") > F.col("max_e_before")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = g.groupBy("user_id", "grp").agg(F.min("s").alias("s"), F.max("e").alias("e")).collect()
+    assert len(merged) == 2  # umbrella+tail merged into one, plus the separate span
+    spans = sorted((r.s, r.e) for r in merged)
+    assert spans[0] == (base, base + long_span - 1 + _COV_SPAN_US)
+    assert spans[1] == (base + 20 * _COV_SPAN_US, base + 21 * _COV_SPAN_US)
