@@ -461,3 +461,29 @@ def op226_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocdb_server_spark.streaming.jobs import stream_tws_session_timers
 
     return stream_tws_session_timers(spark, sf_dir)
+
+
+@register(
+    "op234_stream_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_q,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def op234_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming file sink: foreachBatch + atomic
+    manifest commit (write data, then os.replace the manifest — the
+    commit point), readers list the manifest only. Batch 0 is
+    REPLAYED inside the op with identical data (Spark's retry
+    behavior) and must commit nothing; the final per-type aggregate
+    hash-matching the events oracle certifies no duplication — a
+    replayed batch would double its rows. op74's upsert sibling for
+    the append-only case; the manifest doubles as op133's export
+    manifest. (streaming/jobs.stream_exactly_once_manifest_sink)."""
+    from ocdb_server_spark.streaming.jobs import stream_exactly_once_manifest_sink
+
+    return stream_exactly_once_manifest_sink(spark, sf_dir)

@@ -1022,3 +1022,92 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return sunk
+
+
+def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op234's pipeline: EXACTLY-ONCE file sink via foreachBatch +
+    atomic manifest commit — the operational pattern that turns
+    Spark's at-least-once batch replay into exactly-once output
+    without a transactional table format:
+
+      1. foreachBatch writes the batch to `data/batch=<id>/`,
+      2. then COMMITS by atomically creating `manifest/<id>` —
+         os.replace of a tmp file: either the manifest exists
+         (committed) or it doesn't; a crash between 1 and 2 leaves
+         orphan data files that readers never see,
+      3. readers list the MANIFEST (not the data dir) and read only
+         committed batches.
+
+    The replay property is exercised IN the op, not just claimed:
+    after the stream completes, batch 0's foreachBatch body is
+    invoked AGAIN with the same data (exactly what Spark does when a
+    driver retries a batch). The commit-if-absent check makes the
+    replay a no-op; the committed batch count and the final
+    aggregate are unchanged — and the aggregate hash-matching the
+    events oracle certifies it (a duplicated batch would double its
+    rows)."""
+    import json
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"ocdb_spark_eo_sink_{tag}")
+    data_dir = os.path.join(root, "data")
+    man_dir = os.path.join(root, "manifest")
+    # fresh run each build: the certified artifact is this execution
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(man_dir, exist_ok=True)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        man_path = os.path.join(man_dir, f"{batch_id}.json")
+        if os.path.exists(man_path):
+            return  # already committed: replayed batch is a no-op
+        path = os.path.join(data_dir, f"batch={batch_id}")
+        (
+            batch_df.write.mode("overwrite").parquet(path)
+        )
+        tmp = f"{man_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "path": path}, f)
+        os.replace(tmp, man_path)  # the atomic commit point
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").alias("q"),
+    )
+    q = (
+        ev.writeStream.foreachBatch(commit_batch)
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    manifests = sorted(os.listdir(man_dir))
+    assert manifests, "stream committed no batches"
+    # REPLAY batch 0 with the same data — must be a no-op
+    batch0 = json.load(open(os.path.join(man_dir, manifests[0])))
+    replay_df = spark.read.parquet(batch0["path"])
+    commit_batch(replay_df, batch0["batch_id"])
+    after = sorted(os.listdir(man_dir))
+    assert after == manifests, "replay must not create a new commit"
+
+    paths = [
+        json.load(open(os.path.join(man_dir, m)))["path"] for m in after
+    ]
+    committed = spark.read.parquet(*paths)
+    return committed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

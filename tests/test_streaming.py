@@ -357,3 +357,36 @@ def test_stream_tws_session_timers_fire_and_leave_open(spark, sf_dir):
     got = {(r.user_id, r.kind, r.start_us, r.end_us, r.n, r.sum_q) for r in rows}
     assert got == expect
     assert n_open >= 1  # the fixture leaves at least the global-max user open
+
+
+def test_exactly_once_sink_ignores_uncommitted_orphans(spark, sf_dir):
+    """op234's crash-window property: data written WITHOUT a manifest
+    commit (the crash-between-write-and-commit case) must be invisible
+    to manifest-listed readers; replay of a committed batch stays a
+    no-op (asserted inside the job too)."""
+    import json
+    import os
+    import tempfile
+
+    from ocdb_server_spark.streaming.jobs import (
+        stream_exactly_once_manifest_sink,
+    )
+
+    out = stream_exactly_once_manifest_sink(spark, sf_dir)
+    total = sum(r.n for r in out.collect())
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"ocdb_spark_eo_sink_{tag}")
+    man_dir = os.path.join(root, "manifest")
+    # simulate the crash: orphan data, no manifest
+    orphan = os.path.join(root, "data", "batch=999")
+    spark.range(5).selectExpr(
+        "id as event_id", "id as user_id", "'orphan' as event_type", "id as q"
+    ).write.mode("overwrite").parquet(orphan)
+    paths = [
+        json.load(open(os.path.join(man_dir, m)))["path"]
+        for m in sorted(os.listdir(man_dir))
+    ]
+    assert orphan not in paths
+    committed = spark.read.parquet(*paths)
+    assert committed.count() == total
+    assert committed.filter("event_type = 'orphan'").count() == 0
