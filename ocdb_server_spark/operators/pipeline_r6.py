@@ -1860,3 +1860,160 @@ def op233_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").cast("bigint").alias("first_s"),
         F.max("e").cast("bigint").alias("last_e"),
     )
+
+
+# --------------------------------------------------------------------------
+# op235: seasonal Holt-Winters (additive, m=7) — recurrence with a
+#        seasonal-state vector, applyInPandas vs WITH RECURSIVE
+# --------------------------------------------------------------------------
+
+_HWS_M = 7  # weekly seasonality
+_HWS_H = 7  # forecast a full season ahead
+
+
+def _op235_sql() -> str:
+    f2 = lambda x: _hw_f2(x, "//")  # noqa: E731
+    s_cols = ", ".join(f"s{i}" for i in range(_HWS_M))
+    # seasonal slot of step t+1: CASE (t+1) % 7 over the s columns
+    slot = (
+        "CASE CAST((h.t + 1) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWS_M))
+        + " END"
+    )
+    l2 = f2(f"d.y - ({slot}) + h.l + h.b")
+    s_updates = ", ".join(
+        f"CASE WHEN (h.t + 1) % 7 = {i} "
+        f"THEN {f2(f'd.y - ({l2}) + h.s{i}')} ELSE h.s{i} END AS s{i}"
+        for i in range(_HWS_M)
+    )
+    s_inits = ", ".join(
+        f"y{i} - l_init AS s{i}" for i in range(_HWS_M)
+    )
+    y_cols = ", ".join(
+        f"MAX(CASE WHEN t = {i} THEN y END) AS y{i}" for i in range(_HWS_M)
+    )
+    fc = ", ".join(
+        f"h.l + {h} * h.b + (CASE CAST((h.t + {h}) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWS_M))
+        + f" END) AS fc_{h}"
+        for h in range(1, _HWS_H + 1)
+    )
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+maxt AS (SELECT MAX(t) AS m FROM daily),
+week1 AS (
+  SELECT event_type, {y_cols},
+         -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which would propagate
+         -- int128 through the whole recurrence and repr-diverge
+         CAST((SUM(CASE WHEN t < 7 THEN y ELSE 0 END)) // 7 AS BIGINT)
+           AS l_init
+  FROM daily WHERE t < 7 GROUP BY event_type),
+hw AS (
+  SELECT event_type, CAST(6 AS BIGINT) AS t, l_init AS l,
+         CAST(0 AS BIGINT) AS b, {s_inits}
+  FROM week1
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {l2} AS l,
+         {f2(f"h.b + ({l2}) - h.l")} AS b,
+         {s_updates}
+  FROM hw h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.event_type, h.l AS level, h.b AS trend, {fc}
+FROM hw h CROSS JOIN maxt m WHERE h.t = m.m
+"""
+
+
+@register("op235_holt_winters_seasonal", oracle=_op235_sql())
+def op235_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL Holt-Winters (additive, weekly m=7, α=β=γ=1/2) —
+    op231's recurrence upgraded with a seasonal-state VECTOR: the
+    per-step state is (level, trend, s[0..6]) and only one seasonal
+    slot updates per day, so the oracle's WITH RECURSIVE carries the
+    seven s-columns and CASE-selects the active slot — the integer
+    recurrence discipline extended from scalar state (op186) through
+    2-tuple state (op231) to vector state.
+
+    Init, documented and identical both sides: level = week-1 mean
+    (integer div — counts are non-negative), trend = 0, s_i =
+    y_i − level; recurrence runs t = 7..T; forecasts h = 1..7 are
+    l + h·b + s[(T+h) mod 7] — a full season ahead, bit-exact. The
+    signed halving is op231's f2 (floor(x/2) in all three engines).
+
+    Same scale shape as op231: applyInPandas runs the ordered loop
+    once per series (state is 9 ints, loop is ~30 steps); series
+    parallelize across one keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).cast("bigint").alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(cast(0 as bigint), cast(datediff(d1, d0) as bigint))")
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = pdf["y"].astype(int).tolist()
+        f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+        l = sum(ys[:_HWS_M]) // _HWS_M
+        bt = 0
+        s = [ys[i] - l for i in range(_HWS_M)]
+        for t in range(_HWS_M, len(ys)):
+            y = ys[t]
+            slot = t % _HWS_M
+            l_new = f2(y - s[slot] + l + bt)
+            bt = f2(bt + l_new - l)
+            s[slot] = f2(y - l_new + s[slot])
+            l = l_new
+        t_last = len(ys) - 1
+        out = {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "level": [l],
+            "trend": [bt],
+        }
+        for h in range(1, _HWS_H + 1):
+            out[f"fc_{h}"] = [l + h * bt + s[(t_last + h) % _HWS_M]]
+        return pd.DataFrame(out)
+
+    schema = (
+        "event_type string, level long, trend long, "
+        + ", ".join(f"fc_{h} long" for h in range(1, _HWS_H + 1))
+    )
+    return daily.groupBy("event_type").applyInPandas(hw, schema)

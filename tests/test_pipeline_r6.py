@@ -620,3 +620,59 @@ def test_interval_coverage_swallowed_span_case(spark):
     spans = sorted((r.s, r.e) for r in merged)
     assert spans[0] == (base, base + long_span - 1 + _COV_SPAN_US)
     assert spans[1] == (base + 20 * _COV_SPAN_US, base + 21 * _COV_SPAN_US)
+
+
+def test_holt_winters_seasonal_matches_python(spark, sf_dir):
+    """op235: vector-state recurrence vs an independent python
+    implementation, forecasts included; a pure 7-periodic series must
+    be forecast EXACTLY after convergence-free init (s captures the
+    pattern, trend stays 0)."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _HW_OFF,
+        _HWS_H,
+        _HWS_M,
+        op235_holt_winters_seasonal,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as d"
+    ).collect()
+    d0, d1 = min(r.d for r in ev), max(r.d for r in ev)
+    nd = (d1 - d0).days + 1
+    c = Counter((r.event_type, (r.d - d0).days) for r in ev)
+    f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+    got = {r.event_type: r for r in op235_holt_winters_seasonal(spark, sf_dir).collect()}
+    for et in {r.event_type for r in ev}:
+        ys = [c.get((et, t), 0) for t in range(nd)]
+        l = sum(ys[:_HWS_M]) // _HWS_M
+        b = 0
+        s = [ys[i] - l for i in range(_HWS_M)]
+        for t in range(_HWS_M, len(ys)):
+            sl = t % _HWS_M
+            ln = f2(ys[t] - s[sl] + l + b)
+            b = f2(b + ln - l)
+            s[sl] = f2(ys[t] - ln + s[sl])
+            l = ln
+        r = got[et]
+        assert (r.level, r.trend) == (l, b)
+        for h in range(1, _HWS_H + 1):
+            assert getattr(r, f"fc_{h}") == l + h * b + s[(nd - 1 + h) % _HWS_M]
+    # periodic-series sanity on the pure python recurrence itself:
+    # y = [10,20,30,40,50,60,70] repeated — forecasts must reproduce
+    # the next season exactly (trend 0, level constant)
+    ys = [10, 20, 30, 40, 50, 60, 70] * 4
+    l = sum(ys[:7]) // 7
+    b = 0
+    s = [ys[i] - l for i in range(7)]
+    for t in range(7, len(ys)):
+        sl = t % 7
+        ln = f2(ys[t] - s[sl] + l + b)
+        b = f2(b + ln - l)
+        s[sl] = f2(ys[t] - ln + s[sl])
+        l = ln
+    assert b == 0
+    for h in range(1, 8):
+        assert l + h * b + s[(len(ys) - 1 + h) % 7] == ys[(len(ys) - 1 + h) % 7]
