@@ -2017,3 +2017,71 @@ def op235_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"fc_{h} long" for h in range(1, _HWS_H + 1))
     )
     return daily.groupBy("event_type").applyInPandas(hw, schema)
+
+
+# --------------------------------------------------------------------------
+# op236: python-datasource FILTER PUSHDOWN — predicate → partition pruning
+# --------------------------------------------------------------------------
+
+_PDS_ROWS = 2048
+_PDS_PARTS = 8
+_PDS_LO, _PDS_HI = 600, 1500  # pushed range: prunes 8 chunks down to 4
+
+_OP236_SQL = f"""
+SELECT CAST((i * 2654435761) % 10000 // 1000 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((i * 2654435761) % 10000) AS BIGINT) AS checksum,
+       CAST(MIN(i) AS BIGINT) AS min_id,
+       CAST(MAX(i) AS BIGINT) AS max_id
+FROM range(0, {_PDS_ROWS}) t(i)
+WHERE i >= {_PDS_LO} AND i < {_PDS_HI}
+GROUP BY bucket
+"""
+
+
+@register("op236_pyds_filter_pushdown", oracle=_OP236_SQL)
+def op236_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through the Python DataSource API (Spark 4.1's
+    `pushFilters` — op152's connector upgraded from "rows flow" to
+    "predicates flow"): range predicates on `id` are absorbed by the
+    reader and become PARTITION PRUNING — `partitions()` emits only
+    chunks overlapping [lo, hi), so the filtered scan schedules 4 of
+    8 tasks and never generates the pruned rows (asserted by task
+    count in tests/test_pipeline_r6.py). Unsupported filters are
+    yielded back per the API's remainder contract, so absorbing can
+    narrow but never change results — the oracle applies the SAME
+    predicate to the closed-form stream and must hash-match.
+
+    Conf hygiene (op182's rule): the gate
+    `spark.sql.python.filterPushdown.enabled` is flipped on only for
+    this plan's construction and restored after."""
+    from ocdb_server_spark.sources import pyds
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pyds.register_pushdown(spark)
+        src = (
+            spark.read.format("synth_events_pushdown")
+            .option("rows", _PDS_ROWS)
+            .option("partitions", _PDS_PARTS)
+            .load()
+            .filter((F.col("id") >= _PDS_LO) & (F.col("id") < _PDS_HI))
+        )
+        out = src.groupBy(
+            (F.col("hval") / 1000).cast("bigint").alias("bucket")
+        ).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("hval").cast("bigint").alias("checksum"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        # materialize the plan while the gate is on (construction is
+        # what consults the conf; the driver may execute later)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+    return out

@@ -81,3 +81,79 @@ class SynthDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SynthDataSource)
+
+
+class PrunableSynthReader(SynthReader):
+    """SynthReader + FILTER PUSHDOWN (Spark 4.1's `pushFilters` on the
+    Python DataSource API): range predicates on `id` are absorbed and
+    turned into PARTITION PRUNING — `partitions()` emits only chunks
+    overlapping the pushed [lo, hi) range, so filtered scans schedule
+    fewer tasks and generate fewer rows, exactly like a file source
+    skipping row groups. Unsupported filters are yielded back and
+    Spark re-applies them above the scan (the API's remainder
+    contract), so absorbing a filter can narrow but never change
+    results."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.lo = 0
+        self.hi = self.n_rows
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("id",) or col == "id":
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    self.pushed.append(f)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    self.pushed.append(f)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    self.pushed.append(f)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    self.pushed.append(f)
+                    continue
+            yield f  # not ours: Spark re-applies it above the scan
+
+    def partitions(self):
+        per = (self.n_rows + self.n_parts - 1) // self.n_parts
+        out = []
+        for p in range(self.n_parts):
+            s, e = p * per, min((p + 1) * per, self.n_rows)
+            s, e = max(s, self.lo), min(e, self.hi)
+            if s < e:  # prune chunks entirely outside the pushed range
+                out.append(SynthPartition(p, s, e))
+        return out
+
+
+class PrunableSynthDataSource(DataSource):
+    """`spark.read.format("synth_events_pushdown")...` — op236."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_pushdown"
+
+    def schema(self) -> str:
+        return "id bigint, part int, hval bigint"
+
+    def reader(self, schema) -> PrunableSynthReader:
+        return PrunableSynthReader(self.options)
+
+
+def register_pushdown(spark) -> None:
+    """Idempotent registration of the pushdown-capable variant."""
+    spark.dataSource.register(PrunableSynthDataSource)

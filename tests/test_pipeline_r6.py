@@ -676,3 +676,37 @@ def test_holt_winters_seasonal_matches_python(spark, sf_dir):
     assert b == 0
     for h in range(1, 8):
         assert l + h * b + s[(len(ys) - 1 + h) % 7] == ys[(len(ys) - 1 + h) % 7]
+
+
+def test_pyds_pushdown_prunes_tasks(spark):
+    """op236's structural claim: with the pushed range the python
+    datasource schedules only the overlapping chunks; without a
+    filter it schedules all of them. Also: a filter the reader can't
+    absorb (on hval) still returns correct rows via Spark's
+    remainder re-application."""
+    from ocdb_server_spark.sources import pyds
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pyds.register_pushdown(spark)
+        base = (
+            spark.read.format("synth_events_pushdown")
+            .option("rows", 2048)
+            .option("partitions", 8)
+            .load()
+        )
+        assert base.rdd.getNumPartitions() == 8
+        pruned = base.filter("id >= 1500 and id < 1800")
+        assert pruned.rdd.getNumPartitions() == 3  # chunks 5,6,7 only
+        assert pruned.count() == 300
+        # unabsorbable filter: remainder contract keeps results exact
+        resid = base.filter("hval % 2 = 0")
+        expect = sum(1 for i in range(2048) if ((i % 10000) * (2654435761 % 10000)) % 10000 % 2 == 0)
+        assert resid.count() == expect
+        assert resid.rdd.getNumPartitions() == 8  # nothing pruned
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
