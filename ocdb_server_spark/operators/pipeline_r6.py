@@ -2085,3 +2085,134 @@ def op236_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
     return out
+
+
+# --------------------------------------------------------------------------
+# op237: theta-sketch set algebra — intersection cardinality from sketches
+# --------------------------------------------------------------------------
+
+_THETA_K = 256
+
+
+@register("op237_theta_set_ops", oracle=None)  # ROWS: xxhash64-based (op194's rationale)
+def op237_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH set operations (KMV / bottom-k framework, Cohen;
+    Apache DataSketches' theta family): cardinality of UNION and —
+    the capability nothing else in the sketch family provides —
+    INTERSECTION of two huge sets estimated from their mergeable
+    bottom-k signatures, never from the sets: here, the distinct
+    vocabularies of the en and de corpus slices.
+
+    Sketch: per slice, the k=256 smallest xxhash64(word) values
+    mapped to (0,1) (KMV). Union: min-merge the two sketches, re-cut
+    to k — EXACTLY the union's own sketch (op194's min-merge law).
+    Estimators: n̂ = (k−1)/θ with θ = k-th smallest in (0,1);
+    intersection = the fraction of the union's below-θ sample found
+    in BOTH sketches, scaled by the union estimate. Relative error
+    ~1/√k ≈ 6%; the ±15% gate plus the exact truths (emitted
+    alongside) are asserted in tests.
+
+    ROWS by design (xxhash64 — op79/op194's rationale); everything
+    after the per-slice bottom-k cut is k-row arithmetic: at 100 TB
+    the only data-sized work is one distinct+cut per slice, and
+    set-overlap questions between any two corpus slices become
+    256-row math on stored sketches."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def slice_words(lang: str) -> DataFrame:
+        # sets are word 2-SHINGLES (op79's shingle space): the
+        # synthetic vocabulary is ~100 words — smaller than k — but
+        # its bigram space is thousands, so the ESTIMATOR path is
+        # genuinely exercised (exact mode still handled below for
+        # slices smaller than k)
+        w = docs.filter(F.col("lang") == lang).select(
+            F.expr("split(text, ' ')").alias("w")
+        )
+        sh = F.expr(
+            "array_distinct(filter("
+            "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+            "           (x, y) -> concat_ws(' ', x, y)),"
+            "  s -> contains(s, ' ')))"
+        )
+        return w.select(F.explode(sh).alias("word")).distinct()
+
+    def sketch(words: DataFrame, tag: str) -> DataFrame:
+        h = words.select(
+            F.lit(tag).alias("side"),
+            "word",
+            # xxhash64 → uniform in (0,1): shift to non-negative 2^63 space
+            (
+                (F.xxhash64("word").cast("double") / 9.223372036854776e18 + 1.0)
+                / 2.0
+            ).alias("u"),
+        )
+        w = Window.partitionBy("side").orderBy("u", "word")
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _THETA_K)
+            .select("side", "word", "u")
+        )
+    a = sketch(slice_words("en"), "a").persist()
+    b = sketch(slice_words("de"), "b").persist()
+    from pyspark.sql import Window
+
+    merged = a.unionByName(b)
+    wu = Window.orderBy("u", "word")  # 2k rows — metadata-sized window
+    union_sketch = (
+        merged.dropDuplicates(["word"])
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _THETA_K)
+    )
+    theta = union_sketch.agg(F.max("u").alias("theta"))
+    in_both = (
+        union_sketch.join(a.select(F.col("word").alias("wa")), F.col("word") == F.col("wa"), "left_semi")
+        .join(b.select(F.col("word").alias("wb")), F.col("word") == F.col("wb"), "left_semi")
+        .agg(F.count("*").alias("n_common_sample"))
+    )
+    th_a = a.agg(F.max("u").alias("th_a"))
+    th_b = b.agg(F.max("u").alias("th_b"))
+    exact = (
+        slice_words("en").withColumn("s", F.lit(1))
+        .unionByName(slice_words("de").withColumn("s", F.lit(2)))
+        .groupBy("word")
+        .agg(F.sum("s").alias("s"))
+        .agg(
+            F.sum(F.when(F.col("s").isin(1, 3), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("s").isin(2, 3), 1).otherwise(0)).alias("n_b"),
+            F.count("*").alias("n_union"),
+            F.sum(F.when(F.col("s") == 3, 1).otherwise(0)).alias("n_inter"),
+        )
+    )
+    k = float(_THETA_K)
+    # exact-mode handling (standard theta semantics): a sketch holding
+    # fewer than k values RETAINED ITS WHOLE SET — its estimate is its
+    # size, and the intersection scale factor degrades to 1
+    ka = a.agg(F.count("*").alias("ka"))
+    kb = b.agg(F.count("*").alias("kb"))
+    ku = union_sketch.agg(F.count("*").alias("ku"))
+    est_a = F.when(F.col("ka") < k, F.col("ka")).otherwise((k - 1) / F.col("th_a"))
+    est_b = F.when(F.col("kb") < k, F.col("kb")).otherwise((k - 1) / F.col("th_b"))
+    est_u = F.when(F.col("ku") < k, F.col("ku")).otherwise((k - 1) / F.col("theta"))
+    return (
+        exact.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(th_a))
+        .crossJoin(F.broadcast(th_b))
+        .crossJoin(F.broadcast(in_both))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ku))
+        .select(
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.col("n_union").cast("bigint"),
+            F.col("n_inter").cast("bigint"),
+            F.bround(est_a, 2).alias("est_a"),
+            F.bround(est_b, 2).alias("est_b"),
+            F.bround(est_u, 2).alias("est_union"),
+            F.bround(
+                F.col("n_common_sample") / F.col("ku") * est_u, 2
+            ).alias("est_inter"),
+        )
+    )

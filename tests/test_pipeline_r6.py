@@ -710,3 +710,37 @@ def test_pyds_pushdown_prunes_tasks(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_theta_sketch_estimates_within_band(spark, sf_dir):
+    """op237: KMV estimates for |A|, |B|, |A∪B|, |A∩B| must land
+    within ±15% of the exact values (k=256 → ~6% standard error),
+    and the exact columns must equal a python set computation."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op237_theta_set_ops
+
+    rows = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+
+    def shingles(lang):
+        out = set()
+        for r in rows:
+            if r.lang != lang:
+                continue
+            ws = r.text.split(" ")
+            out.update(
+                f"{x} {y}" for x, y in zip(ws, ws[1:]) if x and y
+            )
+        return out
+
+    a, b = shingles("en"), shingles("de")
+    out = op237_theta_set_ops(spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    assert out.n_union == len(a | b)
+    assert out.n_inter == len(a & b)
+    for est, exact in [
+        (out.est_a, out.n_a),
+        (out.est_b, out.n_b),
+        (out.est_union, out.n_union),
+        (out.est_inter, out.n_inter),
+    ]:
+        assert abs(est - exact) <= 0.15 * max(exact, 1), (est, exact)
