@@ -38,6 +38,10 @@ INVARIANT_OPS = [
     "op174_weighted_sample",
     "op175_pmi_collocations",
     "op176_train_val_split",
+    # round-6 flagships — the argmax/recurrence determinism claims:
+    "op215_cms_pointquery",   # portable-hash sketch counters
+    "op216_bpe_train",        # total-order argmax per merge round
+    "op224_feature_hashing",  # signed-hash pooling
 ]
 
 
@@ -101,6 +105,12 @@ FULL_TABLE_OPS = [
     "op163_equidepth_histogram",
     "op164_time_weighted_avg",
     "op171_rollup_merge",
+    # round-6: integer recurrences and mergeable partials must not
+    # care how the scan was split or how wide the shuffle is
+    "op211_gram_matrix",
+    "op212_kmeans_lloyd",
+    "op223_skyline",
+    "op231_holt_forecast",
 ]
 
 _ALL_TABLES = (
