@@ -2216,3 +2216,125 @@ def op237_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_inter"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op238: Wilson confidence intervals — rates with honest uncertainty
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+def _wilson_sql(p_hat: str, n: str) -> tuple[str, str]:
+    z2 = f"({_WILSON_Z} * {_WILSON_Z})"
+    center = f"(({p_hat}) + {z2} / (2.0 * {n}))"
+    margin = (
+        f"({_WILSON_Z} * SQRT((({p_hat}) * (1.0 - ({p_hat})) "
+        f"+ {z2} / (4.0 * {n})) / {n}))"
+    )
+    denom = f"(1.0 + {z2} / {n})"
+    return (
+        f"ROUND(({center} - {margin}) / {denom}, 6)",
+        f"ROUND(({center} + {margin}) / {denom}, 6)",
+    )
+
+
+def _op238_sql() -> str:
+    lo, hi = _wilson_sql("CAST(k AS DOUBLE) / n", "CAST(n AS DOUBLE)")
+    return f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY event_type)
+SELECT event_type, n, k,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+       {lo} AS wilson_lo,
+       {hi} AS wilson_hi
+FROM agg
+"""
+
+
+@register("op238_wilson_ci", oracle=_op238_sql())
+def op238_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON score intervals (95%) for per-type success rates
+    (success := value > 0.5) — a rate without its uncertainty is the
+    classic dashboard lie, and Wilson (unlike the normal
+    approximation) behaves at small n and extreme rates. Inputs are
+    exact int64 (n, k); the interval arithmetic is a fixed dag of
+    IEEE ops on exact integers — division, multiply, one SQRT
+    (correctly rounded per IEEE-754, identical both engines) —
+    bround(6)'d at the boundary (op144's z-score discipline). One
+    scan, one partial-agged groupBy; the CI math is per-group
+    constant work."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n").cast("double")
+    z2 = _WILSON_Z * _WILSON_Z
+    center = p + z2 / (2.0 * n)
+    margin = _WILSON_Z * F.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+    denom = 1.0 + z2 / n
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        F.bround(p, 6).alias("rate"),
+        F.bround((center - margin) / denom, 6).alias("wilson_lo"),
+        F.bround((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op239: GROUP k-fold assignment — leakage-free cross-validation splits
+# --------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+def _op239_sql() -> str:
+    fold = f"({_cms_mulmod32('user_id', 2654435761, '//')} % {_KFOLD})"
+    return f"""
+WITH tagged AS (
+  SELECT {fold} AS fold, user_id, event_type, event_id FROM events)
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS checksum
+FROM tagged GROUP BY fold
+"""
+
+
+@register("op239_group_kfold", oracle=_op239_sql())
+def op239_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment: folds are a pure hash function of the
+    GROUP key (user_id), so every row of a user lands in the same
+    fold — the leakage-free cross-validation split (row-level folds
+    put one user's behavior in both train and validation, inflating
+    every metric; sklearn's GroupKFold exists for exactly this).
+    op176 (hash split) and op225 (temporal split) complete the
+    eval-split triptych.
+
+    Same reproducibility algebra as op176/op229: _mulmod32 on the
+    group key, no RNG, identical across re-runs/partitionings/
+    clusters; fold balance is inspectable in the output (hash
+    uniformity gives ~n/k users per fold). Map-side arithmetic +
+    one groupBy — the split costs one scan at any size. The
+    disjointness invariant (each user in exactly one fold) is
+    asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = F.expr(f"({_cms_mulmod32('user_id', 2654435761, 'div')} % {_KFOLD})")
+    return (
+        ev.select(fold.cast("int").alias("fold"), "user_id", "event_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("checksum"),
+        )
+    )

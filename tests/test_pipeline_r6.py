@@ -744,3 +744,37 @@ def test_theta_sketch_estimates_within_band(spark, sf_dir):
         (out.est_inter, out.n_inter),
     ]:
         assert abs(est - exact) <= 0.15 * max(exact, 1), (est, exact)
+
+
+def test_wilson_ci_properties(spark, sf_dir):
+    """op238: interval contains the rate, lies in [0,1], narrows with
+    n (checked against an independent python Wilson)."""
+    import math
+
+    from ocdb_server_spark.operators.pipeline_r6 import _WILSON_Z, op238_wilson_ci
+
+    rows = op238_wilson_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        p, n, z = r.k / r.n, float(r.n), _WILSON_Z
+        center = p + z * z / (2 * n)
+        margin = z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        denom = 1 + z * z / n
+        assert abs(r.wilson_lo - (center - margin) / denom) < 1e-6
+        assert abs(r.wilson_hi - (center + margin) / denom) < 1e-6
+
+
+def test_group_kfold_is_leakage_free_partition(spark, sf_dir):
+    """op239: every user in exactly one fold; folds partition the
+    events exactly; assignment reproducible."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import _KFOLD, op239_group_kfold
+
+    ev = load_table(spark, sf_dir, "events")
+    out = op239_group_kfold(spark, sf_dir).collect()
+    assert {r.fold for r in out} <= set(range(_KFOLD))
+    assert sum(r.n_events for r in out) == ev.count()
+    assert sum(r.n_users for r in out) == ev.select("user_id").distinct().count()
+    again = {r.fold: r.checksum for r in op239_group_kfold(spark, sf_dir).collect()}
+    assert again == {r.fold: r.checksum for r in out}
