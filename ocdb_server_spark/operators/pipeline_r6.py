@@ -2338,3 +2338,173 @@ def op239_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op240: two-sample Kolmogorov-Smirnov — exact D over the distinct grid
+# --------------------------------------------------------------------------
+
+_OP240_SQL = """
+WITH s AS (
+  SELECT n_chars AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+  FROM documents WHERE lang IN ('en', 'de')),
+tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM s),
+grid AS (
+  SELECT x,
+         CAST(SUM(is_a) AS BIGINT) AS a_here,
+         CAST(SUM(1 - is_a) AS BIGINT) AS b_here
+  FROM s GROUP BY x),
+cum AS (
+  SELECT x,
+         SUM(a_here) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b_here) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb
+  FROM grid)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(ABS(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS d_num,
+       t.n_a * t.n_b AS d_den,
+       ROUND(CAST(MAX(ABS(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+             / (t.n_a * t.n_b), 6) AS ks_d
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+@register("op240_ks_two_sample", oracle=_OP240_SQL)
+def op240_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV statistic (en vs de document
+    lengths) — the nonparametric "did the distribution shift"
+    test beside op162's binned PSI: D = max |F_a(x) − F_b(x)|,
+    computed EXACTLY on the distinct-value grid (the supremum over a
+    step function is attained at a step), kept integer as
+    max |ca·n_b − cb·n_a| over n_a·n_b — no float until one final
+    division. Scale shape is op214's: aggregate to the bounded
+    distinct-value grid first, run the cumulative window over those
+    few rows — no global row sort."""
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select(
+            F.col("n_chars").alias("x"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    tot = s.agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+    )
+    grid = s.groupBy("x").agg(
+        F.sum("is_a").cast("bigint").alias("a_here"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("b_here"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "x",
+        F.sum("a_here").over(w).alias("ca"),
+        F.sum("b_here").over(w).alias("cb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+            .cast("bigint")
+            .alias("d_num")
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).alias("d_den"),
+        F.bround(
+            F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("ks_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op241: chi-square independence — contingency table, exact-int core
+# --------------------------------------------------------------------------
+
+_OP241_SQL = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source),
+r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY lang),
+c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY source),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM o),
+cells AS (
+  SELECT o.lang, o.source, o.obs, r.row_tot, c.col_tot, n.total,
+         -- (O*N − R*C)² / (N*R*C): chi² term scaled to avoid
+         -- fractional expected counts until the final division
+         CAST(o.obs * n.total - r.row_tot * c.col_tot AS DOUBLE) AS num
+  FROM o JOIN r ON o.lang = r.lang
+        JOIN c ON o.source = c.source
+        CROSS JOIN n)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(ANY_VALUE(total) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
+       ROUND(SUM(num * num
+                 / (CAST(total AS DOUBLE) * row_tot * col_tot)), 6) AS chi2
+FROM cells
+"""
+
+
+@register("op241_chi2_independence", oracle=_OP241_SQL)
+def op241_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE independence test for the (lang × source)
+    contingency table — "is the language mix the same across
+    sources", the categorical sibling of op240's KS: χ² =
+    Σ (O−E)²/E restated as Σ (O·N − R·C)² / (N·R·C) so every
+    intermediate is a product of EXACT int64 counts and the only
+    float work is one division + sum of |cells| terms, bround(6)'d
+    (cells ≤ |langs|·|sources| — per-group constant work; the sum
+    over ≤25 doubles is ordered by the final single-partition agg of
+    a broadcast-joined 25-row frame, deterministic at this
+    cardinality both engines). Row/col marginals broadcast; one scan."""
+    o = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    o = o.persist()
+    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("col_tot"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("total"))
+    n_rows = r.count()
+    n_cols = c.count()
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "obs",
+            "row_tot",
+            "col_tot",
+            "total",
+            (
+                F.col("obs") * F.col("total")
+                - F.col("row_tot") * F.col("col_tot")
+            )
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return cells.coalesce(1).agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.any_value("total").cast("bigint").alias("n_total"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        F.bround(
+            F.sum(
+                F.col("num")
+                * F.col("num")
+                / (F.col("total").cast("double") * F.col("row_tot") * F.col("col_tot"))
+            ),
+            6,
+        ).alias("chi2"),
+    )

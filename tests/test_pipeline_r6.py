@@ -778,3 +778,53 @@ def test_group_kfold_is_leakage_free_partition(spark, sf_dir):
     assert sum(r.n_users for r in out) == ev.select("user_id").distinct().count()
     again = {r.fold: r.checksum for r in op239_group_kfold(spark, sf_dir).collect()}
     assert again == {r.fold: r.checksum for r in out}
+
+
+def test_ks_two_sample_matches_python(spark, sf_dir):
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op240_ks_two_sample
+
+    rows = load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    a = sorted(r.n_chars for r in rows if r.lang == "en")
+    b = sorted(r.n_chars for r in rows if r.lang == "de")
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in grid
+    )
+    out = op240_ks_two_sample(spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    assert out.ks_d == pytest.approx(d, abs=1e-6)
+    assert out.d_num == round(d * out.d_den)
+
+
+def test_chi2_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op241_chi2_independence
+
+    rows = load_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    obs = Counter((r.lang, r.source) for r in rows)
+    langs = {l for l, _ in obs}
+    sources = {s for _, s in obs}
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (l, s), o in obs.items():
+        rt[l] += o
+        ct[s] += o
+    chi2 = sum(
+        (o * n - rt[l] * ct[s]) ** 2 / (n * rt[l] * ct[s])
+        for (l, s), o in obs.items()
+    )
+    out = op241_chi2_independence(spark, sf_dir).collect()[0]
+    assert out.n_cells == len(obs)
+    assert out.n_total == n
+    assert out.dof == (len(langs) - 1) * (len(sources) - 1)
+    assert out.chi2 == pytest.approx(chi2, abs=1e-5)
