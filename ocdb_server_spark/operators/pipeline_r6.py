@@ -2508,3 +2508,157 @@ def op241_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# op242: behavioral Markov transitions — per-user event-type chains
+# --------------------------------------------------------------------------
+
+_OP242_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+t AS (SELECT prev_type, event_type AS next_type FROM o WHERE prev_type IS NOT NULL),
+row_tot AS (
+  SELECT prev_type, CAST(COUNT(*) AS BIGINT) AS n_from
+  FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       r.n_from,
+       CAST(COUNT(*) * 1000000 // r.n_from AS BIGINT) AS p_ppm
+FROM t JOIN row_tot r ON t.prev_type = r.prev_type
+GROUP BY t.prev_type, t.next_type, r.n_from
+"""
+
+
+@register("op242_markov_transitions", oracle=_OP242_SQL)
+def op242_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral MARKOV TRANSITION MATRIX: per-user consecutive
+    event-type pairs → transition counts and probabilities (exact
+    integer ppm: n·10⁶ div n_from — engine-portable floor division,
+    no float) — the first-order user-behavior model behind
+    next-action prediction, anomaly scoring ("this transition never
+    happens") and funnel design; op128's bigram idea lifted from
+    token streams to event streams.
+
+    One per-user ordered window (lag) + two aggregates; transitions
+    shuffle as (type, type) pairs — |types|² ≤ 25 output rows from
+    any volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    row_tot = t.groupBy("prev_type").agg(
+        F.count("*").cast("bigint").alias("n_from")
+    )
+    return (
+        t.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "n_from",
+            F.expr("n * 1000000 div n_from").cast("bigint").alias("p_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# op243: last-touch attribution — IGNORE NULLS window carry-forward
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3_600_000_000  # attribute within 1 hour
+
+
+_OP243_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_us
+  FROM events)
+SELECT COALESCE(CASE WHEN us - touch_us <= {_ATTR_WINDOW_US}
+                     THEN touch_type END, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(event_id) AS BIGINT) AS checksum
+FROM o
+WHERE event_type = 'purchase'
+GROUP BY channel
+"""
+
+
+@register("op243_last_touch_attribution", oracle=_OP243_SQL)
+def op243_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase credits the user's most
+    recent NON-purchase event within 1 hour, else 'direct' — the
+    marketing-attribution query, and the op that pins Spark and
+    DuckDB's `IGNORE NULLS` window carry-forward semantics against
+    each other (Spark: last(col, ignorenulls) over rows-preceding;
+    DuckDB: LAST_VALUE ... IGNORE NULLS) — a forward-fill over a
+    conditional column, the same primitive as op131's resample-ffill
+    but predicate-driven.
+
+    One per-user ordered window carrying (type, ts) of the last
+    touch + one aggregate; integers end to end (µs timestamps)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("us")),
+        ignorenulls=True,
+    ).over(w)
+    o = ev.select(
+        "event_type",
+        "event_id",
+        "us",
+        touch_type.alias("touch_type"),
+        touch_us.alias("touch_us"),
+    )
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("us") - F.col("touch_us") <= _ATTR_WINDOW_US,
+                    F.col("touch_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            "event_id",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("event_id").cast("bigint").alias("checksum"),
+        )
+    )

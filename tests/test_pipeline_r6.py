@@ -828,3 +828,64 @@ def test_chi2_matches_python(spark, sf_dir):
     assert out.n_total == n
     assert out.dof == (len(langs) - 1) * (len(sources) - 1)
     assert out.chi2 == pytest.approx(chi2, abs=1e-5)
+
+
+def test_markov_transitions_match_python(spark, sf_dir):
+    """op242: transition counts equal a python chain walk; rows of the
+    matrix sum to n_from; ppm probabilities are the exact floor."""
+    from collections import Counter, defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op242_markov_transitions
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) as us", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    trans = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    got = {(r.prev_type, r.next_type): r for r in
+           op242_markov_transitions(spark, sf_dir).collect()}
+    assert {k: v.n for k, v in got.items()} == dict(trans)
+    for (a, _), r in got.items():
+        assert r.n_from == sum(n for (x, _), n in trans.items() if x == a)
+        assert r.p_ppm == r.n * 1_000_000 // r.n_from
+
+
+def test_last_touch_attribution_matches_python(spark, sf_dir):
+    """op243: attribution channel per purchase equals a python walk
+    (last non-purchase within the hour, else direct)."""
+    from collections import Counter, defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _ATTR_WINDOW_US,
+        op243_last_touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) as us", "event_id"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    expect = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        last_touch = None  # (us, type)
+        for us, _eid, et in evs:
+            if et == "purchase":
+                if last_touch and us - last_touch[0] <= _ATTR_WINDOW_US:
+                    expect[last_touch[1]] += 1
+                else:
+                    expect["direct"] += 1
+            else:
+                last_touch = (us, et)
+    got = {r.channel: r.n_purchases
+           for r in op243_last_touch_attribution(spark, sf_dir).collect()}
+    assert got == dict(expect)
