@@ -2662,3 +2662,66 @@ def op243_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op244: quantile (rank) normalization — the PIT transform per group
+# --------------------------------------------------------------------------
+
+_OP244_SQL = """
+WITH pr AS (
+  SELECT event_type, value,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS p
+  FROM events),
+b AS (
+  SELECT event_type,
+         -- FLOOR, not bare CAST: DuckDB rounds on double→int casts
+         -- (op227's gotcha); Spark truncates
+         LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS decile,
+         p
+  FROM pr)
+SELECT event_type, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(p), 6) AS sum_p
+FROM b GROUP BY event_type, decile
+"""
+
+
+@register("op244_quantile_normalize", oracle=_OP244_SQL)
+def op244_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE (rank) NORMALIZATION per group — the probability-
+    integral transform that makes features comparable across
+    heterogeneous distributions (the preprocessing step before
+    mixing signals with different scales/shapes; op139's min-max
+    sibling for the heavy-tailed case). p = PERCENT_RANK(), the
+    (rank−1)/(n−1) definition shared verbatim by Spark and DuckDB —
+    ties resolve to the min rank in both, so the transform is
+    deterministic and this op PINS that cross-engine contract.
+
+    Output: per-(type, decile of p) counts + the quantized p mass —
+    a uniform-by-construction histogram whose hash any rank drift
+    breaks (CAST truncation of p·10 is floor for the non-negative p
+    both engines). Scale: the ordered window runs per group — the
+    standard rank-transform cost, one keyed sort; the decile
+    histogram collapses it to ≤10 rows/group."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    pr = ev.select(
+        "event_type", F.percent_rank().over(w).alias("p")
+    )
+    return (
+        pr.select(
+            "event_type",
+            F.least((F.col("p") * 10).cast("bigint"), F.lit(9))
+            .cast("int")
+            .alias("decile"),
+            "p",
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.bround(F.sum("p"), 6).alias("sum_p"),
+        )
+    )

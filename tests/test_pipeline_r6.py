@@ -889,3 +889,42 @@ def test_last_touch_attribution_matches_python(spark, sf_dir):
     got = {r.channel: r.n_purchases
            for r in op243_last_touch_attribution(spark, sf_dir).collect()}
     assert got == dict(expect)
+
+
+def test_quantile_normalize_uniform_and_exact(spark, sf_dir):
+    """op244: the rank transform is uniform by construction (each
+    decile holds ~n/10 rows per group) and matches a python
+    percent_rank with min-rank tie semantics."""
+    from collections import defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op244_quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(r.value)
+    expect = defaultdict(lambda: [0, 0.0])
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        # min-rank percent_rank with ties
+        import bisect
+
+        for v in vals:
+            rank = bisect.bisect_left(vals, v) + 1
+            p = (rank - 1) / (n - 1) if n > 1 else 0.0
+            d = min(int(p * 10), 9)
+            cell = expect[(et, d)]
+            cell[0] += 1
+            cell[1] += p
+    got = {(r.event_type, r.decile): r for r in
+           op244_quantile_normalize(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for k, (n, sp) in expect.items():
+        assert got[k].n == n, k
+        assert got[k].sum_p == pytest.approx(sp, abs=1e-5)
+    # uniformity: deciles within a group differ by at most the tie mass
+    for et, vals in groups.items():
+        counts = [got[(et, d)].n for d in range(10) if (et, d) in got]
+        assert max(counts) - min(counts) <= len(vals) // 4
