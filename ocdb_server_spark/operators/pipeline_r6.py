@@ -2725,3 +2725,137 @@ def op244_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bround(F.sum("p"), 6).alias("sum_p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op245: dataset card — the one-row datasheet a corpus release ships
+# --------------------------------------------------------------------------
+
+_OP245_SQL = """
+WITH d AS (SELECT doc_id, text, lang, n_chars FROM documents),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM d),
+toks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d)
+  WHERE word <> ''),
+dup AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dups
+  FROM d),
+top_lang AS (
+  SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_docs
+  FROM d GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+SELECT b.n_docs, b.n_langs, b.total_chars, b.min_chars, b.max_chars,
+       t.total_tokens, t.vocab, u.exact_dups,
+       tl.top_lang, tl.top_lang_docs
+FROM base b CROSS JOIN toks t CROSS JOIN dup u CROSS JOIN top_lang tl
+"""
+
+
+@register("op245_dataset_card", oracle=_OP245_SQL)
+def op245_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD: the one-row datasheet a corpus release ships
+    ("Datasheets for Datasets", Gebru 2018) — doc/lang/char counts,
+    token count and vocabulary size, exact-duplicate count, dominant
+    language — every number an exact integer drawn from the same
+    aggregates the dedicated ops compute (op77 tokens, op75 dedup,
+    op97 profile), composed into the single publishable row. The op
+    certifies the COMPOSITION: four independent aggregate branches
+    cross-joined (all 1-row broadcasts), which is how a real report
+    assembles without ever collecting to the driver.
+
+    Scale: each branch is one scan + partial-agged fold to one row;
+    Catalyst shares nothing between them here (4 scans at this size)
+    — a production variant computes multi-branch aggregates over one
+    cached scan, the documented trade."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .agg(
+            F.count("*").cast("bigint").alias("total_tokens"),
+            F.countDistinct("word").cast("bigint").alias("vocab"),
+        )
+    )
+    dup = d.agg(
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("exact_dups")
+    )
+    top_lang = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    return (
+        base.crossJoin(F.broadcast(toks))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(top_lang))
+    )
+
+
+# --------------------------------------------------------------------------
+# op246: temperature-sampling mixture weights — sqrt-exact portability
+# --------------------------------------------------------------------------
+
+_OP246_SQL = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SQRT(CAST(COUNT(*) AS DOUBLE)) AS w_raw
+  FROM documents GROUP BY lang),
+t AS (SELECT SUM(w_raw) AS z FROM c)
+SELECT c.lang, c.n_docs,
+       ROUND(c.w_raw / t.z, 6) AS mix_weight,
+       ROUND(c.w_raw / t.z - CAST(c.n_docs AS DOUBLE)
+             / SUM(c.n_docs) OVER (), 6) AS upweight
+FROM c CROSS JOIN t
+"""
+
+
+@register("op246_temperature_mix", oracle=_OP246_SQL)
+def op246_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SAMPLING mixture weights (multilingual training
+    mix, XLM-R style): per-language sampling probability ∝ n^(1/τ)
+    with τ=2 — upweights low-resource languages relative to their
+    natural share, and the `upweight` column reports exactly how
+    much. α=1/2 is deliberate: n^0.5 is SQRT, correctly rounded per
+    IEEE-754 and bit-identical across engines, where a general POW
+    carries no such guarantee (the portability rule that picked this
+    temperature is the documented point); the normalization sums ≤
+    |langs| doubles — bround(6) absorbs association order.
+
+    Scale: one partial-agged groupBy to |langs| rows; everything
+    after is constant work."""
+    c = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    c = c.withColumn("w_raw", F.sqrt(F.col("n_docs").cast("double")))
+    t = c.agg(F.sum("w_raw").alias("z"), F.sum("n_docs").alias("n_total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.bround(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
+            F.bround(
+                F.col("w_raw") / F.col("z")
+                - F.col("n_docs").cast("double") / F.col("n_total"),
+                6,
+            ).alias("upweight"),
+        )
+    )

@@ -928,3 +928,40 @@ def test_quantile_normalize_uniform_and_exact(spark, sf_dir):
     for et, vals in groups.items():
         counts = [got[(et, d)].n for d in range(10) if (et, d) in got]
         assert max(counts) - min(counts) <= len(vals) // 4
+
+
+def test_dataset_card_consistency(spark, sf_dir):
+    """op245: datasheet numbers must agree with the dedicated ops'
+    views of the same corpus (tokens, dedup, profile)."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op245_dataset_card
+
+    d = load_table(spark, sf_dir, "documents")
+    card = op245_dataset_card(spark, sf_dir).collect()[0]
+    assert card.n_docs == d.count()
+    texts = [r.text for r in d.select("text").collect()]
+    toks = [w for t in texts for w in t.split(" ") if w]
+    assert card.total_tokens == len(toks)
+    assert card.vocab == len(set(toks))
+    assert card.exact_dups == len(texts) - len(set(texts))
+    assert card.min_chars <= card.max_chars
+    assert card.top_lang_docs <= card.n_docs
+
+
+def test_temperature_mix_upweights_low_resource(spark, sf_dir):
+    """op246: weights sum to 1; the sqrt temperature strictly
+    upweights below-average languages and downweights the dominant
+    one (when shares differ)."""
+    from ocdb_server_spark.operators.pipeline_r6 import op246_temperature_mix
+
+    rows = op246_temperature_mix(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-5
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        nat = r.n_docs / total
+        # sqrt temperature: weight > natural share iff below-average size
+        if nat < 1 / len(rows) - 1e-9:
+            assert r.upweight > 0, r
+        if nat > 1 / len(rows) + 1e-9:
+            assert r.upweight < 0, r
+        assert abs((r.mix_weight - nat) - r.upweight) < 2e-6
