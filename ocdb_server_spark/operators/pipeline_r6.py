@@ -2859,3 +2859,188 @@ def op246_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("upweight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# op247: rolling OLS slope — trailing-window trend, integer-exact core
+# --------------------------------------------------------------------------
+
+_SLOPE_W = 7  # trailing window (days)
+
+_OP247_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+w AS (
+  SELECT event_type, t, y,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS n,
+         CAST(SUM(t) OVER tw AS BIGINT) AS sx,
+         CAST(SUM(y) OVER tw AS BIGINT) AS sy,
+         CAST(SUM(t * y) OVER tw AS BIGINT) AS sxy,
+         CAST(SUM(t * t) OVER tw AS BIGINT) AS sxx
+  FROM daily
+  WINDOW tw AS (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN {_SLOPE_W - 1} PRECEDING AND CURRENT ROW))
+SELECT event_type, t, y,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope
+FROM w WHERE n = {_SLOPE_W}
+"""
+
+
+@register("op247_rolling_slope", oracle=_OP247_SQL)
+def op247_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS SLOPE: per-series trailing-7-day least-squares
+    trend of daily event volume — the "is this growing and how fast"
+    feature behind every trend alert, computed from WINDOWED SUFFICIENT
+    STATISTICS (n, Σx, Σy, Σxy, Σx²) so the regression is one pass of
+    rolling int64 sums (x is the small day index, so every product is
+    exact; the µs-epoch formulation would overflow squares — the
+    recentring rule documented here) and one final exact-int IEEE
+    division, bround(6). op108's global regression made rolling; only
+    full windows emit. Scale: one keyed ordered window over the day
+    spine — series-parallel, constant state per step."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).cast("bigint").alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(cast(0 as bigint), cast(datediff(d1, d0) as bigint))")
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-(_SLOPE_W - 1), 0)
+    )
+    w = daily.select(
+        "event_type",
+        "t",
+        "y",
+        F.count("*").over(tw).cast("bigint").alias("n"),
+        F.sum("t").over(tw).cast("bigint").alias("sx"),
+        F.sum("y").over(tw).cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).over(tw).cast("bigint").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).over(tw).cast("bigint").alias("sxx"),
+    )
+    return w.filter(F.col("n") == _SLOPE_W).select(
+        "event_type",
+        "t",
+        "y",
+        F.bround(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op248: median-of-means — mergeable robust mean, order-statistic exact
+# --------------------------------------------------------------------------
+
+_MOM_B = 15  # odd bucket count: the median IS the 8th order statistic
+
+
+def _op248_sql() -> str:
+    bucket = f"({_cms_mulmod32('event_id', 2654435761, '//')} % {_MOM_B})"
+    return f"""
+WITH q AS (
+  SELECT event_type, {bucket} AS bucket,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+  FROM events),
+bm AS (
+  SELECT event_type, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS bucket_mean
+  FROM q GROUP BY event_type, bucket),
+r AS (
+  SELECT event_type, bucket_mean,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY bucket_mean, bucket) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM bm)
+SELECT event_type,
+       CAST(nb AS BIGINT) AS n_buckets,
+       ROUND(bucket_mean / 1000000, 6) AS mom_mean
+FROM r WHERE rn = (nb + 1) // 2
+"""
+
+
+@register("op248_median_of_means", oracle=_op248_sql())
+def op248_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-OF-MEANS robust mean estimator: rows hash into 15
+    buckets (portable _mulmod32 of event_id — deterministic, not
+    RNG), each bucket's exact int64-quantized mean is computed
+    map-side, and the estimate is the MEDIAN bucket mean — the
+    estimator with exponential concentration under heavy tails where
+    the plain mean is wrecked by one outlier, and the standard trick
+    for robust aggregation in one pass.
+
+    Exactness: an ODD bucket count makes the median the
+    ((b+1)/2)-th ORDER STATISTIC — row_number, not interpolation, so
+    the cross-engine percentile-interpolation minefield (op26's
+    hard-won territory) is bypassed entirely; bucket means are exact
+    int64 sums over counts with one IEEE division each, tiebroken by
+    bucket id. Scale: the bucket aggregation is map-side combined
+    (15 rows/group/task); the median runs over 15 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"({_cms_mulmod32('event_id', 2654435761, 'div')} % {_MOM_B})"
+    )
+    q = ev.select(
+        "event_type",
+        bucket.alias("bucket"),
+        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").alias("v"),
+    )
+    bm = q.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    ).withColumn("bucket_mean", F.col("s").cast("double") / F.col("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket_mean", "bucket")
+    r = bm.select(
+        "event_type",
+        "bucket_mean",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nb"),
+    )
+    return r.filter(F.expr("rn = (nb + 1) div 2")).select(
+        "event_type",
+        F.col("nb").cast("bigint").alias("n_buckets"),
+        F.bround(F.col("bucket_mean") / 1_000_000, 6).alias("mom_mean"),
+    )

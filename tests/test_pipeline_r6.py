@@ -965,3 +965,63 @@ def test_temperature_mix_upweights_low_resource(spark, sf_dir):
         if nat > 1 / len(rows) + 1e-9:
             assert r.upweight < 0, r
         assert abs((r.mix_weight - nat) - r.upweight) < 2e-6
+
+
+def test_rolling_slope_matches_numpy_lstsq(spark, sf_dir):
+    """op247: windowed sufficient-statistic slope equals numpy
+    polyfit over each trailing window."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import _SLOPE_W, op247_rolling_slope
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as d"
+    ).collect()
+    d0 = min(r.d for r in ev)
+    nd = (max(r.d for r in ev) - d0).days + 1
+    c = Counter((r.event_type, (r.d - d0).days) for r in ev)
+    got = {(r.event_type, r.t): r.slope for r in op247_rolling_slope(spark, sf_dir).collect()}
+    for et in {r.event_type for r in ev}:
+        ys = [c.get((et, t), 0) for t in range(nd)]
+        for t in range(_SLOPE_W - 1, nd):
+            xs = np.arange(t - _SLOPE_W + 1, t + 1, dtype=float)
+            yw = np.array(ys[t - _SLOPE_W + 1 : t + 1], dtype=float)
+            slope = np.polyfit(xs, yw, 1)[0]
+            assert got[(et, t)] == pytest.approx(slope, abs=1e-5), (et, t)
+
+
+def test_median_of_means_is_robust_bucket_median(spark, sf_dir):
+    """op248: the estimate equals the python median of the hash-bucket
+    means, and sits within the bucket-mean envelope."""
+    from collections import defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import _MOM_B, op248_median_of_means
+
+    MULT, U32 = 2654435761, 4294967296
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "event_id",
+        "cast(cast(value as decimal(18,6)) * 1000000 as bigint) as v",
+    ).collect()
+    sums = defaultdict(lambda: [0, 0])
+    for r in ev:
+        a = r.event_id % U32
+        mixed = ((a % 65536) * MULT % U32 + ((a // 65536) * MULT % U32) * 65536 % U32) % U32
+        b = mixed % _MOM_B
+        cell = sums[(r.event_type, b)]
+        cell[0] += r.v
+        cell[1] += 1
+    by_type = defaultdict(list)
+    for (et, b), (s, n) in sums.items():
+        by_type[et].append((s / n, b))
+    got = {r.event_type: r for r in op248_median_of_means(spark, sf_dir).collect()}
+    for et, means in by_type.items():
+        means.sort()
+        med = means[(len(means) + 1) // 2 - 1][0] / 1_000_000
+        r = got[et]
+        assert r.n_buckets == len(means)
+        assert r.mom_mean == pytest.approx(med, abs=1e-6)
+        lo = min(m for m, _ in means) / 1e6
+        hi = max(m for m, _ in means) / 1e6
+        assert lo <= r.mom_mean <= hi
