@@ -3044,3 +3044,122 @@ def op248_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_buckets"),
         F.bround(F.col("bucket_mean") / 1_000_000, 6).alias("mom_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# op249: parquet FOOTER statistics read — metadata-only lake planning
+# --------------------------------------------------------------------------
+
+_OP249_SQL = """
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY month
+"""
+
+
+@register("op249_footer_stats_read", oracle=_OP249_SQL)
+def op249_footer_stats_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER-ONLY statistics read: per-month row counts and
+    column min/max extracted from row-group METADATA via pyarrow on
+    the executors — the scan that never touches a data page. This is
+    the read pattern behind every lake planner (Delta/Iceberg file
+    stats, parquet predicate pruning): at 100 TB, answering "which
+    files can this predicate skip" costs kilobytes of footers, not
+    terabytes of data — and this op proves the footers TELL THE
+    TRUTH, because the metadata-derived numbers must hash-match the
+    oracle computed by actually scanning the rows. op181's audit
+    recomputed stats from rows; this one reads what the writer
+    persisted.
+
+    Mechanics: month-partitioned export (1 file/month), the bounded
+    file list parallelized into a DataFrame, ParquetFile(...).metadata
+    walked per file in mapInPandas (row groups aggregated per file;
+    the month recovered from the hive path so the oracle needs no
+    file knowledge). Statistics exactness: int64 and double parquet
+    stats are exact value copies (no truncation), which is exactly
+    what the hash certifies."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"ocdb_footer_stats_{tag}")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    (
+        o.repartition(F.col("month"))
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out)
+    )
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out, "month=*", "*.parquet")))
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(min(8, len(files)))
+
+    def read_footers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            out_rows = {
+                k: []
+                for k in (
+                    "month",
+                    "n_rows",
+                    "min_key",
+                    "max_key",
+                    "min_price",
+                    "max_price",
+                )
+            }
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                ki, pi = names["o_orderkey"], names["o_totalprice"]
+                n = 0
+                mins_k, maxs_k, mins_p, maxs_p = [], [], [], []
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    n += g.num_rows
+                    sk = g.column(ki).statistics
+                    sp = g.column(pi).statistics
+                    mins_k.append(sk.min)
+                    maxs_k.append(sk.max)
+                    mins_p.append(sp.min)
+                    maxs_p.append(sp.max)
+                month = [
+                    seg.split("=", 1)[1]
+                    for seg in path.split(os.sep)
+                    if seg.startswith("month=")
+                ][0]
+                out_rows["month"].append(month)
+                out_rows["n_rows"].append(n)
+                out_rows["min_key"].append(min(mins_k))
+                out_rows["max_key"].append(max(maxs_k))
+                out_rows["min_price"].append(min(mins_p))
+                out_rows["max_price"].append(max(maxs_p))
+            yield pd.DataFrame(out_rows)
+
+    per_file = paths.mapInPandas(
+        read_footers,
+        "month string, n_rows long, min_key long, max_key long,"
+        " min_price double, max_price double",
+    )
+    return per_file.groupBy("month").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_key").cast("bigint").alias("min_key"),
+        F.max("max_key").cast("bigint").alias("max_key"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+    )

@@ -1025,3 +1025,35 @@ def test_median_of_means_is_robust_bucket_median(spark, sf_dir):
         lo = min(m for m, _ in means) / 1e6
         hi = max(m for m, _ in means) / 1e6
         assert lo <= r.mom_mean <= hi
+
+
+def test_footer_stats_never_read_data_pages(spark, sf_dir):
+    """op249's structural claim: the metadata pass reads only footer
+    bytes. Proxy assertions: the footer-derived stats equal a full
+    scan's, and the per-file metadata walk visits every file exactly
+    once (months partition the output)."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import op249_footer_stats_read
+
+    out = op249_footer_stats_read(spark, sf_dir).collect()
+    months = [r.month for r in out]
+    assert len(months) == len(set(months))
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') as month",
+        "o_orderkey",
+        "o_totalprice",
+    ).collect()
+    truth = {}
+    for r in o:
+        t = truth.setdefault(r.month, [0, None, None, None, None])
+        t[0] += 1
+        t[1] = r.o_orderkey if t[1] is None else min(t[1], r.o_orderkey)
+        t[2] = r.o_orderkey if t[2] is None else max(t[2], r.o_orderkey)
+        t[3] = r.o_totalprice if t[3] is None else min(t[3], r.o_totalprice)
+        t[4] = r.o_totalprice if t[4] is None else max(t[4], r.o_totalprice)
+    for r in out:
+        n, mnk, mxk, mnp, mxp = truth[r.month]
+        assert (r.n_rows, r.min_key, r.max_key) == (n, mnk, mxk)
+        assert r.min_price == mnp and r.max_price == mxp
