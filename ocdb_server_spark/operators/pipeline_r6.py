@@ -3163,3 +3163,84 @@ def op249_footer_stats_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_price").alias("min_price"),
         F.max("max_price").alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# op250: end-to-end corpus build — the composed pipeline, certified whole
+# --------------------------------------------------------------------------
+
+_CB_MIN_CHARS, _CB_MAX_CHARS = 50, 1000
+
+
+def _op250_sql() -> str:
+    split = f"({_cms_mulmod32('doc_id', 2654435761, '//')} % 100)"
+    return f"""
+WITH clean AS (
+  SELECT doc_id, text, lang
+  FROM documents
+  WHERE n_chars BETWEEN {_CB_MIN_CHARS} AND {_CB_MAX_CHARS}),
+dedup AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM clean) WHERE rn = 1),
+split AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN {split} < 98 THEN 'train'
+              WHEN {split} = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM split GROUP BY split, lang
+"""
+
+
+@register("op250_corpus_build_pipeline", oracle=_op250_sql())
+def op250_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CORPUS BUILD — the composed pipeline every
+    individual op in the north-star family serves, certified as a
+    WHOLE: quality gate (length bounds — op92's simplest cut) →
+    exact dedup keeping the first occurrence (op75/op76's rule,
+    md5-keyed window) → reproducible hash split (op176's 98/1/1,
+    _mulmod32) → per-(split, lang) release report (docs, tokens, id
+    range). Each stage is individually certified elsewhere; this op
+    certifies their COMPOSITION — the interfaces between stages,
+    where real pipelines break (a filter reordered after the dedup,
+    a split computed pre-dedup, an off-by-one in the keep rule all
+    change the hash).
+
+    Scale: filter fuses into the scan; dedup is one digest-keyed
+    window (text never shuffles — md5 does); split is map-side
+    arithmetic; report is one partial-agged groupBy. The whole build
+    is two shuffles end to end at any corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.filter(
+        F.col("n_chars").between(_CB_MIN_CHARS, _CB_MAX_CHARS)
+    ).select("doc_id", "text", "lang")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    split_expr = F.expr(
+        f"({_cms_mulmod32('doc_id', 2654435761, 'div')} % 100)"
+    )
+    split = dedup.withColumn(
+        "split",
+        F.when(split_expr < 98, "train")
+        .when(split_expr == 98, "val")
+        .otherwise("test"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -1057,3 +1057,46 @@ def test_footer_stats_never_read_data_pages(spark, sf_dir):
         n, mnk, mxk, mnp, mxp = truth[r.month]
         assert (r.n_rows, r.min_key, r.max_key) == (n, mnk, mxk)
         assert r.min_price == mnp and r.max_price == mxp
+
+
+def test_corpus_build_stage_invariants(spark, sf_dir):
+    """op250: each stage's contract holds on the composed output —
+    no out-of-bounds lengths survive, no duplicate texts survive,
+    split fractions are sane, and the composition equals a python
+    re-implementation."""
+    from collections import defaultdict
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import (
+        _CB_MAX_CHARS,
+        _CB_MIN_CHARS,
+        op250_corpus_build_pipeline,
+    )
+
+    MULT, U32 = 2654435761, 4294967296
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    ).collect()
+    clean = [r for r in rows if _CB_MIN_CHARS <= r.n_chars <= _CB_MAX_CHARS]
+    first_by_text = {}
+    for r in sorted(clean, key=lambda r: r.doc_id):
+        first_by_text.setdefault(r.text, r)
+    expect = defaultdict(lambda: [0, 0, None, None])
+    for r in first_by_text.values():
+        a = r.doc_id % U32
+        mixed = ((a % 65536) * MULT % U32 + ((a // 65536) * MULT % U32) * 65536 % U32) % U32
+        s = mixed % 100
+        split = "train" if s < 98 else ("val" if s == 98 else "test")
+        cell = expect[(split, r.lang)]
+        cell[0] += 1
+        cell[1] += len(r.text.split(" "))
+        cell[2] = r.doc_id if cell[2] is None else min(cell[2], r.doc_id)
+        cell[3] = r.doc_id if cell[3] is None else max(cell[3], r.doc_id)
+    got = {(r.split, r.lang): r for r in op250_corpus_build_pipeline(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for k, (n, tok, mn, mx) in expect.items():
+        r = got[k]
+        assert (r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id) == (n, tok, mn, mx)
+    n_train = sum(r.n_docs for r in got.values() if r.split == "train")
+    n_all = sum(r.n_docs for r in got.values())
+    assert n_train / n_all > 0.9  # 98/1/1 target, hash variance allowed
