@@ -675,3 +675,40 @@ def test_auc_window_runs_over_distinct_scores_only(spark, sf_dir):
     assert win_pos != -1
     assert "score" in plan[win_pos : win_pos + 400]
     assert agg_pos > win_pos, "aggregate-to-distinct-scores must feed the window"
+
+
+def test_bpe_argmax_is_take_ordered(spark, sf_dir):
+    """op216: each merge round's argmax must plan as a 1-row
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(OPS["op216_bpe_train"].fn(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:800]
+    assert not re.search(r"Sort \[[^\]]*\], true(?!.*TakeOrdered)", plan.splitlines()[0])
+
+
+def test_mor_deletes_anti_join_on_position(spark, sf_dir):
+    """op228: the MoR read must be an ANTI join keyed on the physical
+    (file, position) metadata columns — no key-based lookup."""
+    plan = _plan(OPS["op228_mor_position_deletes"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:800]
+    anti_region = plan[plan.find("LeftAnti") - 400 : plan.find("LeftAnti") + 400]
+    assert "_file" in anti_region and "_pos" in anti_region, anti_region
+    assert "o_orderkey" not in anti_region.split("LeftAnti")[1].split("\n")[0]
+
+
+def test_interval_coverage_single_keyed_window_chain(spark, sf_dir):
+    """op233: the sweep is keyed windows only — exactly one exchange
+    (user_id), never a global sort."""
+    plan = _plan(OPS["op233_interval_coverage"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) >= 1
+    assert not (
+        re.search(r"Sort \[[^\]]*\], true", plan)
+        and "TakeOrderedAndProject" not in plan
+    ) or "user_id" in plan  # keyed sorts are fine; global are not
+
+
+def test_corpus_build_two_shuffles(spark, sf_dir):
+    """op250's headline economics: the whole build is two exchanges —
+    the digest-keyed dedup window and the report aggregation."""
+    plan = _plan(OPS["op250_corpus_build_pipeline"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) == 2, plan[:900]
+    assert "PushedFilters" in plan  # the quality gate reaches the scan
