@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ocdb_server_spark.io import load_embeddings_normed, load_table, load_tables
-from ocdb_server_spark.registry import register
+from ocdb_server_spark.registry import pool_persist, register
 
 # shared vector expressions (JVM higher-order functions)
 from ocdb_server_spark.functions.vector import dot as _dot, l2_norm as _norm, l2_norm_d as _norm_d
@@ -194,7 +194,7 @@ def minhash_neardup_pairs(
     # Persist the band rows (16 bytes × 4 per doc): the self-join would
     # otherwise run the shingle explode + 16-min aggregation twice. At
     # cluster scale this is the signature table every pass reuses.
-    exploded = exploded.persist()
+    exploded = pool_persist(exploded)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (

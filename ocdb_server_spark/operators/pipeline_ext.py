@@ -35,7 +35,7 @@ from ocdb_server_spark.functions.text import (
 )
 from ocdb_server_spark.functions.vector import cosine as _cosine, dot as _dot, l2_norm as _norm
 from ocdb_server_spark.io import load_table
-from ocdb_server_spark.registry import register
+from ocdb_server_spark.registry import pool_persist, register
 
 
 # --------------------------------------------------------------- op88
@@ -101,7 +101,7 @@ def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise evaluate the 64-vote signature aggregation TWICE (once
     # per side). At cluster scale this is the materialized signature
     # table every dedup pass reuses.
-    e = e.persist()
+    e = pool_persist(e)
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(
@@ -251,7 +251,7 @@ def lsh_neardup_pairs(
     # are the expensive part, and an unpersisted self-join would
     # compute them TWICE (same trap as op88's signature table —
     # SURVEY.md §4.2.2). 4 rows/vector × (id, vec, table, bucket).
-    sig = sig.persist()
+    sig = pool_persist(sig)
     a, b = sig.alias("a"), sig.alias("b")
     sim = F.bround(_cosine(F.col("a.v"), F.col("b.v")), 6)
     return (
@@ -638,7 +638,20 @@ def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the embeddings table — see ivf_topk for the index design
     (K=⌈√n⌉ data-seeded broadcast codebook sized from the parquet
     footer row count (_ivf_k_for), map-side list assignment,
-    nprobe-pruned exact search; recall gate in test_pipeline_ext)."""
+    nprobe-pruned exact search; recall gate in test_pipeline_ext).
+
+    Output is DETERMINISTIC: every tie in the plan is broken by a
+    unique key (codebook seeding orders by (xxhash64, vec_id);
+    nearest-centroid argmax and probe ranking break sim-ties by cid;
+    the final top-k orders by (sim DESC, vec_id)) — verified by six
+    identical fingerprints in a row. Snapshot history note (round-6
+    ADVICE): the golden ROWS hash moved 24a9648e→d0755e01 when commit
+    7716f84 switched K from the fixed 45 to footer-derived ⌈√n⌉
+    (sf0.001 embeddings n=500 → K=23 — a different probe set, so a
+    different legitimate approximate answer); the re-pin was absorbed
+    into the next snapshot regeneration (2d3c180) without a note,
+    which looked like silent drift. Rebaselines must be called out in
+    the commit that causes them — see tests/test_rows_snapshot.py."""
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"), n_centroids=_ivf_k_for(sf_dir)
     )

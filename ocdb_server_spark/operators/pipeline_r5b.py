@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
-from ocdb_server_spark.registry import register
+from ocdb_server_spark.registry import pool_persist, register
 
 
 # --------------------------------------------------------------------------
@@ -122,11 +122,11 @@ def op186_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("l_partkey")).alias("dst"),
     )
     # loop invariants, referenced 5-6x by the unrolled iterations
-    edges = fwd.unionAll(rev).persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+    edges = pool_persist(fwd.unionAll(rev))
+    nodes = pool_persist(edges.select(F.col("src").alias("node")).distinct())
+    outdeg = pool_persist(edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("outdeg")
-    ).persist()
+    ))
     params = nodes.agg(
         F.count("*").cast("bigint").alias("n"),
         F.expr(f"(15 * {_PR_SCALE}L) div (100 * count(*))").alias("base_u"),

@@ -54,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
-from ocdb_server_spark.registry import register
+from ocdb_server_spark.registry import pool_persist, register
 
 
 # --------------------------------------------------------------------------
@@ -247,7 +247,7 @@ def op212_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid L1 checksum (the 64 integer components summed)."""
     # q feeds both assigns, both updates and the final stats (5 uses):
     # persist the quantized long form once — still lazy, no collect
-    q = _km_quantized(spark, sf_dir).persist()
+    q = pool_persist(_km_quantized(spark, sf_dir))
     c0 = q.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), "d", F.col("qx").alias("c")
     )
@@ -329,7 +329,7 @@ def op213_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("l_suppkey") + 1).alias("src"),
         (2 * F.col("l_partkey")).alias("dst"),
     )
-    edges = fwd.unionAll(rev).persist()
+    edges = pool_persist(fwd.unionAll(rev))
     sup = load_table(spark, sf_dir, "supplier")
     visited = sup.filter(F.col("s_suppkey") <= _BFS_SEEDS).select(
         (2 * F.col("s_suppkey") + 1).alias("node"), F.lit(0).alias("dist")
@@ -344,10 +344,9 @@ def op213_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist each discovered frontier: without it the lazy union
         # re-derives every earlier hop per iteration (quadratic
         # recomputation — same lesson as op96's localCheckpoint)
-        new = (
+        new = pool_persist(
             reached.join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .persist()
         )
         visited = visited.unionByName(new)
         frontier = new
@@ -900,10 +899,10 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
         )
         .distinct()
-        # e1/e2/e3 reference this 3×: persist so the projection+distinct
-        # runs once (op186's graph-structure rule), not per alias
-        .persist()
     )
+    # e1/e2/e3 reference this 3×: persist so the projection+distinct
+    # runs once (op186's graph-structure rule), not per alias
+    edges = pool_persist(edges)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1738,6 +1737,21 @@ def op232_day_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("day"),
             "event_type",
         )
+        # ENFORCED single-word guard (round-6 ADVICE): Spark's shiftleft
+        # wraps the shift count mod 64 while DuckDB's << does not, so a
+        # fixture spanning >63 days would silently fold day 64 onto bit 0
+        # on the Spark side only. assert_true makes a widened fixture
+        # FAIL the run instead; the documented widening path is
+        # array<bigint> word vectors with zip_with(OR).
+        .select(
+            "user_id",
+            F.expr(
+                "ifnull(assert_true(day BETWEEN 0 AND 63,"
+                " 'op232_day_bitmaps: day offset outside [0, 63] --"
+                " widen the bitmap to array<bigint> word vectors'), day)"
+            ).alias("day"),
+            "event_type",
+        )
         .groupBy("user_id")
         .agg(
             F.expr(
@@ -1779,16 +1793,21 @@ WITH iv AS (
          epoch_us(ts) + {_COV_SPAN_US} AS e
   FROM events),
 m AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS max_e_before
   FROM iv),
 g AS (
+  -- grp window MUST order by the same total key (s, event_id) as the
+  -- max_e_before window: every span has e = s + span, so (s, e) ties
+  -- whenever (s) ties, and a ROWS frame over a nondeterministic tie
+  -- order could place a flagged row after its tied peer, assigning the
+  -- peer to the PREVIOUS merged span (round-6 ADVICE item).
   SELECT user_id, s, e,
          SUM(CASE WHEN max_e_before IS NULL OR s > max_e_before
                   THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY s, e
+           OVER (PARTITION BY user_id ORDER BY s, event_id
                  ROWS UNBOUNDED PRECEDING) AS grp
   FROM m),
 merged AS (
@@ -1836,9 +1855,14 @@ def op233_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     m = iv.withColumn("max_e_before", F.max("e").over(w_before))
+    # Ordered by (s, event_id) — the SAME total order as w_before. e is
+    # always s + _COV_SPAN_US, so (s, e) ties exactly when (s) ties, and
+    # a ROWS running sum over an under-specified tie order could sort a
+    # flagged row after its tied peer, double-counting coverage
+    # (round-6 ADVICE item; oracle's g CTE mirrors this key).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     g = m.withColumn(
@@ -2154,8 +2178,8 @@ def op237_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= _THETA_K)
             .select("side", "word", "u")
         )
-    a = sketch(slice_words("en"), "a").persist()
-    b = sketch(slice_words("de"), "b").persist()
+    a = pool_persist(sketch(slice_words("en"), "a"))
+    b = pool_persist(sketch(slice_words("de"), "b"))
     from pyspark.sql import Window
 
     merged = a.unionByName(b)
@@ -2451,8 +2475,15 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(ANY_VALUE(total) AS BIGINT) AS n_total,
        CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
          * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
-       ROUND(SUM(num * num
-                 / (CAST(total AS DOUBLE) * row_tot * col_tot)), 6) AS chi2
+       -- per-cell term rounded to micro-units and summed as INT64:
+       -- integer addition is order-independent, so the sum cannot
+       -- flip a last digit under either engine's aggregation order
+       -- (round-6 ADVICE item). floor(x*1e6 + 0.5) not ROUND():
+       -- identical IEEE double ops in both engines, no half-even vs
+       -- half-away dialect gap.
+       CAST(SUM(CAST(FLOOR(num * num
+                 / (CAST(total AS DOUBLE) * row_tot * col_tot)
+                 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS chi2
 FROM cells
 """
 
@@ -2464,49 +2495,57 @@ def op241_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources", the categorical sibling of op240's KS: χ² =
     Σ (O−E)²/E restated as Σ (O·N − R·C)² / (N·R·C) so every
     intermediate is a product of EXACT int64 counts and the only
-    float work is one division + sum of |cells| terms, bround(6)'d
-    (cells ≤ |langs|·|sources| — per-group constant work; the sum
-    over ≤25 doubles is ordered by the final single-partition agg of
-    a broadcast-joined 25-row frame, deterministic at this
-    cardinality both engines). Row/col marginals broadcast; one scan."""
+    float work is one per-cell division, after which each term is
+    rounded to int64 MICRO-UNITS (floor(x·1e6 + 0.5) — identical
+    IEEE ops in both engines) and summed as integers: integer
+    addition commutes, so no engine's aggregation order can flip a
+    last digit (round-6 ADVICE retired the earlier
+    sum-doubles-then-bround form, whose coalesce(1) pinned the
+    partition but not the row order within it).
+
+    Shape (also round-6 ADVICE — the old form persisted the
+    contingency frame without unpersisting and ran two driver-side
+    counts): ONE documents scan builds the ≤25-row contingency
+    table; row/col/grand marginals are WINDOWS over that tiny frame
+    (no persist, no broadcast joins, no driver action anywhere), and
+    dof comes from count-distinct in the final agg. The only
+    full-data work is the first map-side-combined groupBy; everything
+    after moves ≤25 rows."""
     o = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("obs")
     )
-    o = o.persist()
-    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("row_tot"))
-    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("col_tot"))
-    n = o.agg(F.sum("obs").cast("bigint").alias("total"))
-    n_rows = r.count()
-    n_cols = c.count()
-    cells = (
-        o.join(F.broadcast(r), "lang")
-        .join(F.broadcast(c), "source")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "obs",
-            "row_tot",
-            "col_tot",
-            "total",
-            (
-                F.col("obs") * F.col("total")
-                - F.col("row_tot") * F.col("col_tot")
-            )
-            .cast("double")
-            .alias("num"),
-        )
+    from pyspark.sql import Window
+
+    # Windows over the ≤25-row contingency frame — deliberate tiny
+    # unpartitioned frame (same class as op245's report assembly).
+    cells = o.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("total"),
+    ).withColumn(
+        "num",
+        (
+            F.col("obs") * F.col("total")
+            - F.col("row_tot") * F.col("col_tot")
+        ).cast("double"),
     )
-    return cells.coalesce(1).agg(
+    term_micro = F.expr(
+        "cast(floor(num * num"
+        " / (cast(total as double) * row_tot * col_tot)"
+        " * 1000000 + 0.5) as bigint)"
+    )
+    return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
         F.any_value("total").cast("bigint").alias("n_total"),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
-        F.bround(
-            F.sum(
-                F.col("num")
-                * F.col("num")
-                / (F.col("total").cast("double") * F.col("row_tot") * F.col("col_tot"))
-            ),
-            6,
-        ).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        (F.sum(term_micro).cast("double") / F.lit(1000000)).alias("chi2"),
     )
 
 

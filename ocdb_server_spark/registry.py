@@ -30,6 +30,39 @@ class Op:
 
 REGISTRY: dict[str, Op] = {}
 
+# --- op-scoped cache pool (round-6 ADVICE) -------------------------------
+# Several iterative ops persist() intermediates (k-means quantized form,
+# BFS edges + per-hop frontiers, triangle edge lists, theta sketches)
+# whose lifetime must cover the CALLER's terminal action — so the op
+# itself can never safely unpersist them. Left alone, a 250-op sweep in
+# one session accumulates every such cache and can evict earlier blocks
+# or spill. The pool bounds that: persists enroll here, and the NEXT
+# operator invocation (the driver and the sweep are strictly sequential:
+# run → collect → next) releases everything the previous op left behind.
+# Unpersisting is always correctness-safe in Spark — a consumer that
+# somehow still holds the frame just recomputes its lineage.
+_POOLED_CACHES: list[DataFrame] = []
+
+
+def pool_persist(df: DataFrame) -> DataFrame:
+    """persist() a frame and enroll it for release at the next op call."""
+    df = df.persist()
+    _POOLED_CACHES.append(df)
+    return df
+
+
+def release_pool() -> int:
+    """Unpersist every pooled cache (called before each op invocation)."""
+    n = 0
+    while _POOLED_CACHES:
+        df = _POOLED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register an operator implementation under a stable SURVEY.md §2 key."""
@@ -37,8 +70,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate operator key: {name}")
-        REGISTRY[name] = Op(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
-        return fn
+
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pool()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Op(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
 
     return deco
 

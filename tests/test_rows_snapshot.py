@@ -8,7 +8,17 @@ Regenerate deliberately after an intended semantics change:
 
 Nondeterministic-by-design ops are excluded (none currently: LSH/
 minhash/simhash outputs are deterministic given the fixed testdata —
-salts and planes are hardcoded, not RNG)."""
+salts and planes are hardcoded, not RNG).
+
+REBASELINE LOG — every intended hash change must be recorded here in
+the same commit that regenerates the snapshot (round-6 ADVICE: a
+hash that moves in an unrelated commit is indistinguishable from
+silent drift):
+  - op95_sim_ivf_knn 24a9648e→d0755e01: commit 7716f84 switched the
+    IVF codebook size K from fixed 45 to footer-derived ⌈√n⌉ (=23 at
+    sf0.001), changing the probe set and hence the approximate
+    top-10. Deterministic before and after (all ties key-broken);
+    the regeneration was belatedly absorbed into 2d3c180."""
 
 from __future__ import annotations
 
