@@ -1,0 +1,428 @@
+"""Round-7 pipeline extensions — SURVEY.md §2.19 (op251+).
+
+Round 7 deliberately adds only THREE ops (round-6 verdict item 1: the
+driver's ~50 sweep slots must reach the 61 ops whose evidence is still
+r1/r2-era, so the new-op budget stays minimal):
+
+- op251: FLAC decode — the last closable codec family (lossless
+  compressed audio): sources/flac.py implements the public FLAC spec
+  subset (fixed predictors 0-4, Rice residuals with partitioning and
+  raw escapes, CRC-8/CRC-16, STREAMINFO MD5) and the op hash-certifies
+  the full encode→bytes→decode→features path against a closed-form SQL
+  oracle that recomputes the features from the sample-generation
+  formula without seeing a byte (op205's oracle pattern — losslessness
+  makes it applicable verbatim).
+- op252: Avro Object Container File round-trip — the one mainstream
+  interchange format addable without jars: sources/avro_ocf.py
+  implements the public Avro binary encoding + OCF layout (null and
+  deflate codecs) with spec schema RESOLUTION; the op writes one OCF
+  file per partition executor-side, re-reads them with an EVOLVED
+  reader schema (field reorder + writer-only field dropped +
+  reader-only defaulted field), and the re-read aggregate must
+  hash-match the oracle computed on the ORIGINAL parquet. Two-way
+  interop with the JVM avro-1.12 library on Spark's classpath is
+  pinned in tests/test_codecs.py (the javax.imageio pattern).
+- op253: DAMPED-TREND Holt forecasting (op231's completion, §7.6
+  round-7 item 2): φ=1/2 damping is one more halving term in the
+  integer recurrence, so level/trend/h=1..5 forecasts stay bit-exact
+  against DuckDB's actual WITH RECURSIVE; the damped forecast sum
+  Σφ^i·b is repeated integer halving, exact on both engines.
+
+Same package rules: DataFrame/Catalyst only, Python only inside
+Arrow-batched mapInPandas kernels, payload bytes never shuffle,
+cross-engine floats quantized to int64 before any sum.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+
+# --------------------------------------------------------------------------
+# op251: FLAC decode features — lossless compressed audio, closed-form oracle
+# --------------------------------------------------------------------------
+
+_FLAC_N = 120
+_FLAC_RATE = 8000
+# signal: v(i, k) = ((i*17 + k*13) % 1601) - 800, n = 300 + (i%4)*150
+# (int16-safe; sawtooth-ish so fixed predictors genuinely compress)
+
+_OP251_SQL = f"""
+WITH a AS (SELECT range AS i FROM range(0, {_FLAC_N})),
+s AS (
+  SELECT a.i, u.k, ((a.i * 17 + u.k * 13) % 1601) - 800 AS v
+  FROM a, UNNEST(range(0, 300 + (a.i % 4) * 150)) AS u(k)
+)
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST({_FLAC_RATE} AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) * 1000 // {_FLAC_RATE} AS BIGINT) AS duration_ms,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_s,
+       CAST(MIN(CASE WHEN k = 300 + (i % 4) * 150 - 1 THEN v END) AS BIGINT)
+         AS last_s
+FROM s GROUP BY i
+"""
+
+
+def _gen_flac(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.flac import encode_flac
+
+    for pdf in it:
+        ids, payloads = [], []
+        for i in pdf["id"]:
+            n = 300 + (int(i) % 4) * 150
+            k = np.arange(n, dtype=np.int64)
+            s = ((int(i) * 17 + k * 13) % 1601 - 800).astype(np.int16)
+            ids.append(int(i))
+            payloads.append(encode_flac(s, _FLAC_RATE, blocksize=256))
+        yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+
+def _decode_flac_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ocdb_server_spark.sources.flac import decode_flac
+
+    for pdf in it:
+        out = {k: [] for k in
+               ("asset_id", "sample_rate", "n_samples", "duration_ms",
+                "sum_sq", "peak", "first_s", "last_s")}
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            rate, s = decode_flac(bytes(payload))
+            s64 = s.astype(np.int64)
+            out["asset_id"].append(int(aid))
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(len(s64))
+            out["duration_ms"].append(len(s64) * 1000 // rate)
+            out["sum_sq"].append(int(np.sum(s64 * s64)))
+            out["peak"].append(int(np.max(np.abs(s64))))
+            out["first_s"].append(int(s64[0]))
+            out["last_s"].append(int(s64[-1]))
+        yield pd.DataFrame(out)
+
+
+@register("op251_flac_decode_features", oracle=_OP251_SQL)
+def op251_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC audio decode, for real — the compressed-audio gap closed:
+    120 conformant mono 16-bit FLAC streams (multi-frame, mixed fixed
+    predictor orders, Rice partition orders 0 AND 1, raw-escape path
+    reachable) are encoded from a closed-form integer formula and then
+    DECODED by sources/flac.py's spec parser — CRC-8/CRC-16 verified
+    per frame and the STREAMINFO MD5 recomputed over the decoded
+    samples, so every asset that reaches the feature row is
+    bit-certified lossless by the format's own integrity machinery.
+
+    The oracle recomputes n_samples / duration / energy / peak /
+    first / last from the generation formula alone (op205's
+    closed-form pattern: for a LOSSLESS codec the decode output is
+    exactly the generation formula, so a hash match certifies the
+    whole encode→Rice-bits→decode path, not the plumbing).
+
+    Scale shape: generation and decode are both mapInPandas stages —
+    payload bytes live and die inside one task (never shuffled); only
+    fixed-width integer feature rows continue (op195's contract).
+    sf_dir unused: self-generated corpus (op152's stance)."""
+    gen = spark.range(_FLAC_N).repartition(8).mapInPandas(
+        _gen_flac, "asset_id long, payload binary"
+    )
+    return gen.mapInPandas(
+        _decode_flac_features,
+        "asset_id long, sample_rate long, n_samples long, duration_ms long,"
+        " sum_sq long, peak long, first_s long, last_s long",
+    )
+
+
+# --------------------------------------------------------------------------
+# op252: Avro OCF source/sink round-trip with schema evolution
+# --------------------------------------------------------------------------
+
+_AVRO_WRITER_SCHEMA = {
+    "type": "record",
+    "name": "Document",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "source", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+    ],
+}
+# evolved reader: fields REORDERED, writer-only 'source' dropped,
+# reader-only 'quality' defaulted — all three spec resolution rules
+_AVRO_READER_SCHEMA = {
+    "type": "record",
+    "name": "Document",
+    "fields": [
+        {"name": "lang", "type": "string"},
+        {"name": "doc_id", "type": "long"},
+        {"name": "quality", "type": "long", "default": -1},
+        {"name": "n_chars", "type": "long"},
+        {"name": "text", "type": "string"},
+    ],
+}
+
+_OP252_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
+       CAST(SUM(-1) AS BIGINT) AS sum_quality
+FROM documents
+GROUP BY lang
+"""
+
+
+def _avro_write_parts(out_dir: str):
+    def write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ocdb_server_spark.sources.avro_ocf import write_ocf
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in it:
+            rows.extend(pdf.to_dict("records"))
+        # codec alternates per partition so every run exercises both
+        # the null and the deflate block path
+        codec = "deflate" if pid % 2 else "null"
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_ocf(_AVRO_WRITER_SCHEMA, rows, codec=codec,
+                              rows_per_block=500))
+        os.replace(tmp, path)  # atomic publish (op03's fixture rule)
+        yield pd.DataFrame({"path": [path], "n_rows": [len(rows)]})
+
+    return write
+
+
+def _avro_read_parts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocdb_server_spark.sources.avro_ocf import read_ocf
+
+    cols = [f["name"] for f in _AVRO_READER_SCHEMA["fields"]]
+    for pdf in it:
+        for content in pdf["content"]:
+            rows = read_ocf(bytes(content), reader_schema=_AVRO_READER_SCHEMA)
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in cols}
+            )
+
+
+@register("op252_avro_roundtrip", oracle=_OP252_SQL)
+def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO Object Container File round-trip with SCHEMA EVOLUTION —
+    the interchange-format gap (round-6 verdict item 5) closed in
+    pure Python: documents is exported executor-side as one OCF file
+    per partition (codec alternating null/deflate so both block paths
+    run), then re-read through the binaryFile source + the spec's
+    schema-resolution rules with an EVOLVED reader schema: fields
+    reordered, the writer-only 'source' field skipped, the
+    reader-only 'quality' field defaulted to -1. The per-lang
+    aggregate over the re-read frame (including sum_quality = -n_docs,
+    which can only be right if the default rule fired on every row)
+    must hash-match the oracle computed on the ORIGINAL parquet —
+    value fidelity through encode→OCF bytes→resolve→decode.
+
+    Two-way interop with the JVM avro-1.12 library on Spark's own
+    classpath (DataFileReader reads our bytes; our reader parses
+    DataFileWriter's) is pinned in tests/test_codecs.py.
+
+    Scale shape: encode and decode are mapInPandas stages — payload
+    bytes live and die inside one task; the shuffle after decode
+    carries (lang, counters) only. One file per partition is exactly
+    gzip-JSONL's parallelism story (op207): per-file work
+    parallelizes across files; a production writer streams blocks
+    instead of buffering the partition. The tiny ≤8-row manifest
+    collect() forces the write before the read plan is returned —
+    bounded, same class as sinks.py:38."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_spark_avro_docs_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, old))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    manifest = (
+        docs.repartition(8)
+        .mapInPandas(_avro_write_parts(out_dir), "path string, n_rows long")
+        .collect()
+    )
+    assert sum(r.n_rows for r in manifest) > 0
+    back = (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .select("content")
+        .mapInPandas(
+            _avro_read_parts,
+            "lang string, doc_id long, quality long, n_chars long, text string",
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("quality").cast("bigint").alias("sum_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# op253: damped-trend Holt — op231 + phi=1/2 damping, integer-exact
+# --------------------------------------------------------------------------
+
+_HD_H = 5  # forecast horizon
+
+
+def _op253_sql() -> str:
+    from ocdb_server_spark.operators.pipeline_r6 import _hw_f2
+
+    f2 = lambda x: _hw_f2(x, "//")  # noqa: E731
+    # damped level: l' = f2(y + l + phi*b) with phi*b = f2(b)
+    pb = f2("h.b")
+    l2 = f2(f"d.y + h.l + {pb}")
+    # damped trend: b' = f2((l' - l) + phi*b)
+    b2 = f2(f"({l2}) - h.l + {pb}")
+    # forecast: fc_h = l + sum_{i=1..h} phi^i b  (repeated halving)
+    p = ["h.b"]
+    for _ in range(_HD_H):
+        p.append(f2(p[-1]))
+    fcs = ", ".join(
+        "h.l + " + " + ".join(p[1:i + 1]) + f" AS fc_{i}"
+        for i in range(1, _HD_H + 1)
+    )
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+maxt AS (SELECT MAX(t) AS m FROM daily),
+init AS (
+  SELECT d0.event_type, d0.y AS y0, d1.y AS y1
+  FROM daily d0 JOIN daily d1
+    ON d0.event_type = d1.event_type AND d0.t = 0 AND d1.t = 1),
+hw AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS t,
+         y0 AS l, y1 - y0 AS b
+  FROM init
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {l2} AS l,
+         {b2} AS b
+  FROM hw h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.event_type, h.l AS level, h.b AS trend, {fcs}
+FROM hw h CROSS JOIN maxt m WHERE h.t = m.m
+"""
+
+
+@register("op253_holt_damped", oracle=_op253_sql())
+def op253_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPED-TREND Holt forecasting of daily event volumes per
+    event_type, α=β=1/2, φ=1/2 — the op231/op235 family's completion
+    (§7.6 round-7 item 2): damping multiplies the carried trend by φ
+    in both the level update and the forecast path, which with φ=1/2
+    is ONE MORE integer halving (f2) per term, so the recurrence and
+    the h=1..5 forecasts stay bit-identical between applyInPandas and
+    DuckDB's WITH RECURSIVE:
+
+        l_t = f2(y_t + l + f2(b))          (α-average of y and l+φb)
+        b_t = f2((l_t − l) + f2(b))        (β-average, damped carry)
+        fc_h = l + Σ_{i=1..h} p_i, p_1 = f2(b), p_{i+1} = f2(p_i)
+
+    The damped forecast flattens toward l + b (φ/(1−φ) = 1) instead
+    of op231's unbounded linear ramp — the production default for
+    horizons past a few periods (damped trend generally beats linear
+    on long horizons; the flattening IS the feature).
+
+    Scale: identical to op231 — one shuffle on the series key, a
+    ~30-step ordered loop per series inside one task; keys
+    parallelize freely (10^6 series = 10^6 independent tasks)."""
+    from ocdb_server_spark.operators.pipeline_r6 import _HW_OFF
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).cast("bigint").alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(cast(0 as bigint), cast(datediff(d1, d0) as bigint))")
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+
+    def holt_damped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = pdf["y"].astype(int).tolist()
+        f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+        l, bt = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            pb = f2(bt)
+            l_new = f2(y + l + pb)
+            bt = f2(l_new - l + pb)
+            l = l_new
+        fcs = {}
+        acc, p = l, bt
+        for h in range(1, _HD_H + 1):
+            p = f2(p)
+            acc += p
+            fcs[f"fc_{h}"] = [acc]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [l],
+                "trend": [bt],
+                **fcs,
+            }
+        )
+
+    schema = (
+        "event_type string, level long, trend long, "
+        + ", ".join(f"fc_{h} long" for h in range(1, _HD_H + 1))
+    )
+    return daily.groupBy("event_type").applyInPandas(holt_damped, schema)

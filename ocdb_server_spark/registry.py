@@ -200,6 +200,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r5,
         pipeline_r5b,
         pipeline_r6,
+        pipeline_r7,
         multimodal_codecs,
         udfs,
         northstar,

@@ -382,3 +382,222 @@ def test_gif_imageio_interop_two_way(spark):
         [[ras.getSample(x, y, 0) for x in range(w)] for y in range(h)]
     )
     assert np.array_equal(theirs, img)
+
+
+# ------------------------------------------------------------------ FLAC
+
+from hypothesis import given, settings, strategies as st
+
+from ocdb_server_spark.sources.flac import decode_flac, encode_flac
+
+
+def test_flac_roundtrip_exact_all_shapes():
+    """Bit-exact round-trips across the shapes the encoder can emit:
+    constant blocks, smooth (high fixed order wins), noise (order 0 /
+    raw escape), extremes, single sample, multi-frame."""
+    cases = [
+        np.full(300, -5, np.int16),
+        np.zeros(256, np.int16),
+        (1000 * np.sin(np.arange(1000) / 20)).astype(np.int16),
+        np.array([32767, -32768] * 150, np.int16),
+        np.array([3], np.int16),
+        np.arange(-500, 500, dtype=np.int16),
+        _samples(777, seed=5),
+        (2000 * np.sin(np.arange(5000) / 30)).astype(np.int16),  # 20 frames
+    ]
+    for s in cases:
+        rate, back = decode_flac(encode_flac(s, 8000))
+        assert rate == 8000
+        assert np.array_equal(back, s)
+
+
+def test_flac_compresses_smooth_signals():
+    """The point of the codec: a predictable signal must come out
+    SMALLER than raw PCM (ratio bounds, not exact sizes — those may
+    drift with encoder heuristics)."""
+    ramp = np.arange(-500, 500, dtype=np.int16)
+    enc = encode_flac(ramp, 8000)
+    assert len(enc) < 0.3 * 2 * len(ramp)
+    noise = _samples(1000, seed=7)
+    enc_n = encode_flac(noise, 8000)
+    assert len(enc_n) < 1.3 * 2 * len(noise)  # raw escape bounds blow-up
+
+
+def test_flac_corruption_detected():
+    """Any flipped payload bit must fail a CRC / MD5 / sync check —
+    never silently mis-decode (the decoder's whole value at scale)."""
+    import pytest
+
+    s = (2000 * np.sin(np.arange(1000) / 30)).astype(np.int16)
+    enc = bytearray(encode_flac(s, 8000))
+    for pos in (60, len(enc) // 2, len(enc) - 3):
+        bad = bytearray(enc)
+        bad[pos] ^= 0x10
+        with pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    st.sampled_from([256, 192, 512]),
+)
+def test_flac_roundtrip_property(vals, blocksize):
+    s = np.asarray(vals, dtype=np.int16)
+    rate, back = decode_flac(encode_flac(s, 16000, blocksize=blocksize))
+    assert rate == 16000
+    assert np.array_equal(back, s)
+
+
+def test_flac_streaminfo_md5_is_spec_md5():
+    """STREAMINFO bytes 18..34 must be the MD5 of the raw
+    little-endian samples (the spec's own losslessness check — an
+    independent decoder will verify exactly this)."""
+    import hashlib
+
+    s = np.arange(100, dtype=np.int16)
+    enc = encode_flac(s, 8000)
+    # fLaC(4) + block header(4) + STREAMINFO: md5 at offset 8+18
+    assert enc[26:42] == hashlib.md5(s.astype("<i2").tobytes()).digest()
+
+
+# ------------------------------------------------------------------ Avro
+
+from ocdb_server_spark.sources.avro_ocf import read_ocf, write_ocf
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "T",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "ok", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+def _avro_rows(n=50):
+    return [
+        {
+            "id": i - 25,
+            "name": f"n{i}" * (i % 7),
+            "score": i * 0.25 - 3.0,
+            "note": None if i % 3 else f"note{i}",
+            "ok": i % 2 == 0,
+            "blob": bytes([i % 256, 255 - i % 256]),
+        }
+        for i in range(n)
+    ]
+
+
+def test_avro_roundtrip_both_codecs():
+    rows = _avro_rows()
+    for codec in ("null", "deflate"):
+        assert read_ocf(write_ocf(_AVRO_SCHEMA, rows, codec=codec,
+                                  rows_per_block=7)) == rows
+
+
+def test_avro_schema_resolution_rules():
+    """All three spec rules in one read: reorder (match by name),
+    writer-only field skipped, reader-only field defaulted."""
+    reader = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "score", "type": "double"},
+            {"name": "added", "type": "long", "default": 42},
+            {"name": "id", "type": "long"},
+        ],
+    }
+    rows = _avro_rows(5)
+    back = read_ocf(write_ocf(_AVRO_SCHEMA, rows), reader_schema=reader)
+    assert back == [
+        {"score": r["score"], "added": 42, "id": r["id"]} for r in rows
+    ]
+
+
+def test_avro_reader_field_without_default_rejected():
+    import pytest
+
+    reader = {
+        "type": "record",
+        "name": "T",
+        "fields": [{"name": "missing", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        read_ocf(write_ocf(_AVRO_SCHEMA, _avro_rows(2)), reader_schema=reader)
+
+
+def test_avro_zigzag_varint_edges():
+    """Boundary longs survive the zigzag varint (sign bit, 2^63-1)."""
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    vals = [0, -1, 1, 63, -64, 64, 2**31, -(2**31) - 1, 2**63 - 1, -(2**63)]
+    rows = [{"v": v} for v in vals]
+    assert read_ocf(write_ocf(schema, rows)) == rows
+
+
+def test_avro_jvm_interop_two_way(spark):
+    """avro-1.12 on Spark's own classpath is the independent
+    implementation (the javax.imageio pattern): DataFileReader must
+    parse our OCF bytes value-exact, and our reader must parse
+    DataFileWriter's output — both codecs."""
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "double"]},
+        ],
+    }
+    rows = [
+        {"a": i, "b": f"s{i}", "c": None if i % 2 else i * 1.5}
+        for i in range(20)
+    ]
+    import json as _json
+    import tempfile as _tf
+
+    for codec in ("null", "deflate"):
+        # ours -> theirs
+        with _tf.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+            f.write(write_ocf(schema, rows, codec=codec))
+            path = f.name
+        rd = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        got = []
+        while rd.hasNext():
+            got.append(_json.loads(str(rd.next()).replace("}, {", "},{")))
+        rd.close()
+        assert got == [
+            {"a": r["a"], "b": r["b"], "c": r["c"]} for r in rows
+        ], codec
+    # theirs -> ours (deflate)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    wtr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    wtr.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    with _tf.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        path = f.name
+    wtr.create(jschema, jvm.java.io.File(path))
+    for r in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("a", r["a"])
+        rec.put("b", r["b"])
+        if r["c"] is not None:
+            rec.put("c", r["c"])
+        wtr.append(rec)
+    wtr.close()
+    with open(path, "rb") as f:
+        back = read_ocf(f.read())
+    assert back == rows
