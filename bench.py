@@ -121,11 +121,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     noop_timings: dict[str, float] = {}
+    build_times: dict[str, float] = {}
     build_total = 0.0
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = ops[name].fn(spark, sf_dir)
-        build_total += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        build_times[name] = round(dt, 4)
+        build_total += dt
         best = float("inf")
         for _ in range(7):
             t0 = time.perf_counter()
@@ -136,13 +139,26 @@ def main() -> None:
         # alongside so the methodology switch hides nothing — the gap
         # between the two IS the write-command overhead documented in
         # BASELINE.md (plus, for top-k plans, the lost executeCollect
-        # fast path), not a change in the queries.
+        # fast path), not a change in the queries. Best-of-5 (was 3):
+        # the round-5/6 legacy regressions were machine load, so buy
+        # variance resistance where it showed up.
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         noop_timings[name] = round(best, 4)
+
+    # Load indicator (round-6 verdict item 2): re-measure the 1-task
+    # job floor AFTER the legacy loop. BASELINE.md records ~0.018 s
+    # solo; a floor far above that at measurement time says the RUN was
+    # loaded, not the engine — the legacy numbers then carry their own
+    # explanation instead of needing a post-hoc solo rerun.
+    floor_after = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        floor_df.toArrow()
+        floor_after = min(floor_after, time.perf_counter() - t0)
 
     total = round(sum(timings.values()), 4)
     adjusted = {n: round(max(0.0, t - floor), 4) for n, t in timings.items()}
@@ -171,7 +187,16 @@ def main() -> None:
                     sum(YARDSTICK_MS.values()) / 1000, 4
                 ),
                 "queries_noop_write_legacy": noop_timings,
+                "job_floor_at_legacy_sec": round(floor_after, 4),
+                "load_note": (
+                    "job_floor_at_legacy_sec is the same 1-task floor "
+                    "re-measured right after the legacy loop; >~1.5x the "
+                    "solo floor in BASELINE.md means the run was under "
+                    "external load and the legacy totals overstate the "
+                    "engine's number"
+                ),
                 "plan_build_sec": round(build_total, 4),
+                "plan_build_per_query": build_times,
                 "job_floor_sec": round(floor, 4),
                 "sf": sf,
             }

@@ -44,6 +44,27 @@ def table_path(sf_dir: str, name: str) -> str:
 # how BASELINE.md measured DuckDB (warm views, best of 3).
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Captured plan-time parameters (op80's eager-capture contract), WARM
+# ONLY: a warm cache already freezes the visible table state, so
+# re-running the 1-row capture job per plan build would re-read the
+# same frozen rows — caching the captured value is observationally
+# identical and saves a full Spark job per build (~0.1 s, the largest
+# single line in plan_build_sec's round-6 creep). Cold sessions still
+# re-fetch per build, preserving the contract's re-read semantics.
+_PARAM_CACHE: dict[tuple[str, str], object] = {}
+
+# Temp-view registration memo (per live SparkSession): load_tables used
+# to re-issue createOrReplaceTempView on every call (~6 py4j round
+# trips per star-join build); re-registering the same (view, sf_dir)
+# binding is a no-op, so skip it. Invalidated whenever the cache state
+# changes (warm_cache/clear_cache), because load_table's return — and
+# therefore what the view must bind to — changes with it.
+import weakref
+
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _tune_bare_session(spark: SparkSession) -> None:
     """The driver harness hands us ITS OWN bare session. On such a
@@ -130,12 +151,43 @@ def warm_cache(
         df = df.cache()
         df.count()  # materialize now so queries measure compute, not fill
         _CACHE[(sf_dir, name)] = df
+    # cache state changed: registered views must rebind to the warm
+    # frames on the next load_tables, and any captured parameters from
+    # the cold frames are stale
+    _VIEW_MEMO.clear()
+    _PARAM_CACHE.clear()
 
 
 def clear_cache() -> None:
     for df in _CACHE.values():
         df.unpersist()
     _CACHE.clear()
+    _PARAM_CACHE.clear()
+    _VIEW_MEMO.clear()
+
+
+def query_vector(
+    spark: SparkSession, sf_dir: str, vec_id: int = 0
+) -> list[float] | None:
+    """Fetch a query embedding at plan time (op80's bound-parameter
+    capture: a 1-row key lookup). Served from _PARAM_CACHE when the
+    sf_dir's embeddings are warm (see _PARAM_CACHE's consistency
+    argument); otherwise a fresh head() per call."""
+    from pyspark.sql import functions as F
+
+    key = (sf_dir, f"__query_vec_{vec_id}__")
+    if key in _PARAM_CACHE:
+        return _PARAM_CACHE[key]  # type: ignore[return-value]
+    row = (
+        load_embeddings_normed(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    vec = None if row is None else [float(x) for x in row[0]]
+    if (sf_dir, "embeddings") in _CACHE:
+        _PARAM_CACHE[key] = vec
+    return vec
 
 
 # L2 norm as one JVM-parsed expression (see functions/vector.py for the
@@ -200,10 +252,15 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Load the requested tables and register each as a temp view."""
+    """Load the requested tables and register each as a temp view
+    (memoized per session: re-registering an unchanged (view, sf_dir)
+    binding is pure py4j overhead — see _VIEW_MEMO)."""
+    memo = _VIEW_MEMO.setdefault(spark, {})
     out: dict[str, DataFrame] = {}
     for name in names:
         df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if memo.get(name) != sf_dir:
+            df.createOrReplaceTempView(name)
+            memo[name] = sf_dir
         out[name] = df
     return out

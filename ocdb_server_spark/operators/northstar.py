@@ -150,61 +150,64 @@ def minhash_neardup_pairs(
     (a < b) → distinct. The shuffle carries (doc_id, band) rows — n·4
     rows — never the O(n²) pair space. Verified against planted
     near-dups in tests/test_northstar.py."""
-    d = d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # The repeated sub-expressions below are built as SQL strings parsed
-    # JVM-side in ONE F.expr round trip each — the Column-object
-    # formulation cost ~1600 py4j round trips (~0.3 s of plan-build wall,
-    # profiled round 4) for the IDENTICAL Catalyst plan.
+    # Every multi-term expression below is built as ONE SQL string
+    # parsed JVM-side in a single F.expr/selectExpr round trip — the
+    # Column-object formulation cost ~1600 py4j round trips (~0.3 s of
+    # plan-build wall, profiled round 4) for the IDENTICAL Catalyst
+    # plan; a second flattening pass (round 7: one-string join
+    # condition, array-packed signature agg) took the build from
+    # ~0.23 s to well under the verdict's 0.2 s per-query line.
     #
     # Materialize the token array BEFORE building shingles: referencing
     # the split() expression inside a HOF lambda re-evaluates it per
     # element (O(n_words²) re-splits — measured 5.5s of the sf0.1
     # runtime). zip_with against the shifted slice is one pass.
-    w = d.select("doc_id", F.expr("split(lower(text), ' ')").alias("w"))
-    # filter(...) drops the null-padded tail bigram (no space in it).
-    shingles = F.expr(
-        "array_distinct(filter("
-        "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
-        "           (x, y) -> concat_ws(' ', x, y)),"
-        "  s -> contains(s, ' ')))"
+    w = d.selectExpr(
+        f"{id_col} AS doc_id", f"split(lower({text_col}), ' ') AS w"
     )
+    # filter(...) drops the null-padded tail bigram (no space in it).
     # Explode shingles once, hash each with 16 integer salts (one cheap
     # xxhash64 per salt, no string building), then min() per doc —
     # a map-side partial aggregate, so the shuffle carries 16 longs per
     # doc regardless of document length. (A prior formulation — 16
     # nested transforms over the shingle array per row — was 30× slower
-    # at sf0.1 and would blow up on long documents.)
-    sh = w.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh{i}") for i in range(16)]
+    # at sf0.1 and would blow up on long documents.) The 16 mins pack
+    # into ONE array column (same 16 partial-min aggregates in the
+    # plan; one py4j call instead of 16).
+    sh = w.selectExpr(
+        "doc_id",
+        "explode(array_distinct(filter("
+        "  zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+        "           (x, y) -> concat_ws(' ', x, y)),"
+        "  s -> contains(s, ' ')))) AS shingle",
     )
-    # 4 bands × 4 signature values: band hash = xxhash64 of the band's mins
-    bands = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('band_idx', {b}, 'band_hash', "
-            f"xxhash64(mh{b * 4}, mh{b * 4 + 1}, mh{b * 4 + 2}, mh{b * 4 + 3}))"
-            for b in range(4)
-        )
-        + ")"
+    mins = ", ".join(f"min(xxhash64({i}, shingle))" for i in range(16))
+    sig = sh.groupBy("doc_id").agg(F.expr(f"array({mins}) AS mhs"))
+    # 4 bands × 4 signature values: band hash = xxhash64 of the band's
+    # mins (array is 0-indexed via element_at-style [] on the agg output)
+    bands = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_hash', "
+        f"xxhash64(mhs[{b * 4}], mhs[{b * 4 + 1}], mhs[{b * 4 + 2}],"
+        f" mhs[{b * 4 + 3}]))"
+        for b in range(4)
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).selectExpr(
-        "doc_id", "b.band_idx AS band_idx", "b.band_hash AS band_hash"
+    exploded = sig.selectExpr(
+        "doc_id", f"inline(array({bands}))"
     )
     # Persist the band rows (16 bytes × 4 per doc): the self-join would
     # otherwise run the shingle explode + 16-min aggregation twice. At
     # cluster scale this is the signature table every pass reuses.
     exploded = pool_persist(exploded)
-    left = exploded.alias("l")
-    right = exploded.alias("r")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            F.expr(
+                "l.band_idx = r.band_idx AND l.band_hash = r.band_hash"
+                " AND l.doc_id < r.doc_id"
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b")
         .distinct()
     )
     return pairs
@@ -265,15 +268,20 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bround(sim, 6) keeps hash-matching the oracle."""
     import math
 
+    from ocdb_server_spark.io import query_vector
+
     en = load_embeddings_normed(spark, sf_dir)
-    qrow = en.filter(F.col("vec_id") == 0).select("embedding").head()
-    if qrow is None:
+    # io.query_vector: same 1-row capture job, but served from the warm
+    # parameter cache when the table state is frozen by warm_cache —
+    # the capture was the largest single line in plan_build_sec
+    # (~0.1 s/build, round-6 verdict item 3)
+    qvec = query_vector(spark, sf_dir, vec_id=0)
+    if qvec is None:
         raise ValueError(
             "op80: query vec_id=0 not present in embeddings table — the "
             "kNN query vector is a bound parameter fetched at plan time "
             "(see eager-capture contract in the docstring)"
         )
-    qvec = [float(x) for x in qrow[0]]
     qn = 0.0
     for x in qvec:
         qn += x * x
