@@ -111,6 +111,11 @@ FULL_TABLE_OPS = [
     "op212_kmeans_lloyd",
     "op223_skyline",
     "op231_holt_forecast",
+    # round-7: the damped recurrence and the OCF round-trip must be
+    # independent of scan splits and shuffle width (op252 re-shards
+    # its export by partition count — the aggregate must not care)
+    "op252_avro_roundtrip",
+    "op253_holt_damped",
 ]
 
 _ALL_TABLES = (
