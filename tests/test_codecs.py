@@ -601,3 +601,58 @@ def test_avro_jvm_interop_two_way(spark):
     with open(path, "rb") as f:
         back = read_ocf(f.read())
     assert back == rows
+
+
+def test_flac_all_fixed_orders_and_escape_reachable():
+    """Every decoder path the encoder can emit is exercised somewhere:
+    orders 0-3 + both partition orders by the op251 corpus shapes
+    (asserted in aggregate here), order 4 by an exact cubic (4th
+    difference zero, 3rd difference constant-6 — the one signal class
+    where order 4 strictly wins), and the raw-escape by the
+    max-amplitude alternation whose order-2 residuals overflow any
+    4-bit Rice parameter's economy."""
+    import ocdb_server_spark.sources.flac as flac
+
+    orders: set[int] = set()
+    pos: set[int] = set()
+    escapes = [0]
+    orig_wr = flac._write_residual
+    orig_w = flac._BitWriter.write
+
+    def spy_wr(bw, res, bs, order, po):
+        orders.add(order)
+        pos.add(po)
+        return orig_wr(bw, res, bs, order, po)
+
+    def spy_w(self, value, bits):
+        if bits == 4 and value == 0b1111:
+            escapes[0] += 1
+        return orig_w(self, value, bits)
+
+    flac._write_residual = spy_wr
+    flac._BitWriter.write = spy_w
+    try:
+        k64 = np.arange(64, dtype=np.int64)
+        sigs = [
+            np.arange(32, dtype=np.int64).astype(np.int16) ** 3,  # order 4
+            (k64**3 // 8).astype(np.int16),  # floor-div noise: order 3 wins
+            np.array([32767, -32768] * 150, np.int16),  # escape
+        ]
+        for i in (0, 1, 2, 3):  # op251 corpus shapes: orders 0-3, po 0/1
+            n = 300 + i * 150
+            k = np.arange(n, dtype=np.int64)
+            sigs.append(((i * 17 + k * 13) % 1601 - 800).astype(np.int16))
+        for s in sigs:
+            enc = flac.encode_flac(s, 8000, blocksize=256)
+            flac._write_residual, flac._BitWriter.write = orig_wr, orig_w
+            try:
+                rate, back = flac.decode_flac(enc)
+            finally:
+                flac._write_residual, flac._BitWriter.write = spy_wr, spy_w
+            assert np.array_equal(back, s)
+    finally:
+        flac._write_residual = orig_wr
+        flac._BitWriter.write = orig_w
+    assert orders == {0, 1, 2, 3, 4}, orders
+    assert pos == {0, 1}, pos
+    assert escapes[0] > 0
