@@ -336,20 +336,25 @@ def op39_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li, o, c = t["lineitem"], t["orders"], t["customer"]
     s, n, r = t["supplier"], t["nation"], t["region"]
+    # join conditions and the filter as single JVM-parsed expression
+    # strings (op79's flattening rule: identical Catalyst plan, a
+    # fraction of the py4j round trips — this is the flagship build,
+    # measured in every bench's plan_build_per_query)
     j = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
         .join(
             F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
+            F.expr("l_suppkey = s_suppkey AND s_nationkey = c_nationkey"),
         )
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .filter(
-            (F.col("r_name") == "ASIA")
-            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            F.expr(
+                "r_name = 'ASIA'"
+                " AND o_orderdate >= timestamp'1996-01-01 00:00:00'"
+                " AND o_orderdate < timestamp'1998-01-01 00:00:00'"
+            )
         )
     )
     return j.groupBy("n_name").agg(F.sum(revenue_dec()).cast("double").alias("revenue"))

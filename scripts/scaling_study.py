@@ -32,6 +32,15 @@ QUERIES = (
     "op80_sim_cosine_knn",
     "op75_dedup_exact",
     "op79_minhash_neardup",
+    # round-6/7 flagships: recurrences, sketches, tokenizer, formats —
+    # families whose scale story differs from scans/joins (per-key
+    # loops, vocab-sized aggs, executor-side codecs)
+    "op212_kmeans_lloyd",
+    "op216_bpe_train",
+    "op215_cms_pointquery",
+    "op233_interval_coverage",
+    "op252_avro_roundtrip",
+    "op253_holt_damped",
 )
 
 
