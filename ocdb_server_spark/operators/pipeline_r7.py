@@ -1,8 +1,9 @@
 """Round-7 pipeline extensions — SURVEY.md §2.19 (op251+).
 
-Round 7 deliberately adds only THREE ops (round-6 verdict item 1: the
+Round 7 deliberately adds only FOUR ops (round-6 verdict item 1: the
 driver's ~50 sweep slots must reach the 61 ops whose evidence is still
-r1/r2-era, so the new-op budget stays minimal):
+r1/r2-era, so the new-op budget stays minimal — 46 of 50 slots still
+land on stale re-certification):
 
 - op251: FLAC decode — the last closable codec family (lossless
   compressed audio): sources/flac.py implements the public FLAC spec
@@ -27,6 +28,14 @@ r1/r2-era, so the new-op budget stays minimal):
   integer recurrence, so level/trend/h=1..5 forecasts stay bit-exact
   against DuckDB's actual WITH RECURSIVE; the damped forecast sum
   Σφ^i·b is repeated integer halving, exact on both engines.
+- op254: MULTIPLICATIVE Holt-Winters — the forecasting family's last
+  named variant (round-6 verdict missing #3): seasonal RATIOS carried
+  as 2^20 fixed-point integers, every recurrence division
+  positive-guarded so `//` floors identically cross-engine, and the
+  forecast's signed division offset-shifted (DuckDB's `//` truncates
+  toward zero on negatives where python floors — a new dialect gotcha
+  recorded here; _hw_f2's offset pattern applied to a variable
+  divisor).
 
 Same package rules: DataFrame/Catalyst only, Python only inside
 Arrow-batched mapInPandas kernels, payload bytes never shuffle,
@@ -426,3 +435,183 @@ def op253_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"fc_{h} long" for h in range(1, _HD_H + 1))
     )
     return daily.groupBy("event_type").applyInPandas(holt_damped, schema)
+
+
+# --------------------------------------------------------------------------
+# op254: multiplicative Holt-Winters — scaled-integer seasonal RATIOS
+# --------------------------------------------------------------------------
+
+_HWM_M = 7           # weekly seasonality
+_HWM_H = 7           # forecast a full season
+_HWM_S = 1 << 20     # fixed-point scale for seasonal ratios (s ≈ ratio·S)
+
+
+def _op254_sql() -> str:
+    from ocdb_server_spark.operators.pipeline_r6 import _hw_f2
+
+    f2 = lambda x: _hw_f2(x, "//")  # noqa: E731
+    S = _HWM_S
+    s_cols = ", ".join(f"s{i}" for i in range(_HWM_M))
+    slot = (
+        "CASE CAST((h.t + 1) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWM_M))
+        + " END"
+    )
+    # deseasonalize with the PRE-update slot value (guarded >= 1):
+    # x = y·S // s_prev — operands non-negative, // floors identically
+    # in DuckDB and python
+    x = f"((d.y * {S}) // GREATEST({slot}, 1))"
+    l2 = f2(f"{x} + h.l + h.b")
+    s_updates = ", ".join(
+        f"CASE WHEN (h.t + 1) % 7 = {i} "
+        f"THEN {f2(f'(d.y * {S}) // GREATEST({l2}, 1) + h.s{i}')} "
+        f"ELSE h.s{i} END AS s{i}"
+        for i in range(_HWM_M)
+    )
+    y_cols = ", ".join(
+        f"MAX(CASE WHEN t = {i} THEN y END) AS y{i}" for i in range(_HWM_M)
+    )
+    s_inits = ", ".join(
+        f"(y{i} * {S}) // GREATEST(l_init, 1) AS s{i}" for i in range(_HWM_M)
+    )
+    # forecast numerator (l + h·b)·s can be NEGATIVE, and DuckDB's //
+    # truncates toward zero there while python floors (-3//2: -1 vs
+    # -2) — the same dialect trap _hw_f2's offset already handles for
+    # the halvings. Same cure: shift by OFF·S so the numerator is
+    # positive (floor == truncate), divide, shift back. |x| ≲ 10¹³ and
+    # OFF·S = 2⁶⁰ keeps the sum far inside int64.
+    OFF = 1 << 40
+    fc = ", ".join(
+        f"(((h.l + {h} * h.b) * (CASE CAST((h.t + {h}) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWM_M))
+        + f" END) + {OFF * S}) // {S}) - {OFF} AS fc_{h}"
+        for h in range(1, _HWM_H + 1)
+    )
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+maxt AS (SELECT MAX(t) AS m FROM daily),
+week1 AS (
+  SELECT event_type, {y_cols},
+         CAST((SUM(CASE WHEN t < 7 THEN y ELSE 0 END)) // 7 AS BIGINT)
+           AS l_init
+  FROM daily WHERE t < 7 GROUP BY event_type),
+hw AS (
+  SELECT event_type, CAST(6 AS BIGINT) AS t, l_init AS l,
+         CAST(0 AS BIGINT) AS b, {s_inits}
+  FROM week1
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {l2} AS l,
+         {f2(f"h.b + ({l2}) - h.l")} AS b,
+         {s_updates}
+  FROM hw h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.event_type, h.l AS level, h.b AS trend, {fc}
+FROM hw h CROSS JOIN maxt m WHERE h.t = m.m
+"""
+
+
+@register("op254_holt_winters_multiplicative", oracle=_op254_sql())
+def op254_holt_winters_multiplicative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIPLICATIVE Holt-Winters (weekly m=7, α=β=γ=1/2) — the
+    forecasting family's last named variant (round-6 verdict "What's
+    missing" #3): seasonality as RATIOS, the right model when the
+    weekly pattern scales with the level (weekend dips are -30%, not
+    -300 events). The integer-exact discipline survives the ratios by
+    FIXED-POINT scaling: seasonal state s ≈ ratio·2^20, and every
+    division in the recurrence has a non-negative numerator and a
+    GREATEST(·,1)-guarded positive divisor, so `//` floors identically
+    in DuckDB's WITH RECURSIVE and python's applyInPandas loop:
+
+        x   = y·S // s_prev          (deseasonalize, pre-update slot)
+        l_t = f2(x + l + b)          b_t = f2(b + l_t − l)
+        s'  = f2(y·S // max(l_t,1) + s_prev)       (γ-average, scaled)
+        fc_h = ((l + h·b) · s[(T+h) mod 7]) // S
+
+    Init: l = week-1 integer mean, b = 0, s_i = y_i·S // max(l,1).
+    Bounds: with day counts ≤ ~10⁶ the largest intermediate is
+    (l + h·b)·s ≲ 10⁶·2²⁰·ratio ≈ 10¹³ — five orders inside int64.
+
+    Same scale shape as op235: state is 9 ints/series, one keyed
+    shuffle, ~30-step loop per series inside one task."""
+    from ocdb_server_spark.operators.pipeline_r6 import _HW_OFF
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).cast("bigint").alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(cast(0 as bigint), cast(datediff(d1, d0) as bigint))")
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+
+    def hwm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = pdf["y"].astype(int).tolist()
+        S = _HWM_S
+        f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+        l = sum(ys[:_HWM_M]) // _HWM_M
+        bt = 0
+        s = [(ys[i] * S) // max(l, 1) for i in range(_HWM_M)]
+        for t in range(_HWM_M, len(ys)):
+            y = ys[t]
+            slot = t % _HWM_M
+            sp = s[slot]
+            x = (y * S) // max(sp, 1)
+            l_new = f2(x + l + bt)
+            bt = f2(bt + l_new - l)
+            s[slot] = f2((y * S) // max(l_new, 1) + sp)
+            l = l_new
+        t_last = len(ys) - 1
+        out = {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "level": [l],
+            "trend": [bt],
+        }
+        for h in range(1, _HWM_H + 1):
+            out[f"fc_{h}"] = [((l + h * bt) * s[(t_last + h) % _HWM_M]) // S]
+        return pd.DataFrame(out)
+
+    schema = (
+        "event_type string, level long, trend long, "
+        + ", ".join(f"fc_{h} long" for h in range(1, _HWM_H + 1))
+    )
+    return daily.groupBy("event_type").applyInPandas(hwm, schema)

