@@ -1,4 +1,4 @@
-"""Behavioral gates for the round-7 ops (op251–op253) beyond the
+"""Behavioral gates for the round-7 ops (op251–op254) beyond the
 DuckDB oracle mirror in test_oracle.py: independent-recurrence checks,
 damping algebra, schema-evolution effects, and plan-shape assertions
 (payload bytes must never shuffle)."""
