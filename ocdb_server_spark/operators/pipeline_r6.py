@@ -577,8 +577,20 @@ def op215_cms_pointquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.min("c").alias("est"))
     )
+    # exact side: filter to the probe set BEFORE aggregating — the
+    # probe list is a literal IN-predicate that reaches the scan, so
+    # the shuffle carries ≤|probes| words instead of the full
+    # vocabulary (round-7: answering 6 point queries must not cost a
+    # vocab-wide aggregation; identical result, the left join's
+    # coalesce already covers never-seen probes)
     exact = (
-        probes.join(toks.groupBy("word").count(), "word", "left")
+        probes.join(
+            toks.filter(F.col("word").isin(*_CMS_PROBES))
+            .groupBy("word")
+            .count(),
+            "word",
+            "left",
+        )
         .select("word", F.coalesce(F.col("count"), F.lit(0)).alias("exact_n"))
     )
     return (
