@@ -656,3 +656,32 @@ def test_flac_all_fixed_orders_and_escape_reachable():
     assert orders == {0, 1, 2, 3, 4}, orders
     assert pos == {0, 1}, pos
     assert escapes[0] > 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(-(2**63), 2**63 - 1),
+                "name": st.text(max_size=40),
+                "score": st.floats(allow_nan=False, width=64),
+                "note": st.one_of(st.none(), st.text(max_size=20)),
+                "ok": st.booleans(),
+                "blob": st.binary(max_size=32),
+            }
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 7),
+)
+def test_avro_roundtrip_property(rows, codec, block):
+    """Hypothesis: any record batch (unicode text, boundary longs,
+    arbitrary doubles incl. ±inf/−0.0, nulls, raw bytes) survives the
+    OCF round-trip exactly, for both codecs and any block size."""
+    back = read_ocf(
+        write_ocf(_AVRO_SCHEMA, rows, codec=codec, rows_per_block=block)
+    )
+    assert back == rows
