@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""10× stress run: replicate sf0.1 into an ≈sf1 derived dataset and
+measure throughput-representative operators on it.
+
+The driver's largest testdata is sf0.1 (600k lineitem rows). The
+scaling study (BASELINE.md) shows wall time there is still
+fixed-cost-dominated, which proves overhead amortizes but says little
+about the data-proportional slope. This script manufactures the next
+decade locally: each source table is replicated REP times with all
+key columns shifted by i·10⁹ per replica (so per-replica join/dedup
+semantics are preserved — each replica joins within itself, uniqueness
+survives), written as multi-file parquet to tmp, and the
+throughput-shaped operators run on it with the same bench methodology
+(warm cache, best-of-3, toArrow).
+
+Prints a markdown table: sf0.1 wall, sf1 wall, ratio (ideal ≤ 10×),
+and per-row slope. Usage: python scripts/stress_scale.py [REP]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+SHIFT = 10**9
+
+# (table, [key columns to shift per replica])
+TABLES = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": [],
+    "nation": [],
+    "region": [],
+    "part": [],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = (
+    "op17_agg_groupby",
+    "op39_join_multiway_star",
+    "op69_stream_tumbling",
+    "op75_dedup_exact",
+    "op79_minhash_neardup",
+    "op93_token_count",
+    "op233_interval_coverage",
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark import io as eio
+    from ocdb_server_spark.registry import load_all
+    from ocdb_server_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_scale", profile="interactive")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = load_all()
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
+    if not os.path.isdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        for name, keys in TABLES.items():
+            src = eio.load_table(spark, SRC, name)
+            parts = []
+            for i in range(REP):
+                df = src
+                for k in keys:
+                    df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                parts.append(df)
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+            rep.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+        print(f"built {out_dir} (REP={REP})", file=sys.stderr)
+
+    def run(sf_dir: str) -> dict[str, float]:
+        eio.clear_cache()
+        eio.warm_cache(spark, sf_dir)
+        out: dict[str, float] = {}
+        for q in QUERIES:
+            df = ops[q].fn(spark, sf_dir)
+            df.toArrow()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.toArrow()
+                best = min(best, time.perf_counter() - t0)
+            out[q] = best
+        return out
+
+    base = run(SRC)
+    big = run(out_dir)
+    print(f"| query | sf0.1 ms | {REP}x ms | ratio (ideal <= {REP}x) |")
+    print("|---|---|---|---|")
+    for q in QUERIES:
+        print(
+            f"| {q} | {base[q]*1000:.0f} | {big[q]*1000:.0f} "
+            f"| {big[q]/base[q]:.1f}x |"
+        )
+    tb, tg = sum(base.values()), sum(big.values())
+    print(f"| **total** | **{tb*1000:.0f}** | **{tg*1000:.0f}** | **{tg/tb:.1f}x** |")
+    if "--keep" not in sys.argv:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
