@@ -2549,14 +2549,21 @@ def op241_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (cast(total as double) * row_tot * col_tot)"
         " * 1000000 + 0.5) as bigint)"
     )
+    # dof counts DISTINCT GROUP KEYS — including a NULL lang/source
+    # group if the fixture ever grows one, because the oracle's
+    # (SELECT COUNT(*) FROM r) counts GROUP BY rows and GROUP BY keeps
+    # the NULL group. countDistinct alone would drop it (round-7
+    # review); the isNull max-flag adds it back.
+    n_lang = F.countDistinct("lang") + F.max(
+        F.when(F.col("lang").isNull(), 1).otherwise(0)
+    )
+    n_src = F.countDistinct("source") + F.max(
+        F.when(F.col("source").isNull(), 1).otherwise(0)
+    )
     return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
         F.any_value("total").cast("bigint").alias("n_total"),
-        (
-            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
-        )
-        .cast("bigint")
-        .alias("dof"),
+        ((n_lang - 1) * (n_src - 1)).cast("bigint").alias("dof"),
         (F.sum(term_micro).cast("double") / F.lit(1000000)).alias("chi2"),
     )
 

@@ -145,7 +145,12 @@ def op87_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield w, i + 1
 
     spark.udtf.register("split_words", SplitWords)
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    # register via load_tables, NOT a direct createOrReplaceTempView:
+    # io._VIEW_MEMO tracks which sf_dir each view is bound to, and a
+    # direct rebind here would leave the memo stale (round-7 review)
+    from ocdb_server_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("part",))
     return spark.sql(
         "SELECT p_partkey, word, pos FROM part, LATERAL split_words(p_name)"
     )

@@ -16,9 +16,13 @@ and sources/flac.py applied to a data format):
     zlib, wbits=-15, exactly as the spec requires);
   - SCHEMA RESOLUTION on read (the spec's evolution rules): fields are
     matched by NAME, so a writer→reader field reorder is transparent;
-    reader-only fields take their declared default; writer-only fields
-    are skipped (decoded and dropped — they must still be walked to
-    advance the stream).
+    matched fields' TYPES must resolve — equality or the spec's
+    promotions (int→long/double, long→double, string↔bytes), anything
+    else is a loud resolution error, and promoted values are
+    converted; reader-only fields take their declared default
+    (type-converted: a bytes default arrives latin-1-encoded per the
+    spec's JSON convention); writer-only fields are skipped (decoded
+    and dropped — they must still be walked to advance the stream).
 
 Not implemented: arrays/maps/enums/fixed/nested records, aliases,
 numeric promotions. The reader rejects those schemas loudly.
@@ -173,11 +177,85 @@ def write_ocf(schema: dict, rows: list[dict], codec: str = "null",
     return bytes(out)
 
 
+# spec promotions our subset honors (Avro 1.11 "Schema Resolution"):
+# int→long, int→double, long→double, string↔bytes
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "double"),
+    ("long", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _promote(wt: str, rt: str, v):
+    if wt == rt:
+        return v
+    if (wt, rt) == ("string", "bytes"):
+        return v.encode("utf-8")
+    if (wt, rt) == ("bytes", "string"):
+        return v.decode("utf-8")
+    if rt == "double":
+        return float(v)
+    return v  # int -> long
+
+
+def _resolve(wt, rt) -> None:
+    """Raise unless writer type wt resolves into reader type rt under
+    the subset's rules (equality, the _PROMOTIONS table, and unions:
+    every writer branch must resolve into some reader branch)."""
+    w_branches = wt if isinstance(wt, list) else [wt]
+    r_branches = rt if isinstance(rt, list) else [rt]
+    for wb in w_branches:
+        if not any(
+            wb == rb or (wb, rb) in _PROMOTIONS for rb in r_branches
+        ):
+            raise ValueError(
+                f"avro: writer type {wt} does not resolve into reader "
+                f"type {rt} (subset supports equality, int→long/double, "
+                "long→double, string↔bytes, and union widening)"
+            )
+
+
+def _convert(wt, rt, v):
+    """Apply the promotion conversion for a decoded value."""
+    if v is None:
+        return None
+    wb = wt if isinstance(wt, str) else next(
+        b for b in wt if b != "null"
+    )
+    rb = rt if isinstance(rt, str) else next(
+        b for b in rt if b != "null"
+    )
+    return _promote(wb, rb, v)
+
+
+def _default_value(f: dict):
+    """A reader field's declared default, converted to the runtime
+    type the decoder produces (the spec stores bytes defaults as
+    latin-1 JSON strings; numeric defaults may be JSON ints)."""
+    t = f["type"]
+    v = f["default"]
+    branch = t if isinstance(t, str) else t[0]  # union default: 1st branch
+    if v is None or branch == "null":
+        return None
+    if branch == "bytes":
+        return v.encode("latin-1") if isinstance(v, str) else bytes(v)
+    if branch == "double":
+        return float(v)
+    if branch in ("int", "long"):
+        return int(v)
+    return v
+
+
 def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
     """Parse OCF bytes into rows, applying the spec's schema resolution
-    against reader_schema when given (match by name; reader-only
-    fields get their default; writer-only fields are decoded and
-    dropped)."""
+    against reader_schema when given: fields match by NAME; matched
+    fields' types must resolve (equality or the promotion table —
+    anything else raises, per the spec's resolution-error rule);
+    promoted values are converted; reader-only fields get their
+    declared default (type-converted); writer-only fields are decoded
+    and dropped."""
     buf = io.BytesIO(payload)
     if buf.read(4) != _MAGIC:
         raise ValueError("avro: bad magic")
@@ -205,9 +283,11 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
         r_fields = w_fields
     else:
         r_fields = _check_schema(reader_schema)
-        w_names = {f["name"] for f in w_fields}
+        w_by_name = {f["name"]: f for f in w_fields}
         for f in r_fields:
-            if f["name"] not in w_names and "default" not in f:
+            if f["name"] in w_by_name:
+                _resolve(w_by_name[f["name"]]["type"], f["type"])
+            elif "default" not in f:
                 raise ValueError(
                     f"avro: reader field {f['name']} absent in writer "
                     "schema and has no default"
@@ -230,11 +310,12 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
             row = {}
             for f in w_fields:
                 v = _decode_value(f["type"], bbuf)
-                if f["name"] in r_by_name:
-                    row[f["name"]] = v
+                rf = r_by_name.get(f["name"])
+                if rf is not None:
+                    row[f["name"]] = _convert(f["type"], rf["type"], v)
             for f in r_fields:
                 if f["name"] not in row:
-                    row[f["name"]] = f["default"]
+                    row[f["name"]] = _default_value(f)
             rows.append(row)
         if buf.read(16) != sync:
             raise ValueError("avro: sync marker mismatch")

@@ -153,7 +153,7 @@ def _utf8_coded(n: int) -> bytes:
     """The spec's UTF-8-style extensible coded number (frame index).
 
     An nbytes-long encoding carries (7 - nbytes) leading-byte payload
-    bits plus 6 per continuation byte = 13/16/21/26/31/36 bits for
+    bits plus 6 per continuation byte = 11/16/21/26/31/36 bits for
     nbytes 2..7."""
     if n < 0x80:
         return bytes([n])
@@ -362,6 +362,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     pos = 4
     streaminfo = None
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated stream (metadata header)")
         hdr = payload[pos]
         last, btype = hdr >> 7, hdr & 0x7F
         blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
@@ -428,7 +430,8 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         if frate != rate:
             raise ValueError("flac: frame/stream rate mismatch")
         br.align()
-        hdr_len = br.byte - frame_start
+        if br.byte >= len(payload):
+            raise ValueError("flac: truncated stream (header CRC missing)")
         if _crc8(payload[frame_start:br.byte]) != payload[br.byte]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         br.byte += 1
@@ -456,13 +459,14 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         else:
             raise ValueError("flac: LPC/reserved subframe unsupported")
         br.align()
+        if br.byte + 2 > len(payload):
+            raise ValueError("flac: truncated stream (frame CRC missing)")
         if _crc16(payload[frame_start:br.byte]) != struct.unpack(
             ">H", payload[br.byte:br.byte + 2]
         )[0]:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = br.byte + 2
         samples.extend(block)
-        del hdr_len
 
     s = np.asarray(samples, dtype=np.int64)
     if total and len(s) != total:

@@ -6,11 +6,25 @@ The driver's largest testdata is sf0.1 (600k lineitem rows). The
 scaling study (BASELINE.md) shows wall time there is still
 fixed-cost-dominated, which proves overhead amortizes but says little
 about the data-proportional slope. This script manufactures the next
-decade locally: each source table is replicated REP times with all
-key columns shifted by i·10⁹ per replica (so per-replica join/dedup
-semantics are preserved — each replica joins within itself, uniqueness
-survives), written as multi-file parquet to tmp, and the
-throughput-shaped operators run on it with the same bench methodology
+decade locally. Replication rules (round-7 review fixed the first
+cut, which replicated dimensions and broke join fan-out):
+
+- FACT/ENTITY tables (lineitem, orders, customer, events, documents,
+  embeddings) are replicated REP times with BOTH their primary keys
+  AND the foreign keys among themselves shifted by i*10^9 per replica
+  (l_orderkey; o_orderkey + o_custkey; c_custkey; event_id + user_id;
+  doc_id; vec_id) — each replica joins within itself.
+- DIMENSIONS (supplier, nation, region, part) are written ONCE:
+  l_suppkey/l_partkey stay unshifted and every replica's facts join
+  the single dimension copy 1:1, exactly like a production star.
+- documents TEXT is per-replica letter-translated (the alphabet
+  rotated by the replica index) so replicas are NOT
+  near-duplicates of each other — without this the LSH ops would
+  legitimately find O(REP^2) cross-replica pairs and measure pair
+  blow-up, not throughput.
+
+Everything is written as multi-file parquet to tmp and the
+throughput-shaped operators run with the bench methodology
 (warm cache, best-of-3, toArrow).
 
 Prints a markdown table: sf0.1 wall, sf1 wall, ratio (ideal ≤ 10×),
@@ -31,19 +45,24 @@ REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10**9
 
-# (table, [key columns to shift per replica])
-TABLES = {
+# replicated tables -> key columns shifted per replica
+REPLICATED = {
     "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
-    "supplier": [],
-    "nation": [],
-    "region": [],
-    "part": [],
-    "events": ["event_id"],
+    "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+# dimensions written once (facts join them 1:1, unshifted keys)
+SINGLE = ("supplier", "nation", "region", "part")
+
+# per-replica letter permutations for documents.text (replica 0 = identity)
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rotated(i: int) -> str:
+    return _ALPHA[i % 26:] + _ALPHA[: i % 26]
 
 QUERIES = (
     "op17_agg_groupby",
@@ -70,13 +89,21 @@ def main() -> None:
     out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
     if not os.path.isdir(out_dir):
         os.makedirs(out_dir, exist_ok=True)
-        for name, keys in TABLES.items():
+        for name in SINGLE:
+            eio.load_table(spark, SRC, name).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{name}.parquet")
+            )
+        for name, keys in REPLICATED.items():
             src = eio.load_table(spark, SRC, name)
             parts = []
             for i in range(REP):
                 df = src
                 for k in keys:
                     df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                if name == "documents" and i > 0:
+                    df = df.withColumn(
+                        "text", F.translate("text", _ALPHA, _rotated(i))
+                    )
                 parts.append(df)
             rep = parts[0]
             for p in parts[1:]:

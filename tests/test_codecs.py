@@ -685,3 +685,40 @@ def test_avro_roundtrip_property(rows, codec, block):
         write_ocf(_AVRO_SCHEMA, rows, codec=codec, rows_per_block=block)
     )
     assert back == rows
+
+
+def test_avro_resolution_type_mismatch_rejected_and_promotions_applied():
+    """Round-7 review: name-match alone is not resolution -- an
+    incompatible reader type must raise, and the spec's promotions
+    (int/long->double, string<->bytes) must CONVERT the decoded value."""
+    import pytest
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [{"v": 7, "s": "h\u00e9"}]
+    payload = write_ocf(schema, rows)
+    # incompatible: long -> string
+    bad = {"type": "record", "name": "P",
+           "fields": [{"name": "v", "type": "string"}]}
+    with pytest.raises(ValueError, match="does not resolve"):
+        read_ocf(payload, reader_schema=bad)
+    # promotions: long -> double, string -> bytes
+    good = {"type": "record", "name": "P",
+            "fields": [{"name": "v", "type": "double"},
+                       {"name": "s", "type": "bytes"}]}
+    back = read_ocf(payload, reader_schema=good)
+    assert back == [{"v": 7.0, "s": "h\u00e9".encode("utf-8")}]
+    assert isinstance(back[0]["v"], float)
+    # bytes default arrives as latin-1 bytes, not str
+    defaulted = {"type": "record", "name": "P",
+                 "fields": [{"name": "v", "type": "long"},
+                            {"name": "extra", "type": "bytes",
+                             "default": "\u00ff\u0000"}]}
+    back = read_ocf(payload, reader_schema=defaulted)
+    assert back[0]["extra"] == b"\xff\x00"
