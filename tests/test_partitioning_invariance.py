@@ -116,6 +116,7 @@ FULL_TABLE_OPS = [
     # its export by partition count — the aggregate must not care)
     "op252_avro_roundtrip",
     "op253_holt_damped",
+    "op254_holt_winters_multiplicative",
 ]
 
 _ALL_TABLES = (
