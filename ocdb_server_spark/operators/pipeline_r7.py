@@ -62,26 +62,41 @@ from ocdb_server_spark.registry import register
 
 _FLAC_N = 120
 _FLAC_RATE = 8000
-# signal: v(i, k) = ((i*17 + k*13) % 1601) - 800, n = 300 + (i%4)*150
-# (int16-safe; sawtooth-ish so fixed predictors genuinely compress)
+# signal: v(i, k, c) = ((i*17 + k*13 + c*29) % 1601) - 800 for channel
+# c, n = 300 + (i%4)*150 per channel (int16-safe; sawtooth-ish so
+# predictors genuinely compress). Assets with i%4==3 are STEREO
+# (channels 0/1), the rest mono; the encoder path varies per asset —
+# predictor lpc/fixed by i%2, stereo decorrelation mode cycling
+# through all four layouts by i//4 — so the oracle hash certifies
+# every subframe and channel-reconstruction path the decoder has.
 
 _OP251_SQL = f"""
 WITH a AS (SELECT range AS i FROM range(0, {_FLAC_N})),
+ch AS (
+  SELECT a.i, c.c
+  FROM a, UNNEST(range(0, 1 + CASE WHEN a.i % 4 = 3 THEN 1 ELSE 0 END)) c(c)
+),
 s AS (
-  SELECT a.i, u.k, ((a.i * 17 + u.k * 13) % 1601) - 800 AS v
-  FROM a, UNNEST(range(0, 300 + (a.i % 4) * 150)) AS u(k)
+  SELECT ch.i, ch.c, u.k,
+         ((ch.i * 17 + u.k * 13 + ch.c * 29) % 1601) - 800 AS v
+  FROM ch, UNNEST(range(0, 300 + (ch.i % 4) * 150)) AS u(k)
 )
 SELECT CAST(i AS BIGINT) AS asset_id,
        CAST({_FLAC_RATE} AS BIGINT) AS sample_rate,
+       CAST(MAX(c) + 1 AS BIGINT) AS channels,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
-       CAST(COUNT(*) * 1000 // {_FLAC_RATE} AS BIGINT) AS duration_ms,
+       CAST((300 + (i % 4) * 150) * 1000 // {_FLAC_RATE} AS BIGINT)
+         AS duration_ms,
        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
        CAST(MAX(ABS(v)) AS BIGINT) AS peak,
-       CAST(MIN(CASE WHEN k = 0 THEN v END) AS BIGINT) AS first_s,
-       CAST(MIN(CASE WHEN k = 300 + (i % 4) * 150 - 1 THEN v END) AS BIGINT)
+       CAST(MIN(CASE WHEN c = 0 AND k = 0 THEN v END) AS BIGINT) AS first_s,
+       CAST(MIN(CASE WHEN c = CASE WHEN i % 4 = 3 THEN 1 ELSE 0 END
+                     AND k = 300 + (i % 4) * 150 - 1 THEN v END) AS BIGINT)
          AS last_s
 FROM s GROUP BY i
 """
+
+_FLAC_MODES = ("independent", "left_side", "right_side", "mid_side")
 
 
 def _gen_flac(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,11 +107,21 @@ def _gen_flac(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         ids, payloads = [], []
         for i in pdf["id"]:
-            n = 300 + (int(i) % 4) * 150
+            i = int(i)
+            n = 300 + (i % 4) * 150
             k = np.arange(n, dtype=np.int64)
-            s = ((int(i) * 17 + k * 13) % 1601 - 800).astype(np.int16)
-            ids.append(int(i))
-            payloads.append(encode_flac(s, _FLAC_RATE, blocksize=256))
+            chans = [((i * 17 + k * 13 + c * 29) % 1601 - 800)
+                     for c in range(1 + (i % 4 == 3))]
+            if len(chans) == 2:
+                s = np.stack(chans, axis=1).astype(np.int16)
+            else:
+                s = chans[0].astype(np.int16)
+            ids.append(i)
+            payloads.append(encode_flac(
+                s, _FLAC_RATE, blocksize=256,
+                predictor="lpc" if i % 2 == 0 else "fixed",
+                stereo_mode=_FLAC_MODES[(i // 4) % 4],
+            ))
         yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
 
@@ -107,15 +132,19 @@ def _decode_flac_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in it:
         out = {k: [] for k in
-               ("asset_id", "sample_rate", "n_samples", "duration_ms",
-                "sum_sq", "peak", "first_s", "last_s")}
+               ("asset_id", "sample_rate", "channels", "n_samples",
+                "duration_ms", "sum_sq", "peak", "first_s", "last_s")}
         for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
             rate, s = decode_flac(bytes(payload))
-            s64 = s.astype(np.int64)
+            # interleaved flatten: mono is identity; stereo gives
+            # L0 R0 L1 R1 ... so first = left[0], last = right[-1]
+            s64 = np.asarray(s, dtype=np.int64).reshape(-1)
+            n_per_ch = s.shape[0]
             out["asset_id"].append(int(aid))
             out["sample_rate"].append(rate)
-            out["n_samples"].append(len(s64))
-            out["duration_ms"].append(len(s64) * 1000 // rate)
+            out["channels"].append(1 if s.ndim == 1 else s.shape[1])
+            out["n_samples"].append(s64.size)
+            out["duration_ms"].append(n_per_ch * 1000 // rate)
             out["sum_sq"].append(int(np.sum(s64 * s64)))
             out["peak"].append(int(np.max(np.abs(s64))))
             out["first_s"].append(int(s64[0]))
@@ -126,16 +155,25 @@ def _decode_flac_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register("op251_flac_decode_features", oracle=_OP251_SQL)
 def op251_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC audio decode, for real — the compressed-audio gap closed:
-    120 conformant mono 16-bit FLAC streams (multi-frame, mixed fixed
-    predictor orders, Rice partition orders 0 AND 1, raw-escape path
-    reachable) are encoded from a closed-form integer formula and then
-    DECODED by sources/flac.py's spec parser — CRC-8/CRC-16 verified
-    per frame and the STREAMINFO MD5 recomputed over the decoded
-    samples, so every asset that reaches the feature row is
-    bit-certified lossless by the format's own integrity machinery.
+    120 conformant 16-bit FLAC streams (90 mono + 30 STEREO,
+    multi-frame) are encoded from a closed-form integer formula and
+    then DECODED by sources/flac.py's spec parser — CRC-8/CRC-16
+    verified per frame and the STREAMINFO MD5 recomputed over the
+    decoded (interleaved) samples, so every asset that reaches the
+    feature row is bit-certified lossless by the format's own
+    integrity machinery.
 
-    The oracle recomputes n_samples / duration / energy / peak /
-    first / last from the generation formula alone (op205's
+    The corpus deliberately spans the decoder's whole surface: the
+    encoder alternates LPC (Levinson-Durbin, quantized-coefficient
+    integer prediction) and FIXED predictors per asset, Rice partition
+    orders 0/1 per frame, keeps the raw-escape path reachable, and
+    cycles the stereo assets through all four channel layouts
+    (independent, left/side, right/side, mid/side — the side channel's
+    17th bit included), so the oracle hash certifies every subframe
+    type and channel-reconstruction rule, not just one happy path.
+
+    The oracle recomputes channels / n_samples / duration / energy /
+    peak / first / last from the generation formula alone (op205's
     closed-form pattern: for a LOSSLESS codec the decode output is
     exactly the generation formula, so a hash match certifies the
     whole encode→Rice-bits→decode path, not the plumbing).
@@ -149,8 +187,8 @@ def op251_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gen.mapInPandas(
         _decode_flac_features,
-        "asset_id long, sample_rate long, n_samples long, duration_ms long,"
-        " sum_sq long, peak long, first_s long, last_s long",
+        "asset_id long, sample_rate long, channels long, n_samples long,"
+        " duration_ms long, sum_sq long, peak long, first_s long, last_s long",
     )
 
 

@@ -461,6 +461,123 @@ def test_flac_streaminfo_md5_is_spec_md5():
     assert enc[26:42] == hashlib.md5(s.astype("<i2").tobytes()).digest()
 
 
+def test_flac_lpc_roundtrip_and_wins_on_resonant_signal():
+    """LPC subframes (order<=8, quantized coefficients, integer
+    prediction): bit-exact regardless of quantization, and on a
+    resonant signal (2-pole sinusoid — exactly what a degree-8 LPC
+    models and fixed degree-4 polynomials cannot) the LPC stream must
+    be smaller than the fixed-predictor stream. The frequency matters:
+    a SLOW sinusoid is locally cubic and fixed-3 wins honestly; at
+    w=1 rad/sample differencing stops shrinking the signal (diff gain
+    2|sin(w/2)| ~= 1) while the 2-pole model still nails it."""
+    k = np.arange(4000)
+    s = (8000 * np.sin(k * 1.0)).astype(np.int16)
+    enc_lpc = encode_flac(s, 8000, predictor="lpc")
+    enc_fix = encode_flac(s, 8000, predictor="fixed")
+    for enc in (enc_lpc, enc_fix, encode_flac(s, 8000, predictor="auto")):
+        rate, back = decode_flac(enc)
+        assert rate == 8000 and np.array_equal(back, s)
+    assert len(enc_lpc) < len(enc_fix)
+    # noise through the LPC path still round-trips (quantization can
+    # never break losslessness, only compression)
+    noise = _samples(700, seed=11)
+    assert np.array_equal(decode_flac(encode_flac(noise, 8000, predictor="lpc"))[1], noise)
+
+
+def test_flac_stereo_all_modes_bit_exact():
+    """All four stereo layouts (independent, left/side, right/side,
+    mid/side) round-trip bit-exact, including int16 extremes where the
+    side channel genuinely needs its 17th bit (L=32767, R=-32768 ->
+    side=65535)."""
+    rng = np.random.default_rng(3)
+    L = (2000 * np.sin(np.arange(900) / 7)).astype(np.int16)
+    R = (L * 0.9 + rng.integers(-30, 30, 900)).astype(np.int16)
+    st2 = np.stack([L, R], axis=1)
+    edge = np.stack(
+        [np.array([32767, -32768, 0, -1] * 80, np.int16),
+         np.array([-32768, 32767, -1, 0] * 80, np.int16)], axis=1)
+    for sig in (st2, edge):
+        for mode in ("auto", "independent", "left_side", "right_side",
+                     "mid_side"):
+            rate, back = decode_flac(encode_flac(sig, 8000, stereo_mode=mode))
+            assert back.shape == sig.shape
+            assert np.array_equal(back, sig), mode
+
+
+def test_flac_stereo_decorrelation_compresses_correlated_channels():
+    """The point of decorrelation: when R ~= L the side channel is
+    near-silent, so any side mode (and therefore 'auto') must beat
+    coding both channels independently."""
+    rng = np.random.default_rng(5)
+    L = (6000 * np.sin(np.arange(2000) / 15)
+         + rng.integers(-200, 200, 2000)).astype(np.int16)
+    R = (L + rng.integers(-8, 8, 2000)).astype(np.int16)
+    sig = np.stack([L, R], axis=1)
+    enc_auto = encode_flac(sig, 8000, stereo_mode="auto")
+    enc_ind = encode_flac(sig, 8000, stereo_mode="independent")
+    assert len(enc_auto) < len(enc_ind)
+    assert np.array_equal(decode_flac(enc_auto)[1], sig)
+
+
+def test_flac_stereo_streaminfo_md5_is_interleaved():
+    """For stereo the spec's MD5 covers the INTERLEAVED little-endian
+    samples (L0 R0 L1 R1 ...) — pin the layout an independent decoder
+    would verify."""
+    import hashlib
+
+    sig = np.stack([np.arange(50, dtype=np.int16),
+                    np.arange(100, 150, dtype=np.int16)], axis=1)
+    enc = encode_flac(sig, 8000)
+    assert enc[26:42] == hashlib.md5(sig.astype("<i2").tobytes()).digest()
+
+
+def test_flac_wasted_bits_roundtrip():
+    """Wasted-bits-per-sample: a signal whose samples share a 2^k
+    factor round-trips exactly and costs no more than the unshifted
+    signal (the shifted-out bits are free, not re-coded)."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(-4000, 4000, 600).astype(np.int64)
+    s8 = (base * 8).astype(np.int16)
+    s1 = base.astype(np.int16)
+    enc8 = encode_flac(s8, 8000)
+    assert np.array_equal(decode_flac(enc8)[1], s8)
+    assert len(enc8) <= len(encode_flac(s1, 8000)) + 64
+    # stereo + wasted bits compose (per-subframe header)
+    st2 = np.stack([s8, (base * 4).astype(np.int16)], axis=1)
+    assert np.array_equal(decode_flac(encode_flac(st2, 8000))[1], st2)
+
+
+def test_flac_rejects_unsupported_shapes():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((10, 3), np.int16), 8000)  # >2 channels
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros(10, np.int32), 8000)       # not int16
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros(10, np.int16), 8000, predictor="cubic")
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((10, 2), np.int16), 8000, stereo_mode="dual")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-32768, 32767), st.integers(-32768, 32767)),
+        min_size=1, max_size=400,
+    ),
+    st.sampled_from(["auto", "independent", "left_side", "right_side",
+                     "mid_side"]),
+    st.sampled_from(["auto", "fixed", "lpc"]),
+)
+def test_flac_stereo_roundtrip_property(pairs, mode, predictor):
+    sig = np.asarray(pairs, dtype=np.int16)
+    rate, back = decode_flac(
+        encode_flac(sig, 16000, stereo_mode=mode, predictor=predictor))
+    assert rate == 16000
+    assert np.array_equal(back, sig)
+
+
 # ------------------------------------------------------------------ Avro
 
 from ocdb_server_spark.sources.avro_ocf import read_ocf, write_ocf
@@ -643,7 +760,9 @@ def test_flac_all_fixed_orders_and_escape_reachable():
             k = np.arange(n, dtype=np.int64)
             sigs.append(((i * 17 + k * 13) % 1601 - 800).astype(np.int16))
         for s in sigs:
-            enc = flac.encode_flac(s, 8000, blocksize=256)
+            # predictor='fixed' pins the fixed-order paths this test
+            # certifies; LPC coverage has its own tests below
+            enc = flac.encode_flac(s, 8000, blocksize=256, predictor="fixed")
             flac._write_residual, flac._BitWriter.write = orig_wr, orig_w
             try:
                 rate, back = flac.decode_flac(enc)
