@@ -202,20 +202,41 @@ _AVRO_WRITER_SCHEMA = {
     "fields": [
         {"name": "doc_id", "type": "long"},
         {"name": "text", "type": "string"},
-        {"name": "lang", "type": "string"},
-        {"name": "source", "type": "string"},
+        {"name": "meta", "type": {
+            "type": "record", "name": "DocMeta",
+            "fields": [
+                {"name": "lang", "type": "string"},
+                {"name": "source", "type": "string"},
+            ]}},
         {"name": "n_chars", "type": "long"},
+        # derived columns exercising every complex encoding:
+        # tokens = [n_chars, n_chars%97, doc_id%31] as Avro INTs
+        {"name": "tokens", "type": {"type": "array", "items": "int"}},
+        # attrs = {"n2": 2*n_chars+1}
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        # null when doc_id%5==0 else 2*n_chars (a real 3-branch union)
+        {"name": "maybe_score", "type": ["null", "long", "string"]},
     ],
 }
-# evolved reader: fields REORDERED, writer-only 'source' dropped,
-# reader-only 'quality' defaulted — all three spec resolution rules
+# evolved reader — every spec resolution rule, including RECURSIVELY
+# inside the nested record: top-level fields reordered; nested
+# writer-only 'source' dropped; nested reader-only 'quality'
+# defaulted; array items promoted int→long; the union re-read as the
+# same 3-branch union
 _AVRO_READER_SCHEMA = {
     "type": "record",
     "name": "Document",
     "fields": [
-        {"name": "lang", "type": "string"},
+        {"name": "tokens", "type": {"type": "array", "items": "long"}},
+        {"name": "meta", "type": {
+            "type": "record", "name": "DocMeta",
+            "fields": [
+                {"name": "quality", "type": "long", "default": -1},
+                {"name": "lang", "type": "string"},
+            ]}},
         {"name": "doc_id", "type": "long"},
-        {"name": "quality", "type": "long", "default": -1},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "maybe_score", "type": ["null", "long", "string"]},
         {"name": "n_chars", "type": "long"},
         {"name": "text", "type": "string"},
     ],
@@ -227,6 +248,13 @@ SELECT lang,
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
+       CAST(SUM(n_chars + n_chars % 97 + doc_id % 31) AS BIGINT)
+         AS sum_tokens,
+       CAST(SUM(2 * n_chars + 1) AS BIGINT) AS sum_attr_n2,
+       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_scores,
+       CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 2 * n_chars ELSE 0 END)
+         AS BIGINT) AS sum_scores,
        CAST(SUM(-1) AS BIGINT) AS sum_quality
 FROM documents
 GROUP BY lang
@@ -242,7 +270,17 @@ def _avro_write_parts(out_dir: str):
         pid = TaskContext.get().partitionId()
         rows = []
         for pdf in it:
-            rows.extend(pdf.to_dict("records"))
+            for r in pdf.to_dict("records"):
+                did, nch = int(r["doc_id"]), int(r["n_chars"])
+                rows.append({
+                    "doc_id": did,
+                    "text": r["text"],
+                    "meta": {"lang": r["lang"], "source": r["source"]},
+                    "n_chars": nch,
+                    "tokens": [nch, nch % 97, did % 31],
+                    "attrs": {"n2": 2 * nch + 1},
+                    "maybe_score": None if did % 5 == 0 else 2 * nch,
+                })
         # codec alternates per partition so every run exercises both
         # the null and the deflate block path
         codec = "deflate" if pid % 2 else "null"
@@ -260,13 +298,23 @@ def _avro_write_parts(out_dir: str):
 def _avro_read_parts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ocdb_server_spark.sources.avro_ocf import read_ocf
 
-    cols = [f["name"] for f in _AVRO_READER_SCHEMA["fields"]]
     for pdf in it:
         for content in pdf["content"]:
             rows = read_ocf(bytes(content), reader_schema=_AVRO_READER_SCHEMA)
-            yield pd.DataFrame(
-                {c: [r[c] for r in rows] for c in cols}
-            )
+            # flatten the reader-shaped values into feature columns:
+            # nested record access (incl. the nested default), array
+            # sum over promoted longs, map lookup, union branch check
+            yield pd.DataFrame({
+                "lang": [r["meta"]["lang"] for r in rows],
+                "doc_id": [r["doc_id"] for r in rows],
+                "quality": [r["meta"]["quality"] for r in rows],
+                "n_chars": [r["n_chars"] for r in rows],
+                "text_chars": [len(r["text"]) for r in rows],
+                "tok_sum": [sum(r["tokens"]) for r in rows],
+                "attr_n2": [r["attrs"]["n2"] for r in rows],
+                "score_is_null": [r["maybe_score"] is None for r in rows],
+                "score": [r["maybe_score"] or 0 for r in rows],
+            })
 
 
 @register("op252_avro_roundtrip", oracle=_OP252_SQL)
@@ -275,14 +323,20 @@ def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interchange-format gap (round-6 verdict item 5) closed in
     pure Python: documents is exported executor-side as one OCF file
     per partition (codec alternating null/deflate so both block paths
-    run), then re-read through the binaryFile source + the spec's
-    schema-resolution rules with an EVOLVED reader schema: fields
-    reordered, the writer-only 'source' field skipped, the
-    reader-only 'quality' field defaulted to -1. The per-lang
-    aggregate over the re-read frame (including sum_quality = -n_docs,
-    which can only be right if the default rule fired on every row)
-    must hash-match the oracle computed on the ORIGINAL parquet —
-    value fidelity through encode→OCF bytes→resolve→decode.
+    run), with the full COMPLEX-TYPE surface in the writer schema — a
+    NESTED record (meta{lang,source}), an array<int> of derived token
+    counts, a map<string,long>, and a genuine 3-branch union
+    [null,long,string] — then re-read through the binaryFile source +
+    the spec's schema-resolution rules with an EVOLVED reader schema:
+    top-level fields reordered, the nested writer-only 'meta.source'
+    skipped, the nested reader-only 'meta.quality' defaulted to -1
+    (resolution applied RECURSIVELY inside the record), and the array
+    items promoted int→long. The per-lang aggregate over the re-read
+    frame (sum_quality = -n_docs proves the nested default fired on
+    every row; sum_tokens/sum_attr_n2/n_null_scores/sum_scores prove
+    array, map, and union values survived byte-exact) must hash-match
+    the oracle computed on the ORIGINAL parquet — value fidelity
+    through encode→OCF bytes→resolve→decode.
 
     Two-way interop with the JVM avro-1.12 library on Spark's own
     classpath (DataFileReader reads our bytes; our reader parses
@@ -316,14 +370,21 @@ def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content")
         .mapInPandas(
             _avro_read_parts,
-            "lang string, doc_id long, quality long, n_chars long, text string",
+            "lang string, doc_id long, quality long, n_chars long,"
+            " text_chars long, tok_sum long, attr_n2 long,"
+            " score_is_null boolean, score long",
         )
     )
     return back.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
-        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("text_chars").cast("bigint").alias("sum_text_chars"),
+        F.sum("tok_sum").cast("bigint").alias("sum_tokens"),
+        F.sum("attr_n2").cast("bigint").alias("sum_attr_n2"),
+        F.sum(F.col("score_is_null").cast("bigint")).cast("bigint")
+         .alias("n_null_scores"),
+        F.sum("score").cast("bigint").alias("sum_scores"),
         F.sum("quality").cast("bigint").alias("sum_quality"),
     )
 

@@ -841,3 +841,263 @@ def test_avro_resolution_type_mismatch_rejected_and_promotions_applied():
                              "default": "\u00ff\u0000"}]}
     back = read_ocf(payload, reader_schema=defaulted)
     assert back[0]["extra"] == b"\xff\x00"
+
+
+# ------------------------------------------------- Avro complex types
+
+_AVRO_COMPLEX_SCHEMA = {
+    "type": "record", "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "meta", "type": {
+            "type": "record", "name": "Meta",
+            "fields": [{"name": "lang", "type": "string"},
+                       {"name": "depth", "type": {
+                           "type": "record", "name": "Depth",
+                           "fields": [{"name": "x", "type": "int"}]}}]}},
+        {"name": "tokens", "type": {"type": "array", "items": "int"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {
+            "type": "enum", "name": "Kind", "symbols": ["A", "B", "C"]}},
+        {"name": "sig", "type": {"type": "fixed", "name": "Sig", "size": 4}},
+        {"name": "maybe", "type": ["null", "long", "string"]},
+        {"name": "ratio", "type": "float"},
+    ],
+}
+
+
+def _avro_complex_rows(n=20):
+    return [
+        {"id": i,
+         "meta": {"lang": "en" if i % 2 else "de", "depth": {"x": i * 3}},
+         "tokens": list(range(i % 5)),
+         "attrs": {} if i % 4 == 0 else {"n": i * 10, "d": -i},
+         "kind": "ABC"[i % 3],
+         "sig": bytes([i % 256, 0, 255, (i * 7) % 256]),
+         "maybe": None if i % 3 == 0 else (i if i % 3 == 1 else f"s{i}"),
+         "ratio": i * 0.5}
+        for i in range(n)
+    ]
+
+
+def test_avro_complex_types_roundtrip_both_codecs():
+    """Nested records (2 deep), arrays (incl. empty), maps (incl.
+    empty), enums, fixed, a genuine 3-branch union, and float — all
+    value-exact through OCF for both codecs."""
+    rows = _avro_complex_rows()
+    for codec in ("null", "deflate"):
+        back = read_ocf(write_ocf(_AVRO_COMPLEX_SCHEMA, rows, codec=codec,
+                                  rows_per_block=6))
+        assert back == rows, codec
+
+
+def test_avro_resolution_recurses_into_complex_types():
+    """The spec's resolution rules apply at every nesting level:
+    nested writer-only field dropped, nested reader-only field
+    defaulted, array items promoted int->long, union re-read, map
+    passed through, record-valued default materialized."""
+    reader = {
+        "type": "record", "name": "Doc",
+        "fields": [
+            {"name": "tokens", "type": {"type": "array", "items": "long"}},
+            {"name": "meta", "type": {
+                "type": "record", "name": "Meta",
+                "fields": [{"name": "quality", "type": "long",
+                            "default": -1},
+                           {"name": "lang", "type": "string"}]}},
+            {"name": "id", "type": "long"},
+            {"name": "maybe", "type": ["null", "long", "string"]},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "added_rec", "type": {
+                "type": "record", "name": "Extra",
+                "fields": [{"name": "a", "type": "long"},
+                           {"name": "b", "type": "string",
+                            "default": "dflt"}]},
+             "default": {"a": 9}},
+        ],
+    }
+    rows = _avro_complex_rows(7)
+    back = read_ocf(write_ocf(_AVRO_COMPLEX_SCHEMA, rows),
+                    reader_schema=reader)
+    for r, orig in zip(back, rows):
+        assert set(r) == {"tokens", "meta", "id", "maybe", "attrs",
+                          "added_rec"}
+        assert r["tokens"] == orig["tokens"]
+        assert r["meta"] == {"quality": -1, "lang": orig["meta"]["lang"]}
+        assert r["maybe"] == orig["maybe"]
+        assert r["attrs"] == orig["attrs"]
+        assert r["added_rec"] == {"a": 9, "b": "dflt"}
+
+
+def test_avro_enum_resolution_default_and_loud_error():
+    """Unknown writer symbols fall back to the reader enum's default;
+    with no default the symbol is a loud READ-time error (not a
+    silent wrong value)."""
+    import pytest
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "k", "type": {
+                  "type": "enum", "name": "K",
+                  "symbols": ["OLD", "KEEP"]}}]}
+    payload = write_ocf(schema, [{"k": "OLD"}, {"k": "KEEP"}])
+    with_default = {"type": "record", "name": "R",
+                    "fields": [{"name": "k", "type": {
+                        "type": "enum", "name": "K",
+                        "symbols": ["KEEP", "NEW"], "default": "NEW"}}]}
+    assert read_ocf(payload, reader_schema=with_default) == [
+        {"k": "NEW"}, {"k": "KEEP"}]
+    without_default = {"type": "record", "name": "R",
+                       "fields": [{"name": "k", "type": {
+                           "type": "enum", "name": "K",
+                           "symbols": ["KEEP"]}}]}
+    with pytest.raises(ValueError, match="absent from reader enum"):
+        read_ocf(payload, reader_schema=without_default)
+
+
+def test_avro_complex_resolution_mismatches_rejected():
+    import pytest
+
+    rows = _avro_complex_rows(2)
+    payload = write_ocf(_AVRO_COMPLEX_SCHEMA, rows)
+
+    def reader_with(field, ftype, **kw):
+        f = {"name": field, "type": ftype}
+        f.update(kw)
+        return {"type": "record", "name": "Doc", "fields": [f]}
+
+    # array of unpromotable items
+    with pytest.raises(ValueError, match="does not resolve"):
+        read_ocf(payload, reader_schema=reader_with(
+            "tokens", {"type": "array", "items": "string"}))
+    # fixed size mismatch
+    with pytest.raises(ValueError, match="does not resolve"):
+        read_ocf(payload, reader_schema=reader_with(
+            "sig", {"type": "fixed", "name": "Sig", "size": 5}))
+    # record name mismatch
+    with pytest.raises(ValueError, match="does not resolve"):
+        read_ocf(payload, reader_schema=reader_with(
+            "meta", {"type": "record", "name": "Renamed",
+                     "fields": [{"name": "lang", "type": "string"}]}))
+
+
+def test_avro_validator_rejects_out_of_subset():
+    import pytest
+
+    with pytest.raises(ValueError, match="named-type references"):
+        write_ocf({"type": "record", "name": "R",
+                   "fields": [{"name": "x", "type": "SomeRecord"}]}, [])
+    with pytest.raises(ValueError, match="unions may not contain"):
+        write_ocf({"type": "record", "name": "R",
+                   "fields": [{"name": "x",
+                               "type": ["null", ["long", "string"]]}]}, [])
+    with pytest.raises(ValueError, match="top-level schema"):
+        write_ocf({"type": "array", "items": "long"}, [])
+
+
+def test_avro_jvm_interop_complex_types(spark):
+    """Complex types against the independent avro-1.12 implementation
+    on Spark's classpath: our OCF bytes parse in DataFileReader
+    value-exact (nested record, array, map, enum), and
+    DataFileWriter's output parses in our reader."""
+    import json as _json
+    import tempfile as _tf
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record", "name": "C",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "M",
+                "fields": [{"name": "lang", "type": "string"}]}},
+            {"name": "toks", "type": {"type": "array", "items": "long"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "KK", "symbols": ["X", "Y"]}},
+        ],
+    }
+    rows = [
+        {"id": i, "meta": {"lang": f"l{i}"}, "toks": [i, i + 1],
+         "attrs": {"a": i * 2}, "kind": "XY"[i % 2]}
+        for i in range(10)
+    ]
+    # ours -> theirs
+    with _tf.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        f.write(write_ocf(schema, rows, codec="deflate"))
+        path = f.name
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rd.hasNext():
+        got.append(_json.loads(str(rd.next())))
+    rd.close()
+    assert got == rows
+    # theirs -> ours
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    wtr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    with _tf.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        path = f.name
+    wtr.create(jschema, jvm.java.io.File(path))
+    mschema = jschema.getField("meta").schema()
+    kschema = jschema.getField("kind").schema()
+    for r in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", r["id"])
+        m = jvm.org.apache.avro.generic.GenericData.Record(mschema)
+        m.put("lang", r["meta"]["lang"])
+        rec.put("meta", m)
+        arr = jvm.java.util.ArrayList()
+        for t in r["toks"]:
+            arr.add(t)
+        rec.put("toks", arr)
+        mp = jvm.java.util.HashMap()
+        for k, v in r["attrs"].items():
+            mp.put(k, v)
+        rec.put("attrs", mp)
+        rec.put("kind", jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            kschema, r["kind"]))
+        wtr.append(rec)
+    wtr.close()
+    with open(path, "rb") as f:
+        back = read_ocf(f.read())
+    assert back == rows
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries({
+            "id": st.integers(-(2**63), 2**63 - 1),
+            "meta": st.fixed_dictionaries({
+                "lang": st.text(max_size=10),
+                "depth": st.fixed_dictionaries(
+                    {"x": st.integers(-(2**31), 2**31 - 1)}),
+            }),
+            "tokens": st.lists(st.integers(-(2**31), 2**31 - 1),
+                               max_size=8),
+            "attrs": st.dictionaries(st.text(max_size=6),
+                                     st.integers(-(2**63), 2**63 - 1),
+                                     max_size=4),
+            "kind": st.sampled_from(["A", "B", "C"]),
+            "sig": st.binary(min_size=4, max_size=4),
+            "maybe": st.one_of(st.none(),
+                               st.integers(-(2**63), 2**63 - 1),
+                               st.text(max_size=12)),
+            "ratio": st.floats(allow_nan=False, width=32),
+        }),
+        min_size=0, max_size=12,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_avro_complex_roundtrip_property(rows, codec):
+    """Hypothesis over the full complex surface: any nesting of the
+    supported types survives OCF exactly (3-branch union included —
+    an int in 'maybe' must come back as the long branch, never the
+    string one)."""
+    back = read_ocf(write_ocf(_AVRO_COMPLEX_SCHEMA, rows, codec=codec,
+                              rows_per_block=5))
+    assert back == rows
