@@ -29,17 +29,25 @@ def test_flac_features_match_direct_decode(spark):
     rows = {r.asset_id: r for r in
             op251_flac_decode_features(spark, "unused").collect()}
     assert len(rows) == 120
+    # i%4==3 assets (e.g. 119) are STEREO in the round-7 corpus
     for i in (0, 1, 5, 42, 119):
         n = 300 + (i % 4) * 150
         k = np.arange(n, dtype=np.int64)
-        s = ((i * 17 + k * 13) % 1601 - 800).astype(np.int16)
+        nch = 2 if i % 4 == 3 else 1
+        chans = [((i * 17 + k * 13 + c * 29) % 1601 - 800)
+                 for c in range(nch)]
+        s = (np.stack(chans, axis=1) if nch == 2
+             else chans[0]).astype(np.int16)
         rate, back = decode_flac(encode_flac(s, _FLAC_RATE, blocksize=256))
         assert np.array_equal(back, s)
+        flat = s.astype(np.int64).reshape(-1)
         r = rows[i]
-        assert r.n_samples == n
-        assert r.sum_sq == int(np.sum(s.astype(np.int64) ** 2))
-        assert r.peak == int(np.max(np.abs(s)))
-        assert (r.first_s, r.last_s) == (int(s[0]), int(s[-1]))
+        assert r.channels == nch
+        assert r.n_samples == n * nch
+        assert r.duration_ms == n * 1000 // _FLAC_RATE
+        assert r.sum_sq == int(np.sum(flat ** 2))
+        assert r.peak == int(np.max(np.abs(flat)))
+        assert (r.first_s, r.last_s) == (int(flat[0]), int(flat[-1]))
 
 
 def test_flac_op_payloads_never_shuffle(spark):
