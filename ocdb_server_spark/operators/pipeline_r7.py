@@ -66,9 +66,13 @@ _FLAC_RATE = 8000
 # c, n = 300 + (i%4)*150 per channel (int16-safe; sawtooth-ish so
 # predictors genuinely compress). Assets with i%4==3 are STEREO
 # (channels 0/1), the rest mono; the encoder path varies per asset —
-# predictor lpc/fixed by i%2, stereo decorrelation mode cycling
-# through all four layouts by i//4 — so the oracle hash certifies
-# every subframe and channel-reconstruction path the decoder has.
+# predictor lpc/fixed by i%3 (i%3==0 spans both parities, so STEREO
+# assets get LPC too: each of the four stereo layouts pairs with LPC
+# somewhere in the corpus — i=3,51,99 independent, 39,87 left/side,
+# 27,75 right/side, 15,63,111 mid/side), stereo decorrelation mode
+# cycling through all four layouts by i//4 — so the oracle hash
+# certifies every subframe and channel-reconstruction path the
+# decoder has, including LPC on the 17-bit side channel.
 
 _OP251_SQL = f"""
 WITH a AS (SELECT range AS i FROM range(0, {_FLAC_N})),
@@ -119,7 +123,7 @@ def _gen_flac(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids.append(i)
             payloads.append(encode_flac(
                 s, _FLAC_RATE, blocksize=256,
-                predictor="lpc" if i % 2 == 0 else "fixed",
+                predictor="lpc" if i % 3 == 0 else "fixed",
                 stereo_mode=_FLAC_MODES[(i // 4) % 4],
             ))
         yield pd.DataFrame({"asset_id": ids, "payload": payloads})

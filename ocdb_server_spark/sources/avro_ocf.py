@@ -87,6 +87,21 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+def _block_counts(buf: io.BytesIO):
+    """Iterate the spec's block counts (arrays, maps, file metadata):
+    yields positive item counts until the 0 terminator; a NEGATIVE
+    count means abs(count) items preceded by the block's byte size
+    (read and discarded — we never skip blocks)."""
+    while True:
+        n = _zigzag_decode(buf)
+        if n == 0:
+            return
+        if n < 0:
+            n = -n
+            _zigzag_decode(buf)
+        yield n
+
+
 def _validate(t) -> None:
     """Recursive subset validator — rejects what we don't implement
     LOUDLY (named-type references, aliases, nested unions)."""
@@ -111,6 +126,13 @@ def _validate(t) -> None:
         if kind == "enum":
             if not t.get("symbols"):
                 raise ValueError("avro: enum needs symbols")
+            if "default" in t and t["default"] not in t["symbols"]:
+                # the spec requires the enum default to be a member of
+                # symbols; an unchecked typo here would let resolution
+                # emit a symbol outside the reader's own enum
+                raise ValueError(
+                    f"avro: enum default {t['default']!r} is not one of "
+                    f"its symbols {t['symbols']}")
             return
         if kind == "fixed":
             if not isinstance(t.get("size"), int):
@@ -135,7 +157,7 @@ def _kind(t) -> str:
         return "union"
     if isinstance(t, str):
         return t
-    return t["type"] if t["type"] not in _PRIMS else t["type"]
+    return t["type"]
 
 
 def _name(t) -> str:
@@ -144,9 +166,13 @@ def _name(t) -> str:
     return str(t.get("name", "")).rsplit(".", 1)[-1]
 
 
-def _matches(t, v) -> bool:
+def _matches(t, v, strict: bool = False) -> bool:
     """Writer-side union branch selection: does python value v belong
-    to schema branch t?"""
+    to schema branch t? With strict=True, int values do NOT match
+    float/double branches — union selection runs a strict pass first
+    so an int never binds to a float branch that happens to be listed
+    earlier (which would silently destroy precision: float32 cannot
+    hold 2^40+1)."""
     k = _kind(t)
     if k == "null":
         return v is None
@@ -157,6 +183,8 @@ def _matches(t, v) -> bool:
     if k in ("int", "long"):
         return isinstance(v, int) and not isinstance(v, bool)
     if k in ("float", "double"):
+        if strict:
+            return isinstance(v, float)
         return isinstance(v, (int, float)) and not isinstance(v, bool)
     if k == "string":
         return isinstance(v, str)
@@ -178,9 +206,12 @@ def _matches(t, v) -> bool:
 def _encode(t, v) -> bytes:
     k = _kind(t)
     if k == "union":
-        for i, branch in enumerate(t):
-            if _matches(branch, v):
-                return _zigzag_encode(i) + _encode(branch, v)
+        # strict pass first (exact-type branches), then the permissive
+        # pass (ints may widen into float/double if nothing exact exists)
+        for strict in (True, False):
+            for i, branch in enumerate(t):
+                if _matches(branch, v, strict=strict):
+                    return _zigzag_encode(i) + _encode(branch, v)
         raise ValueError(f"avro: value {v!r} matches no union branch {t}")
     if k == "null":
         if v is not None:
@@ -234,7 +265,14 @@ def _encode(t, v) -> bytes:
     if k == "record":
         out = bytearray()
         for f in t["fields"]:
-            out += _encode(f["type"], v.get(f["name"]))
+            if f["name"] not in v:
+                # defaults are a READER-side concept in the spec; a
+                # writer must supply every field — a missing key is a
+                # caller bug (typo'd field name), not a null
+                raise ValueError(
+                    f"avro: row missing field {f['name']!r} of record "
+                    f"{_name(t)}")
+            out += _encode(f["type"], v[f["name"]])
         return bytes(out)
     raise ValueError(f"avro: unsupported type {t}")
 
@@ -272,28 +310,18 @@ def _decode(t, buf: io.BytesIO):
         return syms[idx]
     if k == "array":
         out = []
-        while True:
-            n = _zigzag_decode(buf)
-            if n == 0:
-                return out
-            if n < 0:  # negative count: abs count preceded by byte size
-                n = -n
-                _zigzag_decode(buf)
+        for n in _block_counts(buf):
             for _ in range(n):
                 out.append(_decode(t["items"], buf))
+        return out
     if k == "map":
         out = {}
-        while True:
-            n = _zigzag_decode(buf)
-            if n == 0:
-                return out
-            if n < 0:
-                n = -n
-                _zigzag_decode(buf)
+        for n in _block_counts(buf):
             for _ in range(n):
                 klen = _zigzag_decode(buf)
                 key = buf.read(klen).decode("utf-8")
                 out[key] = _decode(t["values"], buf)
+        return out
     if k == "record":
         return {f["name"]: _decode(f["type"], buf) for f in t["fields"]}
     raise ValueError(f"avro: unsupported type {t}")
@@ -432,15 +460,10 @@ def _make_resolver(wt, rt):
 
         def read_array(buf):
             out = []
-            while True:
-                n = _zigzag_decode(buf)
-                if n == 0:
-                    return out
-                if n < 0:
-                    n = -n
-                    _zigzag_decode(buf)
+            for n in _block_counts(buf):
                 for _ in range(n):
                     out.append(item_fn(buf))
+            return out
         return read_array
 
     if wk == "map" and rk == "map":
@@ -448,17 +471,12 @@ def _make_resolver(wt, rt):
 
         def read_map(buf):
             out = {}
-            while True:
-                n = _zigzag_decode(buf)
-                if n == 0:
-                    return out
-                if n < 0:
-                    n = -n
-                    _zigzag_decode(buf)
+            for n in _block_counts(buf):
                 for _ in range(n):
                     klen = _zigzag_decode(buf)
                     key = buf.read(klen).decode("utf-8")
                     out[key] = val_fn(buf)
+            return out
         return read_map
 
     if wk == "enum" and rk == "enum":
@@ -546,7 +564,13 @@ def _default_of(t, v):
                 raise ValueError(
                     f"avro: record default missing field {f['name']}")
         return out
-    return v  # string, enum symbol
+    if k == "enum":
+        if v not in t["symbols"]:
+            raise ValueError(
+                f"avro: enum field default {v!r} is not one of "
+                f"{t['symbols']}")
+        return v
+    return v  # string
 
 
 def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
@@ -557,13 +581,7 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
     if buf.read(4) != _MAGIC:
         raise ValueError("avro: bad magic")
     meta: dict[str, bytes] = {}
-    while True:
-        n = _zigzag_decode(buf)
-        if n == 0:
-            break
-        if n < 0:  # negative count variant: abs count + byte size
-            n = -n
-            _zigzag_decode(buf)
+    for n in _block_counts(buf):
         for _ in range(n):
             klen = _zigzag_decode(buf)
             k = buf.read(klen).decode()

@@ -339,24 +339,37 @@ def _lpc_residual(block: np.ndarray, qc: list[int], shift: int) -> np.ndarray:
     return y[order:] - (pred >> shift)
 
 
+def _best_fixed(block: np.ndarray):
+    """Cheapest fixed-order plan for a block: (cost, order, res) or
+    None when the block is too short for order 0 (empty). Cost metric
+    = sum(|residual|), the classic order-selection estimator."""
+    bs = len(block)
+    best = None
+    for order in range(5):
+        if bs <= order:
+            continue
+        res = _fixed_residual(block, order)
+        cost = int(np.sum(np.abs(res)))
+        if best is None or cost < best[0]:
+            best = (cost, order, res)
+    return best
+
+
 def _subframe_plan(block: np.ndarray, predictor: str):
     """Choose the cheapest encoding for one channel's block.
 
     Returns ('constant', v) | ('verbatim',) | ('fixed', order, res)
-    | ('lpc', qc, shift, res). Cost metric = sum(|residual|), the
-    classic order-selection estimator."""
+    | ('lpc', qc, shift, res). predictor='lpc' skips the fixed
+    candidates entirely, pinning the LPC path (coverage knob for
+    op251/tests); 'auto' lets the cost estimator decide."""
     bs = len(block)
     if bs and np.all(block == block[0]):
         return ("constant", int(block[0]))
     best = None  # (cost, plan)
     if predictor in ("auto", "fixed"):
-        for order in range(5):
-            if bs <= order:
-                continue
-            res = _fixed_residual(block, order)
-            cost = int(np.sum(np.abs(res)))
-            if best is None or cost < best[0]:
-                best = (cost, ("fixed", order, res))
+        fx = _best_fixed(block)
+        if fx is not None:
+            best = (fx[0], ("fixed", fx[1], fx[2]))
     if predictor in ("auto", "lpc"):
         order = min(_MAX_LPC_ORDER, bs - 1)
         if order >= 1:
@@ -365,9 +378,7 @@ def _subframe_plan(block: np.ndarray, predictor: str):
                 qc, shift = lpc
                 res = _lpc_residual(block, qc, shift)
                 cost = int(np.sum(np.abs(res)))
-                # predictor='lpc' pins the LPC path (coverage knob for
-                # op251/tests); 'auto' lets the estimator decide
-                if best is None or cost < best[0] or predictor == "lpc":
+                if best is None or cost < best[0]:
                     best = (cost, ("lpc", qc, shift, res))
     if best is None:
         return ("verbatim",)
@@ -479,14 +490,8 @@ def _read_subframe(br: _BitReader, bs: int, bps: int) -> list[int]:
 
 def _est_cost(block: np.ndarray) -> int:
     """Stereo-mode chooser cost: best fixed-order sum(|res|)."""
-    best = None
-    for order in range(5):
-        if len(block) <= order:
-            continue
-        c = int(np.sum(np.abs(_fixed_residual(block, order))))
-        if best is None or c < best:
-            best = c
-    return best if best is not None else 0
+    fx = _best_fixed(block)
+    return fx[0] if fx is not None else 0
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int, blocksize: int = 256,
@@ -667,9 +672,9 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         else:
             raise ValueError("flac: reserved channel assignment")
         if nch != channels:
+            # channels was validated to 1/2 from STREAMINFO, so this
+            # also rejects >2-channel frames
             raise ValueError("flac: frame/stream channel-count mismatch")
-        if nch > 2:
-            raise ValueError("flac: more than 2 channels unsupported")
         _frame_no = _read_utf8_coded(br)
         if bs_code == 0b0110:
             bs = br.read(8) + 1

@@ -1101,3 +1101,53 @@ def test_avro_complex_roundtrip_property(rows, codec):
     back = read_ocf(write_ocf(_AVRO_COMPLEX_SCHEMA, rows, codec=codec,
                               rows_per_block=5))
     assert back == rows
+
+
+def test_avro_union_int_prefers_exact_branch_over_float():
+    """Round-7 review: an int value must bind to an int/long union
+    branch even when a float/double branch is listed FIRST — binding
+    to float32 would silently destroy precision (2^40+1 is not
+    float32-representable). Widening still happens when no exact
+    branch exists."""
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "x", "type": ["float", "long"]}]}
+    big = 2**40 + 1
+    back = read_ocf(write_ocf(w, [{"x": big}, {"x": 0.5}]))
+    assert back[0]["x"] == big and isinstance(back[0]["x"], int)
+    assert back[1]["x"] == 0.5 and isinstance(back[1]["x"], float)
+    # no exact branch: int may widen into double
+    w2 = {"type": "record", "name": "R",
+          "fields": [{"name": "x", "type": ["null", "double"]}]}
+    assert read_ocf(write_ocf(w2, [{"x": 3}])) == [{"x": 3.0}]
+
+
+def test_avro_missing_writer_field_raises():
+    """Round-7 review: defaults are reader-side; a row missing a
+    writer-schema field is a caller bug (typo) and must raise, not
+    encode str(None)/false/empty silently."""
+    import pytest
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "s", "type": "string"}]}
+    with pytest.raises(ValueError, match="missing field 's'"):
+        write_ocf(schema, [{"z": "typo"}])
+
+
+def test_avro_enum_default_must_be_a_symbol():
+    """Round-7 review: the spec requires an enum's default to be one
+    of its symbols; a typo'd default would otherwise let resolution
+    emit a symbol outside the reader's own enum."""
+    import pytest
+
+    bad = {"type": "record", "name": "R",
+           "fields": [{"name": "k", "type": {
+               "type": "enum", "name": "K",
+               "symbols": ["KEEP"], "default": "KEP"}}]}
+    with pytest.raises(ValueError, match="not one of its symbols"):
+        write_ocf(bad, [{"k": "KEEP"}])
+    with pytest.raises(ValueError, match="not one of its symbols"):
+        read_ocf(write_ocf(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "k", "type": {
+                 "type": "enum", "name": "K", "symbols": ["KEEP"]}}]},
+            [{"k": "KEEP"}]), reader_schema=bad)
