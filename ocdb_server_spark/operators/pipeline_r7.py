@@ -7,22 +7,26 @@ land on stale re-certification):
 
 - op251: FLAC decode — the last closable codec family (lossless
   compressed audio): sources/flac.py implements the public FLAC spec
-  subset (fixed predictors 0-4, Rice residuals with partitioning and
-  raw escapes, CRC-8/CRC-16, STREAMINFO MD5) and the op hash-certifies
-  the full encode→bytes→decode→features path against a closed-form SQL
-  oracle that recomputes the features from the sample-generation
-  formula without seeing a byte (op205's oracle pattern — losslessness
-  makes it applicable verbatim).
+  subset (fixed predictors 0-4 AND LPC subframes to order 8, mono AND
+  stereo in all four channel layouts, wasted bits, Rice residuals
+  with partitioning and raw escapes, CRC-8/CRC-16, STREAMINFO MD5)
+  and the op hash-certifies the full encode→bytes→decode→features
+  path against a closed-form SQL oracle that recomputes the features
+  from the sample-generation formula without seeing a byte (op205's
+  oracle pattern — losslessness makes it applicable verbatim); the
+  corpus pairs every predictor with every channel layout.
 - op252: Avro Object Container File round-trip — the one mainstream
   interchange format addable without jars: sources/avro_ocf.py
   implements the public Avro binary encoding + OCF layout (null and
-  deflate codecs) with spec schema RESOLUTION; the op writes one OCF
+  deflate codecs, nested records/arrays/maps/enums/fixed/unions) with
+  spec schema RESOLUTION compiled recursively; the op writes one OCF
   file per partition executor-side, re-reads them with an EVOLVED
-  reader schema (field reorder + writer-only field dropped +
-  reader-only defaulted field), and the re-read aggregate must
-  hash-match the oracle computed on the ORIGINAL parquet. Two-way
-  interop with the JVM avro-1.12 library on Spark's classpath is
-  pinned in tests/test_codecs.py (the javax.imageio pattern).
+  reader schema (top-level reorder + NESTED writer-only field dropped
+  + NESTED reader-only field defaulted + array items promoted
+  int→long), and the re-read aggregate must hash-match the oracle
+  computed on the ORIGINAL parquet. Two-way interop with the JVM
+  avro-1.12 library on Spark's classpath is pinned in
+  tests/test_codecs.py (the javax.imageio pattern).
 - op253: DAMPED-TREND Holt forecasting (op231's completion, §7.6
   round-7 item 2): φ=1/2 damping is one more halving term in the
   integer recurrence, so level/trend/h=1..5 forecasts stay bit-exact
