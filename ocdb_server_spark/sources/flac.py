@@ -247,6 +247,10 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, blocksize: int,
         raw_bits = int(np.max(np.abs(part)) if len(part) else 0).bit_length() + 1
         rice_bits = int(np.sum(u >> k)) + len(u) * (k + 1)
         if len(part) and rice_bits > raw_bits * len(part):
+            if raw_bits > 31:
+                # 5-bit width field; writing would silently truncate
+                # to raw_bits&31 and emit an undecodable stream
+                raise ValueError("flac: residual too wide for raw escape")
             bw.write(0b1111, 4)
             bw.write(raw_bits, 5)
             for r in part:
@@ -377,9 +381,15 @@ def _subframe_plan(block: np.ndarray, predictor: str):
             if lpc is not None:
                 qc, shift = lpc
                 res = _lpc_residual(block, qc, shift)
-                cost = int(np.sum(np.abs(res)))
-                if best is None or cost < best[0]:
-                    best = (cost, ("lpc", qc, shift, res))
+                # the raw-escape width field is 5 bits (<=31); a
+                # pathological quantization (|qc| near the 2^11 clamp
+                # at shift 0) could need more — reject that candidate
+                # rather than emit an unrepresentable residual
+                if (len(res) == 0
+                        or int(np.max(np.abs(res))).bit_length() + 1 <= 31):
+                    cost = int(np.sum(np.abs(res)))
+                    if best is None or cost < best[0]:
+                        best = (cost, ("lpc", qc, shift, res))
     if best is None:
         return ("verbatim",)
     return best[1]

@@ -1151,3 +1151,29 @@ def test_avro_enum_default_must_be_a_symbol():
              "fields": [{"name": "k", "type": {
                  "type": "enum", "name": "K", "symbols": ["KEEP"]}}]},
             [{"k": "KEEP"}]), reader_schema=bad)
+
+
+def test_flac_lpc_overwide_residual_guard():
+    """A pathological LPC quantization (|qc| near the 2^11 clamp at
+    shift 0) could need a residual wider than the 5-bit raw-escape
+    width field can declare (31 bits); the planner must reject such a
+    candidate (falling back to fixed/verbatim) and _write_residual
+    must raise rather than silently truncate the width."""
+    import pytest
+
+    import ocdb_server_spark.sources.flac as flac
+
+    # force the planner into the pathological quantization
+    orig = flac._lpc_analyze
+    flac._lpc_analyze = lambda block, order: ([2047] * 8, 0)
+    try:
+        s = (np.array([32767, -32768] * 200, np.int16))
+        enc = flac.encode_flac(s, 8000, predictor="lpc")
+        # plan rejected the unrepresentable LPC -> verbatim; still lossless
+        assert np.array_equal(flac.decode_flac(enc)[1], s)
+    finally:
+        flac._lpc_analyze = orig
+    # and the writer itself refuses an over-wide residual outright
+    bw = flac._BitWriter()
+    with pytest.raises(ValueError, match="too wide"):
+        flac._write_residual(bw, np.array([2**33]), 1, 0, 0)
