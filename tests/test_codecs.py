@@ -1177,3 +1177,57 @@ def test_flac_lpc_overwide_residual_guard():
     bw = flac._BitWriter()
     with pytest.raises(ValueError, match="too wide"):
         flac._write_residual(bw, np.array([2**33]), 1, 0, 0)
+
+
+def _flac_reheader(enc: bytes, n: int, bs_code: int, bs_field: bytes,
+                   rate_nibble: int | None = None) -> bytes:
+    """Rewrite the single frame header of a one-frame mono stream to
+    use a different blocksize/rate CODE (the spec's common-value codes
+    our encoder never emits, always writing explicit-16-bit), then
+    re-fix both CRCs. Subframe bits start byte-aligned right after the
+    header CRC-8, so the splice is exact."""
+    import struct
+
+    from ocdb_server_spark.sources.flac import _crc8, _crc16
+
+    # stream layout: fLaC(4) + block hdr(4) + STREAMINFO(34) = 42
+    frame_off = 42
+    frame = bytearray(enc[frame_off:])
+    # header: [0:2]=sync+flags, [2]=bs_code|rate, [3]=chan|size,
+    # [4]=coded frame no (0 for one frame), [5:7]=blocksize-1, [7]=crc8
+    assert frame[4] == 0
+    hdr = bytearray(frame[:5])
+    hdr[2] = (bs_code << 4) | (frame[2] & 0x0F)
+    if rate_nibble is not None:
+        hdr[2] = (hdr[2] & 0xF0) | rate_nibble
+    hdr += bs_field
+    body = bytes(hdr) + bytes([_crc8(bytes(hdr))]) + bytes(frame[8:-2])
+    return (enc[:frame_off] + body
+            + struct.pack(">H", _crc16(body)))
+
+
+def test_flac_decodes_common_blocksize_and_rate_codes():
+    """The decoder accepts the spec's common-value blocksize codes
+    (192, 576<<n, 256<<n, 8-bit explicit) and the rate-from-
+    STREAMINFO code, which our encoder never emits (it always writes
+    explicit 16-bit + a rate table code) — exercise those read paths
+    with spliced conformant headers."""
+    for n, bs_code, field in (
+        (192, 0b0001, b""),                       # common value 192
+        (576, 0b0010, b""),                       # 576 << 0
+        (256, 0b1000, b""),                       # 256 << 0
+        (200, 0b0110, bytes([199])),              # explicit 8-bit
+    ):
+        s = ((np.arange(n) * 37) % 1000 - 500).astype(np.int16)
+        enc = encode_flac(s, 8000, blocksize=1024)  # single frame
+        mod = _flac_reheader(enc, n, bs_code, field)
+        rate, back = decode_flac(mod)
+        assert rate == 8000
+        assert np.array_equal(back, s), bs_code
+    # rate code 0b0000: frame inherits the STREAMINFO rate
+    s = ((np.arange(300) * 11) % 800 - 400).astype(np.int16)
+    enc = encode_flac(s, 8000, blocksize=1024)
+    mod = _flac_reheader(enc, 300, 0b0111, bytes([(300 - 1) >> 8, (300 - 1) & 0xFF]),
+                         rate_nibble=0b0000)
+    rate, back = decode_flac(mod)
+    assert rate == 8000 and np.array_equal(back, s)
