@@ -1231,3 +1231,76 @@ def test_flac_decodes_common_blocksize_and_rate_codes():
                          rate_nibble=0b0000)
     rate, back = decode_flac(mod)
     assert rate == 8000 and np.array_equal(back, s)
+
+
+def test_flac_decodes_5bit_rice_method():
+    """Residual method 0b01 (5-bit Rice parameters) is decodable but
+    never emitted by our encoder (4-bit params suffice for 16-bit
+    audio) — hand-assemble a conformant frame that uses it."""
+    import struct
+
+    import ocdb_server_spark.sources.flac as flac
+
+    samples = ((np.arange(96) * 7) % 200 - 100).astype(np.int16)
+    n = len(samples)
+    # stream head: magic + STREAMINFO for mono/16-bit/8kHz
+    enc = bytearray(encode_flac(samples, 8000, blocksize=1024)[:42])
+    # frame header (explicit 16-bit blocksize, rate 8kHz=0b0100, mono)
+    hdr = flac._BitWriter()
+    hdr.write(flac._SYNC, 14)
+    hdr.write(0, 2)
+    hdr.write(0b0111, 4)
+    hdr.write(0b0100, 4)
+    hdr.write(0b0000, 4)
+    hdr.write(0b100, 3)
+    hdr.write(0, 1)
+    hdr.write(0, 8)              # frame number 0
+    hdr.write(n - 1, 16)
+    hbytes = hdr.bytes()
+    fw = flac._BitWriter()
+    for b in hbytes:
+        fw.write(b, 8)
+    fw.write(flac._crc8(hbytes), 8)
+    # subframe: fixed order 0, residual method 0b01, partition order 0
+    fw.write(0, 1)
+    fw.write(0b001000, 6)
+    fw.write(0, 1)
+    fw.write(0b01, 2)            # 5-bit param method
+    fw.write(0, 4)               # partition order 0
+    k = 4
+    fw.write(k, 5)               # the 5-bit parameter itself
+    for v in samples.astype(np.int64):
+        u = int(2 * v if v >= 0 else -2 * v - 1)
+        fw.write_unary(u >> k)
+        fw.write(u, k)
+    fw.align()
+    fbytes = fw.bytes()
+    enc += fbytes + struct.pack(">H", flac._crc16(fbytes))
+    rate, back = decode_flac(bytes(enc))
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+
+
+def test_flac_multibyte_coded_frame_numbers():
+    """A 130-frame stream pushes the frame index past 0x7F, exercising
+    the 2-byte UTF-8-style coded-number path on both sides."""
+    n = 130 * 192
+    s = ((np.arange(n) * 13) % 1601 - 800).astype(np.int16)
+    rate, back = decode_flac(encode_flac(s, 8000, blocksize=192))
+    assert np.array_equal(back, s)
+
+
+def test_flac_skips_extra_metadata_blocks():
+    """Real encoders emit PADDING/VORBIS_COMMENT blocks after
+    STREAMINFO; the decoder's metadata walker must skip unknown block
+    types and still find the frames."""
+    s = ((np.arange(400) * 3) % 500 - 250).astype(np.int16)
+    enc = bytearray(encode_flac(s, 8000))
+    # clear STREAMINFO's last-metadata flag, splice a PADDING block
+    assert enc[4] == 0x80
+    enc[4] = 0x00
+    pad = bytes([0x81]) + (8).to_bytes(3, "big") + b"\x00" * 8  # last|type=1
+    spliced = bytes(enc[:42]) + pad + bytes(enc[42:])
+    rate, back = decode_flac(spliced)
+    assert rate == 8000
+    assert np.array_equal(back, s)
