@@ -1304,3 +1304,43 @@ def test_flac_skips_extra_metadata_blocks():
     rate, back = decode_flac(spliced)
     assert rate == 8000
     assert np.array_equal(back, s)
+
+
+def test_avro_reads_negative_and_multi_block_arrays():
+    """The spec lets writers split an array/map into MULTIPLE blocks
+    and use NEGATIVE counts (abs count + byte size, for skipability).
+    Our writer emits a single positive block, so craft the variant
+    encodings by hand and require both the plain decode and the
+    resolving decode (int->long promotion) to read them."""
+    import json
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _MAGIC, _SYNC, _zigzag_encode)
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "xs",
+                          "type": {"type": "array", "items": "int"}}]}
+    # row payload: array in three blocks: [-2 size(2) 5 6] [1 7] [0]
+    items1 = _zigzag_encode(5) + _zigzag_encode(6)
+    row = (_zigzag_encode(-2) + _zigzag_encode(len(items1)) + items1
+           + _zigzag_encode(1) + _zigzag_encode(7)
+           + _zigzag_encode(0))
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"null"}
+    payload = bytearray(_MAGIC)
+    payload += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        payload += _zigzag_encode(len(k)) + k.encode()
+        payload += _zigzag_encode(len(v)) + v
+    payload += _zigzag_encode(0)
+    payload += _SYNC
+    payload += _zigzag_encode(1)          # one row in the file block
+    payload += _zigzag_encode(len(row))
+    payload += row
+    payload += _SYNC
+    assert read_ocf(bytes(payload)) == [{"xs": [5, 6, 7]}]
+    reader = {"type": "record", "name": "R",
+              "fields": [{"name": "xs",
+                          "type": {"type": "array", "items": "long"}}]}
+    assert read_ocf(bytes(payload), reader_schema=reader) == [
+        {"xs": [5, 6, 7]}]
