@@ -9,9 +9,12 @@ interoperable with the stdlib `wave` module in tests/test_codecs.py),
 and reduced to exact integer features. The DuckDB oracle recomputes
 the SAME features from the generation formulas without ever seeing a
 byte — so a hash match certifies the whole encode→bytes→decode→
-feature path, not just the plumbing. Compressed codecs (JPEG/MP3/
-H.264) remain honestly stubbed in sources/multimodal.py: those need
-real libraries this container lacks.
+feature path, not just the plumbing. Compressed codecs followed in
+later rounds: JPEG (op202/op203, sources/jpeg.py), PNG (op205),
+GIF (op222), FLAC (op251, sources/flac.py) — all real from-scratch
+decoders. Only MP3 and H.264 remain honestly stubbed in
+sources/multimodal.py: those need real libraries this container
+lacks.
 
 Scale shape: generation and decode are both mapInPandas stages —
 payload bytes live and die inside one task (never shuffled); only

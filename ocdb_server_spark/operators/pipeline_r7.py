@@ -358,8 +358,14 @@ def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of buffering the partition. The tiny ≤8-row manifest
     collect() forces the write before the read plan is returned —
     bounded, same class as sinks.py:38."""
+    # Per-process discriminator in the dir name: two concurrent
+    # sessions on the same sf_dir (parallel pytest workers, bench
+    # alongside tests) must not unlink files another session's lazy
+    # binaryFile plan is about to read (round-7 ADVICE).
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_spark_avro_docs_{tag}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"ocdb_spark_avro_docs_{tag}_{os.getpid()}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     for old in os.listdir(out_dir):
         os.unlink(os.path.join(out_dir, old))

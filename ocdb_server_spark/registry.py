@@ -152,18 +152,24 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     # an op that failed in r1 but passed in r3 is certified; one that
     # passed in r1 but erred in r3 is NOT.
     certified: dict[str, int] = {}
-    for fname in sorted(os.listdir(root)):
+    # Iterate in PARSED round order, not filename order: lexicographic
+    # sorting would put an unpadded r10 before r2 and make an older
+    # round's row override a newer one (round-7 ADVICE).
+    rounds: list[tuple[int, str]] = []
+    for fname in os.listdir(root):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            try:
-                rnd = int("".join(ch for ch in fname[len("CORRECTNESS_r"):-len(".json")] if ch.isdigit()) or 0)
-                with open(os.path.join(root, fname)) as f:
-                    for key, row in json.load(f).items():
-                        if _row_is_green(row):
-                            certified[key] = rnd
-                        else:
-                            certified.pop(key, None)
-            except Exception:
-                pass  # a malformed file must never break the registry
+            rnd = int("".join(ch for ch in fname[len("CORRECTNESS_r"):-len(".json")] if ch.isdigit()) or 0)
+            rounds.append((rnd, fname))
+    for rnd, fname in sorted(rounds):
+        try:
+            with open(os.path.join(root, fname)) as f:
+                for key, row in json.load(f).items():
+                    if _row_is_green(row):
+                        certified[key] = rnd
+                    else:
+                        certified.pop(key, None)
+        except Exception:
+            pass  # a malformed file must never break the registry
     costs: dict[str, float] = {}
     try:
         with open(os.path.join(root, "ocdb_server_spark", "op_costs.json")) as f:

@@ -220,7 +220,16 @@ def _encode(t, v) -> bytes:
     if k == "boolean":
         return b"\x01" if v else b"\x00"
     if k in ("int", "long"):
-        return _zigzag_encode(int(v))
+        # Range-check before encoding: an out-of-range value would
+        # still produce a decodable varint, i.e. a nonconformant
+        # stream that WE round-trip but spec-strict readers (the JVM
+        # avro interop partner) can misread — reject loudly instead
+        # (Avro 1.11 spec §"Primitive Types"; round-7 ADVICE).
+        iv = int(v)
+        bound = 31 if k == "int" else 63
+        if not -(1 << bound) <= iv < (1 << bound):
+            raise ValueError(f"avro: {iv!r} out of range for {k}")
+        return _zigzag_encode(iv)
     if k == "float":
         return struct.pack("<f", float(v))
     if k == "double":

@@ -41,7 +41,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+# Flags first, then the positional REP (round-7 ADVICE: `--keep` as
+# argv[1] used to crash int()).
+_POSITIONAL = [a for a in sys.argv[1:] if not a.startswith("-")]
+REP = int(_POSITIONAL[0]) if _POSITIONAL else 10
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10**9
 
@@ -86,12 +89,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ops = load_all()
 
+    # Build into a temp name and atomically rename on completion, so a
+    # run interrupted mid-build never leaves a partial dataset that a
+    # later run silently measures against (round-7 ADVICE).
     out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
     if not os.path.isdir(out_dir):
-        os.makedirs(out_dir, exist_ok=True)
+        build_dir = out_dir + f".building.{os.getpid()}"
+        os.makedirs(build_dir, exist_ok=True)
         for name in SINGLE:
             eio.load_table(spark, SRC, name).write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"{name}.parquet")
+                os.path.join(build_dir, f"{name}.parquet")
             )
         for name, keys in REPLICATED.items():
             src = eio.load_table(spark, SRC, name)
@@ -109,8 +116,9 @@ def main() -> None:
             for p in parts[1:]:
                 rep = rep.unionByName(p)
             rep.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"{name}.parquet")
+                os.path.join(build_dir, f"{name}.parquet")
             )
+        os.replace(build_dir, out_dir)
         print(f"built {out_dir} (REP={REP})", file=sys.stderr)
 
     def run(sf_dir: str) -> dict[str, float]:
