@@ -120,6 +120,9 @@ def main() -> None:
         floor = min(floor, time.perf_counter() - t0)
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    maxima: dict[str, float] = {}
+    floor_local: dict[str, float] = {}
     noop_timings: dict[str, float] = {}
     build_times: dict[str, float] = {}
     build_total = 0.0
@@ -129,12 +132,29 @@ def main() -> None:
         dt = time.perf_counter() - t0
         build_times[name] = round(dt, 4)
         build_total += dt
-        best = float("inf")
+        # Round-7 verdict item 2: one loaded sample (op42's 3.29× raw
+        # row in BENCH_r07) must never set a round's record without its
+        # own explanation. Emit the full dispersion per query —
+        # best/median/max of the 7 reps — PLUS a 1-task job floor
+        # co-measured immediately after the query's reps. A clean rep
+        # set (median ≈ best, local floor ≈ solo floor) certifies the
+        # best-of-7; a loaded one shows up as median>>best or an
+        # elevated local floor, pinning the cause in the record itself.
+        reps: list[float] = []
         for _ in range(7):
             t0 = time.perf_counter()
             df.toArrow()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings[name] = round(reps[0], 4)
+        medians[name] = round(reps[len(reps) // 2], 4)
+        maxima[name] = round(reps[-1], 4)
+        lf = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            floor_df.toArrow()
+            lf = min(lf, time.perf_counter() - t0)
+        floor_local[name] = round(lf, 4)
         # Transparency: the rounds-1-4 noop-write measurement, emitted
         # alongside so the methodology switch hides nothing — the gap
         # between the two IS the write-command overhead documented in
@@ -175,6 +195,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_max": maxima,
+                "job_floor_per_query": floor_local,
+                "dispersion_note": (
+                    "queries = best-of-7; queries_median/queries_max are "
+                    "the same 7 reps' dispersion and job_floor_per_query "
+                    "is a 1-task floor co-measured right after each "
+                    "query's reps — median >> best or an elevated local "
+                    "floor means that query's sample ran under external "
+                    "load, and the best-of-7 (not the loaded tail) is "
+                    "the engine's number"
+                ),
                 "queries_floor_adjusted": adjusted,
                 "yardstick_duckdb_ms": YARDSTICK_MS,
                 "yardstick_note": YARDSTICK_NOTE,
