@@ -48,7 +48,25 @@ def op02_scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
     return li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_extendedprice")
 
 
-@register("op03_source_csv_ingest", oracle=None)  # ROWS: no pre-registered view for the raw file
+# Oracle (round-7 verdict item 4, op204's pattern): the fixture's
+# records hand-transcribed from the FIXTURE text — independent of the
+# Spark parser, so a parse bug (delimiter, missing-token, field order)
+# breaks the hash. Same decimal literals cast to DOUBLE on both sides
+# → identical IEEE doubles.
+_OP03_SQL = """
+SELECT CAST(depth AS DOUBLE) AS depth, CAST(chl AS DOUBLE) AS chl,
+       CAST(wt AS DOUBLE) AS wt, CAST(sal AS DOUBLE) AS sal
+FROM (VALUES
+  (1.0, 0.52, 12.3, 35.1),
+  (2.5, NULL, 12.1, 35.0),
+  (5.0, 0.31, NULL, 34.9),
+  (7.5, 0.22, 11.8, NULL),
+  (10.0, NULL, 11.5, 34.7)
+) AS t(depth, chl, wt, sal)
+"""
+
+
+@register("op03_source_csv_ingest", oracle=_OP03_SQL)
 def op03_source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SeaBASS-style delimited ingest: header-driven delimiter, missing
     token → NULL, typed records (ref: SbFileReader.read [U]).
@@ -56,7 +74,9 @@ def op03_source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes a deterministic fixture file, parses it with the
     reader in ``ocdb_server_spark.sources.seabass`` (pure DataFrame ops:
     split + element_at + casts; the header is tiny and bounded so its
-    parse is driver-side).
+    parse is driver-side). The oracle restates the fixture rows as a
+    hand-transcribed VALUES table (op204's discipline), upgrading this
+    op from the rows-only check to the full hash gate.
     """
     from ocdb_server_spark.sources.seabass import FIXTURE, read_seabass
 
@@ -92,7 +112,19 @@ def op04_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op05_sink_parquet_roundtrip", oracle=None)  # ROWS: writes to tmp
+@register(
+    "op05_sink_parquet_roundtrip",
+    # The re-read aggregate must hash-match the same aggregate computed
+    # on the ORIGINAL parquet (op207/op209's discipline) — certifying
+    # the write→partition-discovery→read path end to end, not just
+    # that rows came back.
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
 def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + re-read (ref: zip export of query hits,
     store.py::download_store_files [U]).
@@ -100,7 +132,9 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes lineitem filtered to quantity>45 partitioned by
     l_returnflag (the 100 TB layout choice: partition by a
     low-cardinality pruning column), reads it back and counts per
-    partition — verifying partition discovery round-trips.
+    partition — verifying partition discovery round-trips. The oracle
+    computes the same per-flag counts on the original table, so a
+    dropped/duplicated partition breaks the hash.
     """
     # sf-tagged scratch: two concurrent runs at different scale factors
     # must never overwrite each other's files mid-read (op159/op172's
@@ -122,7 +156,23 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op106_sink_formats_roundtrip", oracle=None)  # ROWS: writes to tmp
+@register(
+    "op106_sink_formats_roundtrip",
+    # Each format's re-read (count, key checksum) must equal the same
+    # aggregate on the ORIGINAL orders table — one oracle row per
+    # format; a lossy roundtrip in any of the three breaks the hash.
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000.0
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS key_checksum
+      FROM src
+    )
+    SELECT f.format, s.n_rows, s.key_checksum
+    FROM (VALUES ('csv'), ('json'), ('orc')) AS f(format) CROSS JOIN s
+    """,
+)
 def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format breadth: the same filtered frame written and re-read as
     CSV (with header+schema), JSON-lines, and ORC; one output row per

@@ -18,7 +18,11 @@ silent drift):
     IVF codebook size K from fixed 45 to footer-derived ⌈√n⌉ (=23 at
     sf0.001), changing the probe set and hence the approximate
     top-10. Deterministic before and after (all ties key-broken);
-    the regeneration was belatedly absorbed into 2d3c180."""
+    the regeneration was belatedly absorbed into 2d3c180.
+  - round 8: op03/op05/op106 REMOVED from the snapshot (no hash
+    change — semantics untouched): they graduated to full SQL oracles
+    (round-7 verdict item 4), so the strict hash gate now covers them
+    and the weaker snapshot check no longer applies."""
 
 from __future__ import annotations
 
