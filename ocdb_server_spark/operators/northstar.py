@@ -403,106 +403,220 @@ def op83_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op104_multimodal_decode", oracle=None)
+# op104 corpus: 40 PNG images + 40 FLAC clips, all from closed-form
+# integer formulas, restated by the oracle without seeing a byte.
+_OP104_N = 40
+
+_OP104_SQL = f"""
+WITH img AS (SELECT range AS i,
+                    16 + (range % 5) * 8 AS w,
+                    12 + (range % 4) * 6 AS h
+             FROM range(0, {_OP104_N})),
+imgpx AS (SELECT img.i, img.w, img.h,
+                 (img.i * 13 + r.r * 7 + c.c * 3) % 256 AS v
+          FROM img, UNNEST(range(0, img.h)) r(r), UNNEST(range(0, img.w)) c(c)),
+imgrow AS (SELECT CAST(i AS BIGINT) AS asset_id,
+                  'image' AS modality,
+                  CAST(ANY_VALUE(w) AS BIGINT) AS dim_a,
+                  CAST(ANY_VALUE(h) AS BIGINT) AS dim_b,
+                  CAST(SUM(v) AS BIGINT) AS checksum
+           FROM imgpx GROUP BY i),
+aud AS (SELECT {_OP104_N} + range AS i,
+               200 + (({_OP104_N} + range) % 4) * 100 AS n
+        FROM range(0, {_OP104_N})),
+auds AS (SELECT aud.i, aud.n,
+                ((aud.i * 17 + k.k * 13) % 1601) - 800 AS v
+         FROM aud, UNNEST(range(0, aud.n)) k(k)),
+audrow AS (SELECT CAST(i AS BIGINT) AS asset_id,
+                  'audio' AS modality,
+                  CAST(ANY_VALUE(n) AS BIGINT) AS dim_a,
+                  CAST(8000 AS BIGINT) AS dim_b,
+                  CAST(SUM(v) AS BIGINT) AS checksum
+           FROM auds GROUP BY i)
+SELECT * FROM imgrow UNION ALL SELECT * FROM audrow
+"""
+
+
+@register("op104_multimodal_decode", oracle=_OP104_SQL)
 def op104_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column pipeline end-to-end: encode a payload
-    column derived from `documents`, decode it with the Arrow-batched
-    mapInPandas stage, aggregate decoded dimensions.
+    """Multimodal binary-column pipeline end-to-end, on REAL codecs
+    (round-7 verdict item 3 — this op ran the stubbed kernel until six
+    real decoders existed): ONE asset table carries mixed modalities
+    in a single opaque `binary` column beside typed metadata
+    (modality, mime), and one Arrow-batched mapInPandas decode stage
+    DISPATCHES per payload — image/png through sources/png.py's chunk
+    walk + CRC32 + inflate + filter reconstruction, audio/flac through
+    sources/flac.py's frame parser + LPC/fixed predictors + CRC/MD5
+    verify — emitting one unified fixed-width feature row per asset
+    (dim_a/dim_b/checksum = width/height/pixel-sum for images,
+    n_samples/rate/sample-sum for audio). Both formats are lossless,
+    so the DuckDB oracle recomputes every feature from the generation
+    formulas without ever seeing a byte: the hash certifies the
+    dispatch AND both codecs end to end.
 
-    ROWS-only: the payload column has no DuckDB-side table. The encode
-    stage packs a (width, height) header derived deterministically
-    from doc_id into opaque bytes — standing in for real media bytes —
-    then sources/multimodal.py's decode stage (the REAL plumbing a
-    production codec plugs into: schema, Arrow batch iteration, stubbed
-    per-payload kernel) recovers them. Both stages are mapInPandas with
-    zero shuffle; the only exchange is the final small aggregation.
-    At 100 TB the payload bytes stream batch-by-batch through Arrow —
-    never row-at-a-time pickling, never a shuffle of the binary column.
-    """
-    import struct
-
+    Scale shape: encode and decode live inside one mapInPandas task
+    each — payload bytes never shuffle, never hit the driver; only
+    80 fixed-width rows continue. At 100 TB the same plan reads a
+    (modality, date)-partitioned media lake where metadata-only
+    queries never touch the binary column."""
     import pandas as pd
 
-    from ocdb_server_spark.sources.multimodal import MEDIA_SCHEMA, decode_images
+    def gen_assets(it):
+        import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        from ocdb_server_spark.sources.flac import encode_flac
+        from ocdb_server_spark.sources.png import encode_png_gray
 
-    def encode(it):
-        for pdf in it:
-            w = (64 + (pdf["doc_id"] % 8) * 16).astype("int32")
-            h = (48 + (pdf["doc_id"] % 6) * 16).astype("int32")
-            payloads = [
-                struct.pack("<ii", int(wi), int(hi)) + b"\xab" * int(nc % 64)
-                for wi, hi, nc in zip(w, h, pdf["n_chars"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "modality": "image",
-                    "mime": "image/fake",
-                    "payload": payloads,
-                    "n_bytes": [len(p) for p in payloads],
-                }
-            )
-
-    assets = docs.mapInPandas(encode, schema=MEDIA_SCHEMA)
-    decoded = decode_images(assets, fake=True)
-    return decoded.groupBy("width", "height").agg(
-        F.count("*").cast("bigint").alias("n_assets"),
-        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
-    )
-
-
-@register("op130_multimodal_frame_sample", oracle=None)
-def op130_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing end-to-end: encode a synthetic
-    multi-frame payload per document (header + n_frames × frame_size
-    bytes, both derived deterministically from doc_id), then the
-    sources/multimodal.sample_frames mapInPandas stage emits every
-    4th frame's (asset_id, frame_idx, frame_crc), aggregated to
-    per-asset frame counts + a combined crc checksum.
-
-    ROWS-only: the payload has no DuckDB-side table; deterministic, so
-    golden-snapshotted in tests/test_rows_snapshot.py. Same scale
-    contract as op104: payload bytes stream through Arrow batches
-    inside one task, zero shuffle of binary data — only fixed-width
-    sampled-frame rows (and here, their small aggregate) continue."""
-    import struct as _struct
-
-    import pandas as pd
-
-    from ocdb_server_spark.sources.multimodal import MEDIA_SCHEMA, sample_frames
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def encode(it):
         for pdf in it:
             rows = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                n_frames = 2 + int(did) % 7
-                frame_size = 16 + int(nc) % 16
-                body = b"".join(
-                    bytes(((int(did) + k) % 251,)) * frame_size
-                    for k in range(n_frames)
-                )
-                rows.append(
-                    (
-                        int(did),
-                        "video",
-                        "video/fake",
-                        _struct.pack("<ii", n_frames, frame_size) + body,
-                        8 + n_frames * frame_size,
-                    )
-                )
+            for i in pdf["id"]:
+                i = int(i)
+                if i < _OP104_N:  # PNG image
+                    w, h = 16 + (i % 5) * 8, 12 + (i % 4) * 6
+                    r = np.arange(h, dtype=np.int64)[:, None]
+                    c = np.arange(w, dtype=np.int64)[None, :]
+                    px = ((i * 13 + r * 7 + c * 3) % 256).astype(np.uint8)
+                    rows.append((i, "image", "image/png", encode_png_gray(px)))
+                else:  # FLAC mono clip
+                    n = 200 + (i % 4) * 100
+                    k = np.arange(n, dtype=np.int64)
+                    s = ((i * 17 + k * 13) % 1601 - 800).astype(np.int16)
+                    rows.append((i, "audio", "audio/flac",
+                                 encode_flac(s, 8000, blocksize=256)))
             yield pd.DataFrame(
-                rows, columns=["asset_id", "modality", "mime", "payload", "n_bytes"]
+                rows, columns=["asset_id", "modality", "mime", "payload"]
             )
 
-    assets = docs.filter(F.col("doc_id") < 48).mapInPandas(
-        encode, schema=MEDIA_SCHEMA
+    def decode_dispatch(it):
+        import numpy as np
+
+        from ocdb_server_spark.sources.flac import decode_flac
+        from ocdb_server_spark.sources.png import decode_png_gray
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("asset_id", "modality", "dim_a", "dim_b", "checksum")}
+            for aid, modality, mime, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if mime == "image/png":
+                    w, h, px = decode_png_gray(payload)
+                    a, b, chk = w, h, int(px.astype(np.int64).sum())
+                elif mime == "audio/flac":
+                    rate, s = decode_flac(payload)
+                    s64 = np.asarray(s, dtype=np.int64).reshape(-1)
+                    a, b, chk = s64.size, rate, int(s64.sum())
+                else:
+                    raise ValueError(f"undecodable mime {mime!r}")
+                out["asset_id"].append(int(aid))
+                out["modality"].append(str(modality))
+                out["dim_a"].append(a)
+                out["dim_b"].append(b)
+                out["checksum"].append(chk)
+            yield pd.DataFrame(out)
+
+    assets = spark.range(2 * _OP104_N).repartition(8).mapInPandas(
+        gen_assets,
+        "asset_id long, modality string, mime string, payload binary",
     )
-    frames = sample_frames(assets, every=4)
-    return frames.groupBy("asset_id").agg(
-        F.count("*").cast("bigint").alias("n_sampled"),
-        F.sum("frame_crc").cast("bigint").alias("crc_sum"),
+    return assets.mapInPandas(
+        decode_dispatch,
+        "asset_id long, modality string, dim_a long, dim_b long,"
+        " checksum long",
+    )
+
+
+# op130 corpus: 24 animated GIFs, 2-8 full-size frames each, pixels
+# from a closed-form formula; the sampler keeps every 4th frame.
+_OP130_N = 24
+_OP130_EVERY = 4
+
+_OP130_SQL = f"""
+WITH a AS (SELECT range AS i,
+                  2 + (range % 7) AS nf,
+                  10 + (range % 5) * 4 AS w,
+                  8 + (range % 4) * 4 AS h
+           FROM range(0, {_OP130_N})),
+f AS (SELECT a.i, a.nf, a.w, a.h, k.k
+      FROM a, UNNEST(range(0, a.nf)) k(k)
+      WHERE k.k % {_OP130_EVERY} = 0),
+px AS (SELECT f.i, f.nf, f.k,
+              (f.i * 13 + f.k * 29 + r.r * 7 + c.c * 3) % 256 AS v
+       FROM f, UNNEST(range(0, f.h)) r(r), UNNEST(range(0, f.w)) c(c))
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_sampled,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY i
+"""
+
+
+@register("op130_multimodal_frame_sample", oracle=_OP130_SQL)
+def op130_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling on a REAL container (round-7 verdict
+    item 3 — synthetic payloads until the GIF codec existed): 24
+    multi-frame animated GIF89a streams (sources/gif.py
+    encode_gif_anim — NETSCAPE loop block, per-frame Graphic Control
+    Extensions, full LZW per frame) are decoded frame-by-frame and
+    SAMPLED — every 4th frame's exact pixel sum survives, the rest are
+    dropped inside the task. Output per asset: total frame count,
+    sampled count, summed sampled pixels. GIF is lossless, so the
+    DuckDB oracle regenerates the kept frames' pixels from the
+    closed-form formula — the hash certifies the multi-frame container
+    walk (extension skipping between frames included), the per-frame
+    LZW decode, AND the sampling arithmetic.
+
+    Scale shape: identical to op104 — payload bytes live and die
+    inside one mapInPandas task, only (asset_id, 3 counters) rows
+    continue; a production frame-sampler over H.264 swaps the codec
+    kernel, not the plan."""
+    import pandas as pd
+
+    def gen_gifs(it):
+        import numpy as np
+
+        from ocdb_server_spark.sources.gif import encode_gif_anim
+
+        for pdf in it:
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 2 + i % 7
+                w, h = 10 + (i % 5) * 4, 8 + (i % 4) * 4
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                frames = [
+                    ((i * 13 + k * 29 + r * 7 + c * 3) % 256).astype(np.uint8)
+                    for k in range(nf)
+                ]
+                ids.append(i)
+                payloads.append(encode_gif_anim(frames))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    def sample_frames(it):
+        import numpy as np
+
+        from ocdb_server_spark.sources.gif import decode_gif_frames
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("asset_id", "n_frames", "n_sampled", "px_sum")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                kept = frames[::_OP130_EVERY]
+                out["asset_id"].append(int(aid))
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(kept))
+                out["px_sum"].append(
+                    int(sum(px.astype(np.int64).sum() for _w, _h, px in kept))
+                )
+            yield pd.DataFrame(out)
+
+    gifs = spark.range(_OP130_N).repartition(8).mapInPandas(
+        gen_gifs, "asset_id long, payload binary"
+    )
+    return gifs.mapInPandas(
+        sample_frames,
+        "asset_id long, n_frames long, n_sampled long, px_sum long",
     )

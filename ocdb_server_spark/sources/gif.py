@@ -188,18 +188,53 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_gif_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a GIF87a/89a single-image stream: header, screen
-    descriptor, color tables, extensions skipped by sub-block
-    grammar, first image descriptor decoded. Returns (w, h, pixels)
-    where pixels are GRAY values via the palette (so the codec
-    round-trips non-grayscale-palette GIFs too, as long as the
-    palette is gray — asserted)."""
+def encode_gif_anim(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Multi-frame (animated) GIF89a: NETSCAPE 2.0 looping application
+    extension, then per frame a Graphic Control Extension (delay in
+    centiseconds) + full-screen image descriptor + LZW data. All
+    frames must share one (h, w); palette is the grayscale GCT, so —
+    like encode_gif_gray — the stream is lossless by construction and
+    a frame's palette index IS its gray value."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray()
+    out.extend(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+    for i in range(256):  # grayscale GCT
+        out.extend((i, i, i))
+    # NETSCAPE looping extension — an application-extension block the
+    # decoder must skip purely by sub-block grammar (coverage of the
+    # 0x21/0xFF path the single-image encoder never emits)
+    out.extend(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for frame in frames:
+        px = np.asarray(frame, dtype=np.uint8)
+        if px.shape != (h, w):
+            raise ValueError("all frames must share one (h, w)")
+        # graphic control extension: no disposal, no transparency
+        out.extend(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0))
+        out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        out.append(_MIN_CODE_SIZE)
+        out.extend(_sub_blocks(_lzw_encode(px.reshape(-1))))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[tuple[int, int, np.ndarray]]:
+    """Parse a GIF87a/89a stream and decode its image descriptors in
+    order (up to ``max_frames``): header, screen descriptor, color
+    tables, extensions skipped by sub-block grammar. Returns a list of
+    (w, h, pixels) per frame, pixels as GRAY values via the palette
+    (non-grayscale palettes rejected — asserted like the single-image
+    path)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None
+    frames: list[tuple[int, int, np.ndarray]] = []
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         palette = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
@@ -255,9 +290,20 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
                 out = np.empty_like(gray)
                 out[np.array(order, dtype=np.int64)] = gray
                 gray = out
-            return w, h, gray
+            frames.append((w, h, gray))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"unexpected block 0x{b0:02x}")
-    raise ValueError("no image data found")
+    if not frames:
+        raise ValueError("no image data found")
+    return frames
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """First-image decode (the single-image API op222 and the
+    javax.imageio interop tests use): identical walk to
+    decode_gif_frames, stopping at the first image descriptor."""
+    return decode_gif_frames(payload, max_frames=1)[0]
