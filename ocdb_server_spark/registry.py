@@ -207,6 +207,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r5b,
         pipeline_r6,
         pipeline_r7,
+        pipeline_r8,
         multimodal_codecs,
         udfs,
         northstar,
