@@ -223,3 +223,45 @@ def test_xml_roundtrip_exact_one_task_per_file(spark, sf_dir, tmp_path):
         assert nparts == len(files), (nparts, len(files))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_bzip2_single_file_splits_into_many_tasks(spark, sf_dir, tmp_path):
+    """op256's contract — the inverse of the gzip/xml assertions
+    above: ONE .bz2 JSONL file, once maxPartitionBytes is below the
+    file size, fans out to MULTIPLE input partitions (BZip2Codec is
+    splittable), and the split never tears a record: the re-read
+    row multiset matches the export exactly."""
+    import glob
+
+    from ocdb_server_spark.io import load_table
+
+    out = str(tmp_path / "bz2")
+    # keep the text column: without it the whole export compresses
+    # below one 4 KiB split and nothing CAN fan out
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    n = d.count()
+    (
+        d.coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .json(out)
+    )
+    files = glob.glob(out + "/*.bz2")
+    assert len(files) == 1, files
+    schema = "doc_id long, lang string, n_chars long"
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        back = spark.read.schema(schema).json(out)
+        nparts = back.rdd.getNumPartitions()
+        assert nparts > 1, (
+            f"single bz2 file read as {nparts} partition(s) — split never happened"
+        )
+        assert back.count() == n
+        orig = {(r.doc_id, r.lang, r.n_chars) for r in d.collect()}
+        rt = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+        assert orig == rt
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
