@@ -484,6 +484,17 @@ def _cms_bucket(key_expr: str, mult: int, int_div: str) -> str:
     return f"({_cms_mulmod32(key_expr, mult, int_div)} % {_CMS_W})"
 
 
+def _cms_py_bucket(word: str, mult: int) -> int:
+    """The SAME key → row-hash → bucket arithmetic as _cms_bucket,
+    evaluated driver-side on a literal probe word (md5 is stable
+    across engines; the modular arithmetic is exact in Python ints,
+    so this is bit-identical to what either engine computes)."""
+    import hashlib
+
+    key = int(hashlib.md5(word.encode()).hexdigest()[:6], 16)
+    return ((key * mult) % 4294967296) % _CMS_W
+
+
 def _op215_buckets_duck(src: str) -> str:
     """UNION ALL of the depth rows: (r, bucket, word) drawn from src —
     every branch carries its own FROM (a shared trailing FROM binds to
@@ -538,12 +549,21 @@ def op215_cms_pointquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic relational algebra, and the driver hash certifies
     build + merge + probe end to end.
 
-    Merge = Spark's own partial aggregation: each map task counts its
-    partition into ≤ depth×width rows before the exchange — the
-    map-side combine IS the sketch union, so a 100 TB build shuffles
-    (#tasks × 192) counter rows, never tokens. Probes join the
-    3-row-per-word bucket table against the 192-row counter table —
-    broadcast, trivially.
+    Merge = Spark's own partial aggregation — and because the probe
+    set is known at PLAN time, the sketch build folds further: the
+    probes' (row, bucket) cells are computed driver-side (same md5 →
+    _mulmod32 arithmetic, evaluated in Python on the literal words),
+    so the whole op is 6×(3 cell counts + 1 exact count) = 24
+    conditional aggregates over ONE token scan. Each map task emits a
+    single 24-counter partial row (that partial row IS the probed
+    slice of its partition's sketch; the union is the final reduce),
+    the exchange carries #tasks rows total, and a trailing `stack`
+    unpivots the 1-row result to the 6-row answer. One scan, one
+    tiny shuffle, zero joins — vs. the round-6 shape's two scans +
+    counter/probe/exact three-join cascade (~300 ms of stage floor
+    at every sf; round-7 bench profile). Materializing the full
+    192-cell sketch for AD-HOC probes is the op174 pattern; this op
+    certifies the point-query path where probes are literals.
 
     Estimate guarantee (est ≥ exact; est ≤ exact + εN w.h.p.) is
     asserted in tests/test_pipeline_r6.py."""
@@ -552,57 +572,38 @@ def op215_cms_pointquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    hash_rows = ", ".join(
-        f"({r}, {_cms_bucket(_CMS_KEY_SPARK, m, 'div')})"
-        for r, m in enumerate(_CMS_MULTS)
-    )
-    stack_expr = (
-        f"stack({len(_CMS_MULTS)}, "
-        + ", ".join(
-            f"{r}, {_cms_bucket(_CMS_KEY_SPARK, m, 'div')}"
+    # one projection computes the depth-3 bucket of every token once;
+    # the 24 conditional counts below all compare against literals
+    bucketed = toks.selectExpr(
+        "word",
+        *[
+            f"{_cms_bucket(_CMS_KEY_SPARK, m, 'div')} as b{r}"
             for r, m in enumerate(_CMS_MULTS)
-        )
-        + ") as (r, b)"
+        ],
     )
-    counters = (
-        toks.select("word")
-        .selectExpr("word", stack_expr)
-        .groupBy("r", "b")
-        .agg(F.count("*").cast("bigint").alias("c"))
+    aggs = []
+    for i, w in enumerate(_CMS_PROBES):
+        for r, m in enumerate(_CMS_MULTS):
+            cell = _cms_py_bucket(w, m)
+            aggs.append(
+                F.count(F.when(F.col(f"b{r}") == cell, True)).alias(
+                    f"c_{i}_{r}"
+                )
+            )
+        aggs.append(F.count(F.when(F.col("word") == w, True)).alias(f"x_{i}"))
+    one = bucketed.agg(*aggs)
+    branches = ", ".join(
+        f"'{w}', cast(least(c_{i}_0, c_{i}_1, c_{i}_2) as bigint),"
+        f" cast(x_{i} as bigint)"
+        for i, w in enumerate(_CMS_PROBES)
     )
-    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "word string")
-    probe_buckets = probes.selectExpr("word", stack_expr)
-    est = (
-        probe_buckets.join(F.broadcast(counters), ["r", "b"])
-        .groupBy("word")
-        .agg(F.min("c").alias("est"))
-    )
-    # exact side: filter to the probe set BEFORE aggregating — the
-    # probe list is a literal IN-predicate that reaches the scan, so
-    # the shuffle carries ≤|probes| words instead of the full
-    # vocabulary (round-7: answering 6 point queries must not cost a
-    # vocab-wide aggregation; identical result, the left join's
-    # coalesce already covers never-seen probes)
-    exact = (
-        probes.join(
-            toks.filter(F.col("word").isin(*_CMS_PROBES))
-            .groupBy("word")
-            .count(),
-            "word",
-            "left",
-        )
-        .select("word", F.coalesce(F.col("count"), F.lit(0)).alias("exact_n"))
-    )
-    return (
-        exact.join(F.broadcast(est), "word", "left")
-        .select(
-            "word",
-            F.coalesce(F.col("est"), F.lit(0)).cast("bigint").alias("cms_est"),
-            F.col("exact_n").cast("bigint"),
-            (F.coalesce(F.col("est"), F.lit(0)) - F.col("exact_n"))
-            .cast("bigint")
-            .alias("overcount"),
-        )
+    return one.selectExpr(
+        f"stack({len(_CMS_PROBES)}, {branches}) as (word, cms_est, exact_n)"
+    ).select(
+        "word",
+        "cms_est",
+        "exact_n",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
     )
 
 
