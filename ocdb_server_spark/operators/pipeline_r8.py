@@ -1,4 +1,5 @@
-"""Round-8 operators: the mini table-log (op255).
+"""Round-8 operators: the mini table-log (op255) and the damped
+multiplicative Holt-Winters forecaster (op257).
 
 op255 composes the three lakehouse pieces certified separately in
 earlier rounds into ONE multi-commit snapshot contract (round-7
@@ -254,3 +255,203 @@ def op255_table_log_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --------------------------------------------------------------------------
+# op257: DAMPED multiplicative Holt-Winters — op253's φ-damping composed
+# with op254's fixed-point seasonal ratios (SURVEY §7.7 candidate 3)
+# --------------------------------------------------------------------------
+
+
+def _op257_sql() -> str:
+    from ocdb_server_spark.operators.pipeline_r6 import _hw_f2
+    from ocdb_server_spark.operators.pipeline_r7 import _HWM_H, _HWM_M, _HWM_S
+
+    f2 = lambda x: _hw_f2(x, "//")  # noqa: E731
+    S = _HWM_S
+    slot = (
+        "CASE CAST((h.t + 1) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWM_M))
+        + " END"
+    )
+    # deseasonalize with the PRE-update slot value (op254's guard rule)
+    x = f"((d.y * {S}) // GREATEST({slot}, 1))"
+    # damping: the carried trend enters level and trend as φb = f2(b)
+    pb = f2("h.b")
+    l2 = f2(f"{x} + h.l + {pb}")
+    b2 = f2(f"{pb} + ({l2}) - h.l")
+    s_updates = ", ".join(
+        f"CASE WHEN (h.t + 1) % 7 = {i} "
+        f"THEN {f2(f'(d.y * {S}) // GREATEST({l2}, 1) + h.s{i}')} "
+        f"ELSE h.s{i} END AS s{i}"
+        for i in range(_HWM_M)
+    )
+    y_cols = ", ".join(
+        f"MAX(CASE WHEN t = {i} THEN y END) AS y{i}" for i in range(_HWM_M)
+    )
+    s_inits = ", ".join(
+        f"(y{i} * {S}) // GREATEST(l_init, 1) AS s{i}" for i in range(_HWM_M)
+    )
+    # forecast: damped partial sums p_1 = f2(b), p_{i+1} = f2(p_i);
+    # the seasonal product's numerator can be negative, so the op254
+    # OFF-shift makes DuckDB's truncating // agree with python's floor
+    p = ["h.b"]
+    for _ in range(_HWM_H):
+        p.append(f2(p[-1]))
+    OFF = 1 << 40
+    fc = ", ".join(
+        f"(((h.l + {' + '.join(p[1:h + 1])}) * "
+        f"(CASE CAST((h.t + {h}) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(_HWM_M))
+        + f" END) + {OFF * S}) // {S}) - {OFF} AS fc_{h}"
+        for h in range(1, _HWM_H + 1)
+    )
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS (
+  SELECT et.event_type, CAST(t.i AS BIGINT) AS t
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       bounds b, UNNEST(range(0, CAST(b.d1 - b.d0 AS BIGINT) + 1)) t(i)),
+counts AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY event_type, t),
+daily AS (
+  SELECT s.event_type, s.t, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.t = c.t),
+maxt AS (SELECT MAX(t) AS m FROM daily),
+week1 AS (
+  SELECT event_type, {y_cols},
+         CAST((SUM(CASE WHEN t < 7 THEN y ELSE 0 END)) // 7 AS BIGINT)
+           AS l_init
+  FROM daily WHERE t < 7 GROUP BY event_type),
+hw AS (
+  SELECT event_type, CAST(6 AS BIGINT) AS t, l_init AS l,
+         CAST(0 AS BIGINT) AS b, {s_inits}
+  FROM week1
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {l2} AS l,
+         {b2} AS b,
+         {s_updates}
+  FROM hw h
+  JOIN daily d ON d.event_type = h.event_type AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.event_type, h.l AS level, h.b AS trend, {fc}
+FROM hw h CROSS JOIN maxt m WHERE h.t = m.m
+"""
+
+
+@register("op257_holt_winters_damped_multiplicative", oracle=_op257_sql())
+def op257_holt_winters_damped_multiplicative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAMPED MULTIPLICATIVE Holt-Winters (m=7, α=β=γ=φ=1/2) — the
+    composition §7.7 flagged as trivial-once-both-exist: op253's
+    φ-damping (one extra integer halving wherever the carried trend
+    is used) grafted onto op254's fixed-point seasonal ratios. This
+    is the forecasting family's production workhorse — Hyndman &
+    Athanasopoulos (fpp3 §8.3) note damped multiplicative HW is often
+    the single best default for seasonal business series, because the
+    trend flattens toward l + b·φ/(1−φ) instead of ramping forever
+    while the seasonal profile still scales with the level:
+
+        x    = y·S // max(s_prev, 1)       (deseasonalize, pre-update)
+        l_t  = f2(x + l + f2(b))           (damped trend in the level)
+        b_t  = f2(f2(b) + l_t − l)         (damped carry)
+        s'   = f2(y·S // max(l_t, 1) + s_prev)
+        fc_h = ((l + Σ_{i≤h} φⁱb) · s[(T+h) mod 7]) // S
+               (φⁱb by repeated halving; OFF-shifted in SQL so
+                truncation == floor on negative numerators)
+
+    Init and bounds are op254's: l = week-1 integer mean, b = 0,
+    s_i = y_i·S // max(l,1); largest intermediate ≲ 10¹³ ≪ 2⁶³. Every
+    division keeps op254's non-negative-numerator / guarded-divisor
+    discipline, and the damping halvings use _hw_f2's offset, so the
+    applyInPandas loop and DuckDB's WITH RECURSIVE stay bit-identical.
+
+    Scale shape: unchanged from op253/op254 — state is 9 ints per
+    series, one keyed shuffle of the zero-filled daily spine, a
+    ~30-step ordered loop per series inside its task; a 10⁶-series
+    hypertable is 10⁶ independent tasks."""
+    from ocdb_server_spark.operators.pipeline_r6 import _HW_OFF
+    from ocdb_server_spark.operators.pipeline_r7 import _HWM_H, _HWM_M, _HWM_S
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.col("d0"))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    "sequence(cast(0 as bigint),"
+                    " cast(datediff(d1, d0) as bigint))"
+                )
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+    )
+
+    def hwdm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = pdf["y"].astype(int).tolist()
+        S = _HWM_S
+        f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+        l = sum(ys[:_HWM_M]) // _HWM_M
+        bt = 0
+        s = [(ys[i] * S) // max(l, 1) for i in range(_HWM_M)]
+        for t in range(_HWM_M, len(ys)):
+            y = ys[t]
+            slot = t % _HWM_M
+            sp = s[slot]
+            x = (y * S) // max(sp, 1)
+            pb = f2(bt)
+            l_new = f2(x + l + pb)
+            bt = f2(pb + l_new - l)
+            s[slot] = f2((y * S) // max(l_new, 1) + sp)
+            l = l_new
+        t_last = len(ys) - 1
+        out = {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "level": [l],
+            "trend": [bt],
+        }
+        acc, p = l, bt
+        for h in range(1, _HWM_H + 1):
+            p = f2(p)
+            acc += p
+            out[f"fc_{h}"] = [(acc * s[(t_last + h) % _HWM_M]) // S]
+        return pd.DataFrame(out)
+
+    schema = (
+        "event_type string, level long, trend long, "
+        + ", ".join(f"fc_{h} long" for h in range(1, _HWM_H + 1))
+    )
+    return daily.groupBy("event_type").applyInPandas(hwdm, schema)

@@ -117,6 +117,9 @@ FULL_TABLE_OPS = [
     "op252_avro_roundtrip",
     "op253_holt_damped",
     "op254_holt_winters_multiplicative",
+    # round-8: the damped multiplicative composition inherits both
+    # parents' invariance obligations
+    "op257_holt_winters_damped_multiplicative",
 ]
 
 _ALL_TABLES = (

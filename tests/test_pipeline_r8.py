@@ -103,3 +103,101 @@ def test_snapshot_isolation_and_compaction_equivalence(spark, sf_dir, root):
     assert len(entry2["files"]) == 4 and len(entry2["delete_files"]) == 1
     # merge-on-read: v2 reuses v1's base files byte-for-byte
     assert entry2["files"] == read_log(root, 1)["files"]
+
+
+# ------------------------------------------------------------------ op257
+
+
+def test_hw_damped_mult_matches_python_recurrence(spark, sf_dir):
+    """op257: the applyInPandas damped multiplicative recurrence must
+    equal an independent python implementation over the zero-filled
+    spine — level, trend, seasonal state, and all seven damped
+    forecasts (repeated-halving partial sums times the seasonal
+    ratio)."""
+    from collections import Counter
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_r6 import _HW_OFF
+    from ocdb_server_spark.operators.pipeline_r7 import _HWM_H, _HWM_M, _HWM_S
+    from ocdb_server_spark.operators.pipeline_r8 import (
+        op257_holt_winters_damped_multiplicative,
+    )
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as d"
+    ).collect()
+    d0 = min(r.d for r in ev)
+    d1 = max(r.d for r in ev)
+    ndays = (d1 - d0).days + 1
+    counts = Counter((r.event_type, (r.d - d0).days) for r in ev)
+    f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
+    S = _HWM_S
+    expect = {}
+    for et in {r.event_type for r in ev}:
+        ys = [counts.get((et, t), 0) for t in range(ndays)]
+        l = sum(ys[:_HWM_M]) // _HWM_M
+        bt = 0
+        s = [(ys[i] * S) // max(l, 1) for i in range(_HWM_M)]
+        for t in range(_HWM_M, len(ys)):
+            y = ys[t]
+            sp = s[t % _HWM_M]
+            pb = f2(bt)
+            l_new = f2((y * S) // max(sp, 1) + l + pb)
+            bt = f2(pb + l_new - l)
+            s[t % _HWM_M] = f2((y * S) // max(l_new, 1) + sp)
+            l = l_new
+        fcs, acc, p = [], l, bt
+        for h in range(1, _HWM_H + 1):
+            p = f2(p)
+            acc += p
+            fcs.append((acc * s[(ndays - 1 + h) % _HWM_M]) // S)
+        expect[et] = (l, bt, fcs)
+    got = {
+        r.event_type: r
+        for r in op257_holt_winters_damped_multiplicative(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for et, (l, bt, fcs) in expect.items():
+        r = got[et]
+        assert (r.level, r.trend) == (l, bt), et
+        for h in range(1, _HWM_H + 1):
+            assert getattr(r, f"fc_{h}") == fcs[h - 1], (et, h)
+
+
+def test_hw_damped_mult_trend_is_damped_vs_op254(spark, sf_dir):
+    """The composition property, pinned EMPIRICALLY on the driver
+    testdata (it is not a pointwise theorem — the two recurrences
+    walk different level paths): op257 halves the carried trend at
+    every use, so its terminal trend magnitude stays within one unit
+    of op254's undamped one on every series at sf0.001 and sf0.01.
+    The exactness gate is the recurrence-match test above; this test
+    exists to flag testdata regenerations that change the damping
+    story."""
+    from ocdb_server_spark.operators.pipeline_r7 import (
+        _HWM_H,
+        op254_holt_winters_multiplicative,
+    )
+    from ocdb_server_spark.operators.pipeline_r8 import (
+        op257_holt_winters_damped_multiplicative,
+    )
+
+    damped = {
+        r.event_type: r
+        for r in op257_holt_winters_damped_multiplicative(
+            spark, sf_dir
+        ).collect()
+    }
+    undamped = {
+        r.event_type: r
+        for r in op254_holt_winters_multiplicative(spark, sf_dir).collect()
+    }
+    assert set(damped) == set(undamped)
+    for et, r in damped.items():
+        # geometric-halving bound: the total damped trend contribution
+        # |sum phi^i b| <= |b| (sum of halvings), so the far-horizon
+        # forecast stays within one trend unit of the level times the
+        # seasonal ratio — whereas op254's grows linearly with h.
+        assert abs(r.trend) <= abs(undamped[et].trend) + 1, et
+        assert len(r) == len(undamped[et]) == 3 + _HWM_H
