@@ -519,8 +519,13 @@ probes(word) AS (VALUES {probes}),
 probe_buckets AS (
   {_op215_buckets_duck('probes')}),
 est AS (
-  SELECT pb.word, MIN(c.c) AS est
-  FROM probe_buckets pb JOIN counters c ON pb.r = c.r AND pb.b = c.b
+  -- LEFT join + COALESCE 0: an EMPTY probe cell is a zero counter
+  -- (true CMS semantics — est is then 0 no matter what the other
+  -- rows hold). An inner join would silently drop empty cells and
+  -- take MIN over the non-empty ones only, diverging from the
+  -- Spark side on token-sparse corpora.
+  SELECT pb.word, MIN(COALESCE(c.c, 0)) AS est
+  FROM probe_buckets pb LEFT JOIN counters c ON pb.r = c.r AND pb.b = c.b
   GROUP BY pb.word),
 exact AS (
   SELECT p.word, CAST(COUNT(w.word) AS BIGINT) AS exact_n

@@ -49,7 +49,6 @@ cross-engine floats quantized to int64 before any sum.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -58,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.registry import register
+from ocdb_server_spark.scratch import scratch_dir
 
 
 # --------------------------------------------------------------------------
@@ -358,17 +358,11 @@ def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of buffering the partition. The tiny ≤8-row manifest
     collect() forces the write before the read plan is returned —
     bounded, same class as sinks.py:38."""
-    # Per-process discriminator in the dir name: two concurrent
-    # sessions on the same sf_dir (parallel pytest workers, bench
-    # alongside tests) must not unlink files another session's lazy
-    # binaryFile plan is about to read (round-7 ADVICE).
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"ocdb_spark_avro_docs_{tag}_{os.getpid()}"
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        os.unlink(os.path.join(out_dir, old))
+    # Per-process dir (concurrent sessions must not unlink files
+    # another session's lazy binaryFile plan is about to read) with
+    # dead-PID reaping so repeated runs don't accumulate table copies
+    # in /tmp — both halves of the policy live in scratch.scratch_dir.
+    out_dir = scratch_dir("avro_docs", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

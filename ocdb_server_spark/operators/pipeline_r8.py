@@ -23,12 +23,12 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.registry import register
+from ocdb_server_spark.scratch import scratch_dir
 
 
 # --------------------------------------------------------------------------
@@ -224,13 +224,10 @@ def op255_table_log_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZE's cost); v2 moves (path, bigint) pairs. Reads are
     file-pruned unions + one broadcast anti-join — no shuffle of the
     base anywhere."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"ocdb_spark_tablelog_{tag}_{os.getpid()}"
-    )
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
+    # per-process root + dead-PID reaping (scratch.scratch_dir):
+    # isolation from concurrent sessions without accumulating a table
+    # copy per historical PID in /tmp
+    root = scratch_dir("tablelog", sf_dir)
     build_table_log(spark, sf_dir, root)
 
     frames = []

@@ -475,8 +475,13 @@ def op256_bzip2_splittable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         StructType,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_bz2_jsonl_{tag}")
+    # per-process dir + dead-PID reaping (scratch.scratch_dir): a
+    # fixed sf-keyed dir would let a concurrent session overwrite the
+    # single .bz2 file between this op's write and the driver's lazy
+    # evaluation of the returned read plan (round-8 review)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("bz2_jsonl", sf_dir), "export")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )

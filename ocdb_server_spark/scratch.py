@@ -1,0 +1,62 @@
+"""Per-process scratch directories for sink / round-trip operators.
+
+Two hazards pull in opposite directions (round-7 ADVICE + round-8
+review):
+
+- CONCURRENCY: a fixed dir keyed only by the sf tag lets one session
+  unlink files another session's lazy plan (binaryFile, json reader)
+  is about to read — so the dir name must carry a per-process
+  discriminator.
+- LITTER: a per-PID dir with cleanup code that only ever targets its
+  own PID's dir is never deleted once the process exits — repeated
+  pytest/bench runs would accumulate one full table copy per
+  historical PID until the disk fills.
+
+`scratch_dir` resolves both: the caller gets a fresh
+`ocdb_spark_{kind}_{tag}_{pid}` dir, and before creating it the call
+REAPS sibling dirs of the same (kind, tag) prefix whose owning
+process is gone. Live processes' dirs are never touched; at any
+moment at most one dir per (kind, tag, live process) exists.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if `pid` names a live process we must not disturb.
+    PermissionError means the pid exists but belongs to another user
+    — treat as alive (never reap what we cannot verify is dead)."""
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def scratch_dir(kind: str, sf_dir: str) -> str:
+    """Return a fresh, empty scratch dir private to this process for
+    (kind, sf_dir), reaping same-prefix dirs left by dead processes."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = tempfile.gettempdir()
+    prefix = f"ocdb_spark_{kind}_{tag}_"
+    try:
+        for name in os.listdir(base):
+            if not name.startswith(prefix):
+                continue
+            suffix = name[len(prefix):]
+            if not suffix.isdigit() or not _pid_alive(int(suffix)):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    except OSError:
+        pass  # an unreadable tempdir must not fail the operator
+    mine = os.path.join(base, prefix + str(os.getpid()))
+    shutil.rmtree(mine, ignore_errors=True)
+    os.makedirs(mine, exist_ok=True)
+    return mine

@@ -41,6 +41,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ocdb_server_spark.scratch import _pid_alive  # noqa: E402
+
 # Flags first, then the positional REP (round-7 ADVICE: `--keep` as
 # argv[1] used to crash int()).
 _POSITIONAL = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -93,6 +95,17 @@ def main() -> None:
     # run interrupted mid-build never leaves a partial dataset that a
     # later run silently measures against (round-7 ADVICE).
     out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
+    # reap .building litter from crashed/interrupted runs (the rename
+    # below cleans up the happy path; Ctrl-C mid-build does not) —
+    # only dirs whose owning PID is gone, never a concurrent builder's
+    for name in os.listdir(tempfile.gettempdir()):
+        marker = f"ocdb_stress_sf1_rep{REP}.building."
+        if name.startswith(marker) and name[len(marker):].isdigit():
+            if not _pid_alive(int(name[len(marker):])):
+                shutil.rmtree(
+                    os.path.join(tempfile.gettempdir(), name),
+                    ignore_errors=True,
+                )
     if not os.path.isdir(out_dir):
         build_dir = out_dir + f".building.{os.getpid()}"
         os.makedirs(build_dir, exist_ok=True)
@@ -118,8 +131,17 @@ def main() -> None:
             rep.write.mode("overwrite").parquet(
                 os.path.join(build_dir, f"{name}.parquet")
             )
-        os.replace(build_dir, out_dir)
-        print(f"built {out_dir} (REP={REP})", file=sys.stderr)
+        try:
+            os.replace(build_dir, out_dir)
+            print(f"built {out_dir} (REP={REP})", file=sys.stderr)
+        except OSError:
+            # a concurrent run won the publish race (rename(2) onto a
+            # non-empty dir fails) — use theirs, drop ours
+            if os.path.isdir(out_dir):
+                shutil.rmtree(build_dir, ignore_errors=True)
+                print(f"using concurrently built {out_dir}", file=sys.stderr)
+            else:
+                raise
 
     def run(sf_dir: str) -> dict[str, float]:
         eio.clear_cache()

@@ -265,3 +265,37 @@ def test_bzip2_single_file_splits_into_many_tasks(spark, sf_dir, tmp_path):
         assert orig == rt
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_scratch_dir_isolation_and_reaping(tmp_path, monkeypatch):
+    """scratch_dir must (a) give each process its own dir, (b) reap
+    same-prefix dirs whose owning PID is dead, (c) leave live PIDs'
+    dirs and foreign names untouched."""
+    import os
+
+    from ocdb_server_spark import scratch
+
+    monkeypatch.setattr(
+        scratch.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    # a dead-PID sibling (no live pid is > pid_max), a live-PID
+    # sibling (our own pid in a different kind), and a foreign dir
+    dead = tmp_path / "ocdb_spark_demo_sf0_001_99999999"
+    foreign = tmp_path / "ocdb_spark_demo_sf0_001_notapid"
+    other_tag = tmp_path / "ocdb_spark_demo_sf0_01_99999999"
+    for d in (dead, foreign, other_tag):
+        d.mkdir()
+        (d / "f").write_text("x")
+
+    mine = scratch.scratch_dir("demo", "/data/sf0.001")
+    assert mine == str(tmp_path / f"ocdb_spark_demo_sf0_001_{os.getpid()}")
+    assert os.path.isdir(mine) and not os.listdir(mine)
+    assert not dead.exists(), "dead-PID sibling not reaped"
+    assert not foreign.exists(), "non-PID suffix treated as dead litter"
+    assert other_tag.exists(), "different sf tag must not be touched"
+
+    # re-entry clears the caller's own dir
+    with open(os.path.join(mine, "stale"), "w") as f:
+        f.write("x")
+    again = scratch.scratch_dir("demo", "/data/sf0.001")
+    assert again == mine and not os.listdir(again)
