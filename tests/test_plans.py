@@ -656,12 +656,16 @@ def test_skyline_single_merge_exchange(spark, sf_dir):
 
 
 def test_cms_counters_partial_agged(spark, sf_dir):
-    """op215: the counter build must show a two-phase HashAggregate
-    (partial_count below the exchange) — the map-side combine IS the
-    sketch merge."""
+    """op215: the probed sketch build must show a two-phase
+    HashAggregate (partial_count below the exchange — the map-side
+    combine IS the sketch merge) and, since the round-8 plan-time
+    probe fold, NO join at all: one token scan feeds the conditional
+    counts and a stack() unpivots the single-row result."""
     plan = _plan(OPS["op215_cms_pointquery"].fn(spark, sf_dir))
     assert "partial_count" in plan or "partial count" in plan, plan[:1500]
-    assert "BroadcastHashJoin" in plan  # probes join the tiny counter table
+    assert "Join" not in plan, "probe fold regressed to a join plan"
+    assert plan.count("Scan parquet") == 1, "token scan must be single"
+    assert "stack" in plan  # the 1-row -> 6-row unpivot
 
 
 def test_auc_window_runs_over_distinct_scores_only(spark, sf_dir):
