@@ -77,6 +77,11 @@ QUERIES = (
     "op79_minhash_neardup",
     "op93_token_count",
     "op233_interval_coverage",
+    # round-8 additions: the folded CMS point-query (per-token md5
+    # kernel, single scan) and the damped multiplicative forecaster
+    # (daily-spine agg 10x taller, recurrence length unchanged)
+    "op215_cms_pointquery",
+    "op257_holt_winters_damped_multiplicative",
 )
 
 
