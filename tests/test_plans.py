@@ -716,3 +716,34 @@ def test_corpus_build_two_shuffles(spark, sf_dir):
     plan = _plan(OPS["op250_corpus_build_pipeline"].fn(spark, sf_dir))
     assert len(re.findall(r"Exchange (hash|range|Single)", plan)) == 2, plan[:900]
     assert "PushedFilters" in plan  # the quality gate reaches the scan
+
+
+def test_table_log_snapshot_reads_are_broadcast_anti_no_base_shuffle(
+    spark, sf_dir
+):
+    """op255: every versioned read must resolve from the log into
+    file-pruned scans; the v2 MoR read is a BROADCAST anti-join on
+    the physical position columns, and NO version's read shuffles the
+    base table (the only exchange in the whole op is the final
+    single-partition union of the three 1-row aggregates)."""
+    plan = _plan(OPS["op255_table_log_snapshots"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:800]
+    anti = plan[plan.find("LeftAnti") - 600 : plan.find("LeftAnti") + 200]
+    assert "BroadcastExchange" in anti or "Broadcast" in plan[
+        : plan.find("LeftAnti")
+    ], "delete side must broadcast, not shuffle"
+    assert "Exchange hashpartitioning" not in plan, (
+        "a keyed exchange means the base table shuffled somewhere"
+    )
+
+
+def test_hw_damped_mult_single_keyed_shuffle_into_recurrence(spark, sf_dir):
+    """op257: the zero-filled daily spine must reach the applyInPandas
+    recurrence through ONE exchange keyed on the series key; the
+    bounds row is broadcast, never shuffled."""
+    plan = _plan(
+        OPS["op257_holt_winters_damped_multiplicative"].fn(spark, sf_dir)
+    )
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
