@@ -93,13 +93,28 @@ def main() -> None:
     # top-k plans into 2-stage writes), while EXCLUDING the
     # result-delivery DuckDB's number includes. Arrow transfer keeps
     # the client cost honest without row-at-a-time Python conversion.
-    # The DataFrame is built ONCE per query and its execution timed:
-    # every rep re-executes the full physical plan against the cache;
-    # nothing is reused between reps except explicit persist() calls
-    # inside an operator, which model a production pipeline's
-    # signature/index tables. Rebuilding per rep would time Catalyst's
-    # Python+analyzer round-trip instead of the engine; that one-time
-    # compile cost is reported separately as plan_build_sec.
+    # ROUND-8 METHODOLOGY CORRECTION. Rounds 5-7 built each DataFrame
+    # once and timed repeated toArrow() on it, believing "every rep
+    # re-executes the full physical plan". That was WRONG for any plan
+    # with an exchange: Spark registers completed shuffle map outputs
+    # with the MapOutputTracker, and re-executing the SAME plan
+    # instance (same ShuffleDependency) SKIPS the finished map stages
+    # — reps 2..N re-ran only the final stage, under-measuring every
+    # shuffle-bearing query (measured: op17 219 ms fresh vs 35 ms
+    # reused at sf0.1). So:
+    #   queries                = best-of-7 where EVERY rep builds a
+    #     FRESH DataFrame (new shuffle deps, real JVM planning) and
+    #     times one toArrow() — the honest "cold query on warm data"
+    #     number, symmetric with DuckDB re-planning+re-executing its
+    #     SQL each rep. The py4j plan-construction cost is excluded
+    #     (timed separately as plan_build_per_query).
+    #   queries_repeat         = best-of-7 re-executions of one
+    #     instance: the incremental cost with materialized shuffles —
+    #     a real Spark capability (interactive re-issue), kept for
+    #     continuity with BENCH_r05-r07, whose `queries` field had
+    #     THESE semantics without saying so.
+    # persist() calls inside an operator still model a production
+    # pipeline's signature/index tables and stay warm in both modes.
     # Per-job floor: the cheapest possible job on this session — a
     # single-task toArrow() of a 1-row range — measured exactly like
     # the queries (best of 7). Pure scheduler+task-launch+transfer
@@ -126,12 +141,8 @@ def main() -> None:
     noop_timings: dict[str, float] = {}
     build_times: dict[str, float] = {}
     build_total = 0.0
+    repeat_timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = ops[name].fn(spark, sf_dir)
-        dt = time.perf_counter() - t0
-        build_times[name] = round(dt, 4)
-        build_total += dt
         # Round-7 verdict item 2: one loaded sample (op42's 3.29× raw
         # row in BENCH_r07) must never set a round's record without its
         # own explanation. Emit the full dispersion per query —
@@ -141,14 +152,30 @@ def main() -> None:
         # best-of-7; a loaded one shows up as median>>best or an
         # elevated local floor, pinning the cause in the record itself.
         reps: list[float] = []
+        builds: list[float] = []
+        df = None
         for _ in range(7):
             t0 = time.perf_counter()
+            df = ops[name].fn(spark, sf_dir)  # fresh shuffle deps
+            t1 = time.perf_counter()
             df.toArrow()
-            reps.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            builds.append(t1 - t0)
+            reps.append(t2 - t1)
         reps.sort()
+        builds.sort()
+        build_times[name] = round(builds[0], 4)
+        build_total += builds[0]
         timings[name] = round(reps[0], 4)
         medians[name] = round(reps[len(reps) // 2], 4)
         maxima[name] = round(reps[-1], 4)
+        # re-execution of the last instance: materialized-shuffle mode
+        rbest = float("inf")
+        for _ in range(7):
+            t0 = time.perf_counter()
+            df.toArrow()
+            rbest = min(rbest, time.perf_counter() - t0)
+        repeat_timings[name] = round(rbest, 4)
         lf = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -198,6 +225,18 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_max": maxima,
                 "job_floor_per_query": floor_local,
+                "queries_repeat": repeat_timings,
+                "methodology_note": (
+                    "ROUND-8 CORRECTION: queries = best-of-7 FRESH-"
+                    "DataFrame executions (new shuffle deps + JVM "
+                    "planning per rep; py4j build excluded, reported as "
+                    "plan_build_per_query). BENCH_r05-r07's `queries` "
+                    "field re-executed ONE instance, which silently "
+                    "reuses completed shuffle map outputs and so "
+                    "measured only the final stage of shuffle-bearing "
+                    "plans; that mode is now reported honestly as "
+                    "queries_repeat (materialized-shuffle re-issue)"
+                ),
                 "dispersion_note": (
                     "queries = best-of-7; queries_median/queries_max are "
                     "the same 7 reps' dispersion and job_floor_per_query "
