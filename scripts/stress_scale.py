@@ -153,10 +153,17 @@ def main() -> None:
         eio.warm_cache(spark, sf_dir)
         out: dict[str, float] = {}
         for q in QUERIES:
-            df = ops[q].fn(spark, sf_dir)
-            df.toArrow()
+            ops[q].fn(spark, sf_dir).toArrow()  # session/codegen warm
             best = float("inf")
+            # ROUND-8 CORRECTION (see bench.py): re-executing ONE
+            # DataFrame reuses completed shuffle map outputs, so only
+            # the final stage was being re-timed for shuffle-bearing
+            # ops — which made the relational rows look flatter than
+            # the engine is. Build a FRESH instance per rep (new
+            # shuffle deps) and time one full execution, excluding
+            # the py4j plan construction.
             for _ in range(3):
+                df = ops[q].fn(spark, sf_dir)
                 t0 = time.perf_counter()
                 df.toArrow()
                 best = min(best, time.perf_counter() - t0)
