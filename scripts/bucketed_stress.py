@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Substantiate BASELINE.md's op159 claim with a NUMBER: at stress
+scale, how much of the fact⋈fact join's wall does persisted bucketing
+(co-located layout, zero exchange, zero sort) actually remove?
+
+Compares, on the 10×-replicated dataset (6M lineitem, 1.5M orders):
+
+  shuffle : plain SMJ — both facts exchange + sort per query
+  bucketed: both facts written ONCE as 32-bucket sorted tables
+            (op159's layout, bucket count scaled 8→32 for the data
+            size), joined with no exchange and no sort
+
+Timing protocol is the round-8 corrected one: FRESH DataFrame per
+rep, best-of-3 full executions, py4j build excluded. The one-time
+bucketing write is reported separately — that is the layout cost a
+nightly pipeline pays once per table, not per query.
+
+Usage: python scripts/stress_scale.py 10 --keep   # build the dataset
+       python scripts/bucketed_stress.py          # then this
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = os.path.join(tempfile.gettempdir(), "ocdb_stress_sf1_rep10")
+BUCKETS = 32
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.session import get_spark
+
+    if not os.path.isdir(DATA):
+        sys.exit(f"{DATA} missing — run scripts/stress_scale.py 10 --keep")
+    spark = get_spark(app_name="bucketed_stress", profile="interactive")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(os.path.join(DATA, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(os.path.join(DATA, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def join_agg(lib, ob):
+        return (
+            lib.filter(F.col("l_quantity") > 40)
+            .hint("merge")
+            .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+                ).alias("sum_qty"),
+            )
+        )
+
+    def best_of(build, reps=3) -> float:
+        build().toArrow()  # session/codegen warm
+        best = float("inf")
+        for _ in range(reps):
+            df = build()  # fresh instance: no shuffle-output reuse
+            t0 = time.perf_counter()
+            df.toArrow()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    shuffle_s = best_of(lambda: join_agg(li, o))
+
+    # one-time layout: both facts bucketed+sorted on the join key
+    t0 = time.perf_counter()
+    for name, df, key in (
+        ("ocdb_stress_li_b", li, "l_orderkey"),
+        ("ocdb_stress_o_b", o, "o_orderkey"),
+    ):
+        loc = os.path.join(tempfile.gettempdir(), f"ocdb_bucketed_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.repartition(BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(BUCKETS, key)
+            .sortBy(key)
+            .option("path", loc)
+            .saveAsTable(name)
+        )
+    layout_s = time.perf_counter() - t0
+
+    lib = spark.table("ocdb_stress_li_b")
+    ob = spark.table("ocdb_stress_o_b")
+    bucketed_s = best_of(lambda: join_agg(lib, ob))
+
+    plan = (
+        join_agg(lib, ob)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exch = plan.count("Exchange")
+    # sanity: identical results both paths
+    a = join_agg(li, o).toPandas().sort_values("o_orderstatus")
+    b = join_agg(lib, ob).toPandas().sort_values("o_orderstatus")
+    same = a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    print(f"| path | best-of-3 fresh exec | join-side exchanges |")
+    print(f"|---|---|---|")
+    print(f"| shuffle SMJ | {shuffle_s*1000:.0f} ms | (exchange+sort both sides) |")
+    print(f"| bucketed SMJ | {bucketed_s*1000:.0f} ms | {n_exch} pre-agg exchange(s) in plan |")
+    print(f"one-time bucketing write: {layout_s:.1f} s; results identical: {same}")
+
+
+if __name__ == "__main__":
+    main()
