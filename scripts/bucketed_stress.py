@@ -16,7 +16,15 @@ bucketing write is reported separately — that is the layout cost a
 nightly pipeline pays once per table, not per query.
 
 Usage: python scripts/stress_scale.py 10 --keep   # build the dataset
-       python scripts/bucketed_stress.py          # then this
+       python scripts/bucketed_stress.py [REP]    # then this (default 10)
+
+At REP=100 (60M lineitem ⋈ 15M orders) the comparison hits exactly
+the regime BASELINE.md's corrected curve flags as op39's steepest
+term — both facts out of the broadcast regime, shuffle-sort under
+spill pressure — so the removed exchanges are the growing cost, not
+a fixed one. Buckets scale with the data (32 at 10×, 128 at 100×)
+to keep per-bucket files in the tens of MB, the same sizing rule
+op159 documents.
 """
 
 from __future__ import annotations
@@ -29,8 +37,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA = os.path.join(tempfile.gettempdir(), "ocdb_stress_sf1_rep10")
-BUCKETS = 32
+REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DATA = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
+BUCKETS = 32 if REP <= 10 else 128
 
 
 def main() -> None:
@@ -39,7 +48,7 @@ def main() -> None:
     from ocdb_server_spark.session import get_spark
 
     if not os.path.isdir(DATA):
-        sys.exit(f"{DATA} missing — run scripts/stress_scale.py 10 --keep")
+        sys.exit(f"{DATA} missing — run scripts/stress_scale.py {REP} --keep")
     spark = get_spark(app_name="bucketed_stress", profile="interactive")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,8 +88,8 @@ def main() -> None:
     # one-time layout: both facts bucketed+sorted on the join key
     t0 = time.perf_counter()
     for name, df, key in (
-        ("ocdb_stress_li_b", li, "l_orderkey"),
-        ("ocdb_stress_o_b", o, "o_orderkey"),
+        (f"ocdb_stress_li_b_rep{REP}", li, "l_orderkey"),
+        (f"ocdb_stress_o_b_rep{REP}", o, "o_orderkey"),
     ):
         loc = os.path.join(tempfile.gettempdir(), f"ocdb_bucketed_{name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -96,8 +105,8 @@ def main() -> None:
         )
     layout_s = time.perf_counter() - t0
 
-    lib = spark.table("ocdb_stress_li_b")
-    ob = spark.table("ocdb_stress_o_b")
+    lib = spark.table(f"ocdb_stress_li_b_rep{REP}")
+    ob = spark.table(f"ocdb_stress_o_b_rep{REP}")
     bucketed_s = best_of(lambda: join_agg(lib, ob))
 
     plan = (
