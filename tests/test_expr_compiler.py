@@ -162,3 +162,175 @@ def test_predicate_pushes_into_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "p_size" in plan.split("PushedFilters:")[1][:200]
+
+
+# ------------------------------------------- differential semantics
+
+
+def _sql_of(q) -> str:
+    """INDEPENDENT rendering of the same AST to an ANSI-SQL boolean
+    expression for DuckDB — a second compiler backend, sharing only
+    the `_auto` literal-coercion rule (that rule IS the language
+    spec: numeric-looking values compare numerically). Any semantic
+    drift between ColumnCompiler and this renderer shows up as a
+    count/checksum mismatch in the differential test below."""
+    from ocdb_server_spark.plans.expr_compiler import _auto
+
+    def lit(v: str) -> str:
+        a = _auto(v)
+        return repr(a) if isinstance(a, (int, float)) else f"'{v}'"
+
+    if isinstance(q, PhraseQuery):
+        return (
+            f"(position('{q.text}' IN text) > 0"
+            f" OR position('{q.text}' IN source) > 0)"
+        )
+    if isinstance(q, FieldValueQuery):
+        return f"{q.field} = {lit(q.value)}"
+    if isinstance(q, FieldRangeQuery):
+        parts = []
+        if q.lo != "*":
+            parts.append(f"{q.field} >= {lit(q.lo)}")
+        if q.hi != "*":
+            parts.append(f"{q.field} <= {lit(q.hi)}")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+    if isinstance(q, FieldWildcardQuery):
+        pat = q.pattern.replace("*", "%").replace("?", "_")
+        return f"{q.field} LIKE '{pat}'"
+    if isinstance(q, UnaryOpQuery):
+        return f"(NOT {_sql_of(q.child)})"
+    if isinstance(q, BinaryOpQuery):
+        return f"({_sql_of(q.left)} {q.op} {_sql_of(q.right)})"
+    raise TypeError(type(q))
+
+
+def _expr_of(q) -> str:
+    """Render to reference syntax (fully parenthesized) so the test
+    exercises the WHOLE pipeline: tokenize → parse → compile."""
+    if isinstance(q, PhraseQuery):
+        return q.text
+    if isinstance(q, FieldValueQuery):
+        return f"{q.field}:{q.value}"
+    if isinstance(q, FieldRangeQuery):
+        return f"{q.field}:[{q.lo} TO {q.hi}]"
+    if isinstance(q, FieldWildcardQuery):
+        return f"{q.field}:{q.pattern}"
+    if isinstance(q, UnaryOpQuery):
+        return f"NOT ({_expr_of(q.child)})"
+    if isinstance(q, BinaryOpQuery):
+        return f"({_expr_of(q.left)}) {q.op} ({_expr_of(q.right)})"
+    raise TypeError(type(q))
+
+
+def _random_ast(rng, tokens, depth=0):
+    langs = ["es", "zh", "de", "fr", "en", "xx"]
+    roll = rng.random()
+    if depth >= 3 or roll < 0.45:
+        kind = rng.randrange(8)
+        if kind == 0:
+            return FieldValueQuery("lang", rng.choice(langs))
+        if kind == 1:
+            return FieldValueQuery("source", f"src{rng.randrange(14)}")
+        if kind == 2:
+            return FieldValueQuery("n_chars", str(rng.randrange(40, 620)))
+        if kind == 3:
+            lo = rng.choice(["*", str(rng.randrange(0, 700))])
+            hi = rng.choice(["*", str(rng.randrange(0, 700))])
+            return FieldRangeQuery("n_chars", lo, hi)
+        if kind == 4:
+            lo, hi = sorted(rng.randrange(0, 520) for _ in range(2))
+            return FieldRangeQuery("doc_id", str(lo), str(hi))
+        if kind == 5:
+            return FieldWildcardQuery(
+                "source",
+                rng.choice(["src*", "src?", f"src{rng.randrange(10)}*",
+                            f"*{rng.randrange(10)}"]),
+            )
+        if kind == 6:
+            return FieldWildcardQuery(
+                "lang", rng.choice(["e?", "z*", "?e", "f*"])
+            )
+        return PhraseQuery(rng.choice(tokens))
+    if roll < 0.60:
+        return UnaryOpQuery("NOT", _random_ast(rng, tokens, depth + 1))
+    op = "AND" if roll < 0.80 else "OR"
+    return BinaryOpQuery(
+        op,
+        _random_ast(rng, tokens, depth + 1),
+        _random_ast(rng, tokens, depth + 1),
+    )
+
+
+def test_differential_semantics_vs_duckdb(spark, sf_dir):
+    """60 seeded-random query ASTs evaluated through BOTH backends —
+    the real pipeline (render → tokenize → parse → compile_expr →
+    Catalyst) against an independent SQL rendering in DuckDB — over
+    the documents table, compared by exact (match count, Σ doc_id)
+    per predicate. One batched job per engine (suite property-test
+    discipline: no per-example Spark jobs). Catches semantic drift a
+    parse/render roundtrip can't: wildcard translation, range
+    endpoint inclusivity, numeric literal coercion, NOT/AND/OR
+    composition, default-field phrase search."""
+    import os
+    import random
+    import re
+
+    import duckdb
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+    tokens = sorted(
+        {w for t in texts[:40] for w in re.findall(r"[a-z]{3,8}", t)}
+    )[:24] or ["data"]
+
+    rng = random.Random(8842)
+    asts = [_random_ast(rng, tokens) for _ in range(60)]
+
+    preds = [
+        compile_expr(_expr_of(a), default_fields=["text", "source"])
+        for a in asts
+    ]
+    aggs = []
+    for i, p in enumerate(preds):
+        aggs.append(
+            F.sum(F.when(p, F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long").alias(f"s{i}")
+        )
+        aggs.append(
+            F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"c{i}")
+        )
+    srow = load_table(spark, sf_dir, "documents").agg(*aggs).collect()[0]
+
+    sel = ", ".join(
+        f"CAST(SUM(CASE WHEN {_sql_of(a)} THEN doc_id ELSE 0 END) AS BIGINT)"
+        f" AS s{i}, "
+        f"CAST(SUM(CASE WHEN {_sql_of(a)} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, a in enumerate(asts)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    drow = con.execute(f"SELECT {sel} FROM documents").arrow().to_pandas()
+
+    mismatches = [
+        (i, _expr_of(asts[i]), srow[f"c{i}"], int(drow[f"c{i}"][0]))
+        for i in range(len(asts))
+        if (srow[f"c{i}"], srow[f"s{i}"])
+        != (int(drow[f"c{i}"][0]), int(drow[f"s{i}"][0]))
+    ]
+    assert not mismatches, mismatches[:5]
+    # generator health: the comparison must not be vacuous — a decent
+    # share of predicates match some-but-not-all rows
+    n_rows = 500 if sf_dir.endswith("0.001") else None
+    partial = [
+        i for i in range(len(asts))
+        if srow[f"c{i}"] > 0 and (n_rows is None or srow[f"c{i}"] < n_rows)
+    ]
+    assert len(partial) >= len(asts) // 3, len(partial)
