@@ -309,3 +309,192 @@ def test_keyset_cursor_arity_mismatch_raises(orders):
     )
     with pytest.raises(ValueError, match="cursor"):
         find_datasets(orders, DatasetQuery(after=(1,)), cols)
+
+
+# --------------------------------------- randomized param differential
+
+
+_EXPR_POOL = [
+    (
+        "o_orderstatus:F",
+        lambda p: p["o_orderstatus"] == "F",
+    ),
+    (
+        "o_orderpriority:*URGENT*",
+        lambda p: p["o_orderpriority"].str.contains("URGENT", regex=False),
+    ),
+    (
+        "o_totalprice:[10000 TO 150000]",
+        lambda p: (p["o_totalprice"] >= 10000) & (p["o_totalprice"] <= 150000),
+    ),
+    (
+        "o_orderpriority:?-LOW",
+        lambda p: p["o_orderpriority"].str.match(r".-LOW$"),
+    ),
+    (
+        "(o_orderstatus:F) OR (o_orderpriority:5-LOW)",
+        lambda p: (p["o_orderstatus"] == "F")
+        | (p["o_orderpriority"] == "5-LOW"),
+    ),
+    (
+        "NOT o_orderstatus:O",
+        lambda p: p["o_orderstatus"] != "O",
+    ),
+    (
+        "URGENT",  # bare phrase over default_text_fields
+        lambda p: p["o_orderstatus"].str.contains("URGENT", regex=False)
+        | p["o_orderpriority"].str.contains("URGENT", regex=False),
+    ),
+]
+
+_PGROUP_MAP = {
+    "urgentish": ("1-URGENT", "2-HIGH"),
+    "slow": ("5-LOW",),
+    "ghost": (),  # resolves to no members
+}
+
+
+def _random_query(rng):
+    import datetime
+
+    kw = {}
+    if rng.random() < 0.5:
+        kw["expr"] = rng.randrange(len(_EXPR_POOL))  # index, resolved later
+    if rng.random() < 0.3:
+        lo = rng.uniform(1000, 400000)
+        kw["region"] = (lo, rng.randrange(0, 100), lo + 150000, 149)
+    if rng.random() < 0.3:
+        d0 = datetime.date(1995, 1, 1) + datetime.timedelta(
+            days=rng.randrange(0, 2200)
+        )
+        d1 = d0 + datetime.timedelta(days=rng.randrange(0, 400))
+        kw["time"] = (str(d0), str(d1))
+    if rng.random() < 0.25:
+        kw["mtype"] = rng.choice(["1-URGENT", "3-MEDIUM"])
+    if rng.random() < 0.3:
+        kw["wlmode"] = rng.choice(["multispectral", "hyperspectral"])
+    kw["shallow"] = rng.choice(["no", "yes", "exclusively"])
+    if rng.random() < 0.25:
+        lo = rng.uniform(1000, 300000)
+        kw["wdepth"] = (lo, lo + rng.uniform(0, 200000))
+    if rng.random() < 0.25:
+        kw["status"] = rng.choice(["F", "O", "P"])
+    if rng.random() < 0.35:
+        kw["pgroup"] = rng.sample(sorted(_PGROUP_MAP), rng.randrange(1, 3))
+        if rng.random() < 0.3:
+            kw["pmode"] = "dont_apply"
+    if rng.random() < 0.2:
+        kw["pname"] = ["4-NOT SPECIFIED"]
+    kw["offset"] = rng.choice([0, 0, rng.randrange(0, 1600)])
+    kw["count"] = rng.randrange(1, 60)
+    return kw
+
+
+def _expected_mask(pdf, kw, expr_fn):
+    import pandas as pd
+
+    m = pd.Series(True, index=pdf.index)
+    if expr_fn is not None:
+        m &= expr_fn(pdf)
+    if "region" in kw:
+        x0, y0, x1, y1 = kw["region"]
+        m &= pdf["o_totalprice"].between(x0, x1) & pdf["o_custkey"].between(
+            y0, y1
+        )
+    if "time" in kw:
+        start, end = (pd.Timestamp(t) for t in kw["time"])
+        m &= (pdf["o_orderdate"] <= end) & (pdf["o_orderdate"] >= start)
+    if kw.get("mtype", "all") != "all":
+        m &= pdf["o_orderpriority"] == kw["mtype"]
+    if kw.get("wlmode", "all") != "all":
+        m &= pdf["wl"] == kw["wlmode"]
+    if kw["shallow"] != "yes":
+        m &= pdf["sh"] == (kw["shallow"] == "exclusively")
+    if "wdepth" in kw:
+        lo, hi = kw["wdepth"]
+        m &= pdf["o_totalprice"].between(lo, hi)
+    if kw.get("status") is not None:
+        m &= pdf["o_orderstatus"] == kw["status"]
+    members = list(kw.get("pname", []))
+    for g in kw.get("pgroup", []):
+        members.extend(_PGROUP_MAP.get(g, ()))
+    if (kw.get("pgroup") or kw.get("pname")) and kw.get("pmode") != "dont_apply":
+        m &= pdf["o_orderpriority"].isin(members) if members else False
+    return m
+
+
+def test_randomized_param_differential(orders):
+    """25 seeded-random DatasetQuery param COMBINATIONS against an
+    independent pandas re-implementation of the whole filter surface
+    (expr pool hand-translated per entry, every other param re-derived
+    from its documented semantics) — total_count AND the exact page id
+    list must match, plus one keyset-cursor page-2 equivalence. The
+    targeted tests above pin each param alone and a few compositions;
+    this sweeps the interaction space (e.g. shallow='exclusively' +
+    wdepth + expr + pgroup with a ghost group + deep offset)."""
+    import random
+
+    df = (
+        orders.withColumn(
+            "wl",
+            F.when(F.col("o_orderkey") % 2 == 0, "multispectral").otherwise(
+                "hyperspectral"
+            ),
+        )
+        .withColumn("sh", F.col("o_orderkey") % 3 == 0)
+    )
+    cols = SearchColumns(
+        x="o_totalprice",
+        y="o_custkey",
+        t_start="o_orderdate",
+        group="o_orderpriority",
+        mtype="o_orderpriority",
+        wlmode="wl",
+        shallow="sh",
+        wdepth="o_totalprice",
+        status="o_orderstatus",
+        order_key="o_orderkey",
+        default_text_fields=("o_orderstatus", "o_orderpriority"),
+        pgroup_map=_PGROUP_MAP,
+    )
+    pdf = df.toPandas()
+
+    rng = random.Random(1464)
+    interesting = 0
+    for i in range(25):
+        kw = _random_query(rng)
+        expr_fn = None
+        if "expr" in kw:
+            expr_str, expr_fn = _EXPR_POOL[kw["expr"]]
+            kw["expr"] = expr_str
+        q = DatasetQuery(**kw)
+        res = find_datasets(df, q, cols)
+        mask = _expected_mask(pdf, kw, expr_fn)
+        exp_ids = sorted(pdf.loc[mask, "o_orderkey"])
+        got_page = [
+            r.o_orderkey
+            for r in res.datasets.select("o_orderkey").collect()
+        ]
+        assert res.total_count == len(exp_ids), (i, kw)
+        assert got_page == exp_ids[q.offset : q.offset + q.count], (i, kw)
+        if 0 < len(exp_ids) < len(pdf):
+            interesting += 1
+    assert interesting >= 10, interesting  # generator health
+
+    # keyset cursor: page 2 via `after` == page 2 via offset
+    q1 = DatasetQuery(status="F", shallow="yes", count=20)
+    p1 = [
+        r.o_orderkey
+        for r in find_datasets(df, q1, cols).datasets.select("o_orderkey").collect()
+    ]
+    via_after = DatasetQuery(status="F", shallow="yes", count=20, after=(p1[-1],))
+    via_offset = DatasetQuery(status="F", shallow="yes", count=20, offset=20)
+    ids_a = [
+        r.o_orderkey
+        for r in find_datasets(df, via_after, cols).datasets.select("o_orderkey").collect()
+    ]
+    ids_o = [
+        r.o_orderkey
+        for r in find_datasets(df, via_offset, cols).datasets.select("o_orderkey").collect()
+    ]
+    assert ids_a == ids_o and len(ids_a) == 20
