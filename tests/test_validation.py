@@ -112,3 +112,137 @@ def test_validation_stays_in_jvm(frame, rules):
     vs the reference's row-at-a-time Python."""
     plan = validate(frame, rules)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# ------------------------------------------- randomized differential
+
+
+def test_randomized_rulesets_vs_pandas(spark):
+    """8 seeded-random rule sets over a 300-row null-seeded frame,
+    checked against an independent pandas re-implementation of every
+    rule constructor's documented semantics (required = isna;
+    value_range = notna & outside closed [lo,hi]; regex_match = notna
+    & no unanchored match, rlike-style; custom = its own predicate)
+    plus the per-row worst-severity rollup and the per-group
+    status_rollup aggregate. The targeted tests above pin each rule
+    kind; this sweeps rule-set COMPOSITIONS (duplicate kinds,
+    mixed severities, all-clean sets)."""
+    import random
+    import re
+
+    import pandas as pd
+
+    rng = random.Random(3117)
+    rows = []
+    for i in range(300):
+        v = None if rng.random() < 0.15 else round(rng.uniform(-50, 150), 3)
+        s = None if rng.random() < 0.1 else rng.choice(
+            ["CR001", "CR17", "bad id", "cr002", "XX9", ""]
+        )
+        rows.append((i, v, s, i % 5))
+    pdf = pd.DataFrame(rows, columns=["id", "v", "s", "grp"])
+    sdf = spark.createDataFrame(rows, "id long, v double, s string, grp long")
+
+    patterns = [r"^CR\d+$", r"\d", r"^[A-Z]"]
+
+    def draw_rules(rng):
+        pool = []
+        sev = lambda: rng.choice([WARNING, ERROR])  # noqa: E731
+        pool.append(lambda: ("req_v", required("v", sev())))
+        pool.append(lambda: ("req_s", required("s", sev())))
+        pool.append(
+            lambda: (
+                "range_v",
+                value_range(
+                    "v", lo := round(rng.uniform(-60, 50), 1),
+                    round(lo + rng.uniform(0, 120), 1), sev()
+                ),
+            )
+        )
+        pool.append(
+            lambda: ("fmt_s", regex_match("s", rng.choice(patterns), sev()))
+        )
+        pool.append(
+            lambda: (
+                "odd_id",
+                custom("odd_id", F.col("id") % 2 == 1, "odd id", sev()),
+            )
+        )
+        return [rng.choice(pool)() for _ in range(rng.randrange(1, 5))]
+
+    def pandas_violated(kind, rule, pdf):
+        if kind == "req_v":
+            return pdf["v"].isna()
+        if kind == "req_s":
+            return pdf["s"].isna()
+        if kind == "range_v":
+            m = re.match(r"v outside \[(.+), (.+)\]", rule.message)
+            lo, hi = float(m.group(1)), float(m.group(2))
+            return pdf["v"].notna() & ~pdf["v"].between(lo, hi)
+        if kind == "fmt_s":
+            pat = rule.message.split("does not match ", 1)[1]
+            return pdf["s"].notna() & ~pdf["s"].str.contains(
+                pat, regex=True, na=False
+            )
+        if kind == "odd_id":
+            return pdf["id"] % 2 == 1
+        raise AssertionError(kind)
+
+    statuses_seen = set()
+    for trial in range(8):
+        drawn = draw_rules(rng)
+        out = (
+            validate(sdf, [r for _, r in drawn])
+            .select("id", "grp", "status", F.size("issues").alias("ni"))
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        # pandas mirror
+        viol = {
+            i: pandas_violated(kind, rule, pdf)
+            for i, (kind, rule) in enumerate(drawn)
+        }
+        n_issues = sum(v.astype(int) for v in viol.values())
+        has_err = pd.Series(False, index=pdf.index)
+        has_warn = pd.Series(False, index=pdf.index)
+        for i, (_, rule) in enumerate(drawn):
+            if rule.severity == ERROR:
+                has_err |= viol[i]
+            else:
+                has_warn |= viol[i]
+        exp_status = (
+            pd.Series(OK, index=pdf.index)
+            .mask(has_warn, WARNING)
+            .mask(has_err, ERROR)
+        )
+        assert list(out["ni"]) == list(n_issues), trial
+        assert list(out["status"]) == list(exp_status), trial
+        statuses_seen.update(out["status"])
+
+        roll = (
+            status_rollup(validate(sdf, [r for _, r in drawn]), ["grp"])
+            .toPandas()
+            .sort_values("grp")
+            .reset_index(drop=True)
+        )
+        exp_roll = pd.DataFrame(
+            {
+                "grp": sorted(pdf["grp"].unique()),
+            }
+        )
+        exp_roll["n_records"] = [
+            int((pdf["grp"] == g).sum()) for g in exp_roll["grp"]
+        ]
+        exp_roll["n_issues"] = [
+            int(n_issues[pdf["grp"] == g].sum()) for g in exp_roll["grp"]
+        ]
+        exp_roll["status"] = [
+            ERROR
+            if has_err[pdf["grp"] == g].any()
+            else (WARNING if has_warn[pdf["grp"] == g].any() else OK)
+            for g in exp_roll["grp"]
+        ]
+        got_roll = roll[["grp", "n_records", "n_issues", "status"]]
+        assert got_roll.astype(object).equals(exp_roll.astype(object)), trial
+    assert {OK, WARNING, ERROR} <= statuses_seen  # generator health
