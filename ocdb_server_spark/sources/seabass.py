@@ -132,7 +132,15 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
         c = F.trim(F.element_at(parts, i + 1))
         for tok in null_tokens:
             c = F.nullif(c, F.lit(tok))
-        cols.append(c.cast("double").alias(name))
+        # try_cast, not cast: under ANSI mode a plain cast THROWS on
+        # any malformed token (found by the randomized file fuzz —
+        # real SeaBASS bodies carry non-numeric cells beyond the
+        # declared /missing= and /below_detection_limit= markers:
+        # time strings, station names, stray comments). One bad cell
+        # must map to NULL, not kill a corpus-scale ingest job; the
+        # validation rule engine is where bad cells get FLAGGED
+        # (required/value_range over the parsed frame).
+        cols.append(c.try_cast("double").alias(name))
     return body.select(*cols)
 
 

@@ -143,3 +143,78 @@ def test_find_datasets_pgroup_over_long_records(long_frame):
     # unknown group resolves empty -> matches NOTHING (anti-leak rule)
     res3 = find_datasets(long_frame, DatasetQuery(pgroup=["nope"]), cols)
     assert res3.total_count == 0
+
+
+# ------------------------------------------- randomized file roundtrip
+
+
+def test_randomized_file_roundtrip(spark, tmp_path):
+    """10 seeded-random SeaBASS files generated from a value MODEL
+    (random field lists, all three delimiters, random missing /
+    below_detection_limit tokens, junk non-numeric cells, blank lines,
+    ragged whitespace) written to disk and read back through
+    read_seabass — the parsed frame must equal the model exactly:
+    missing/BDL tokens → NULL, junk → NULL (double cast), numerics →
+    their float values, column order = /fields= order. The golden
+    fixtures above pin known files; this sweeps the format dialect
+    space the reference's ingest actually sees."""
+    import math
+    import random
+
+    rng = random.Random(7209)
+
+    for trial in range(10):
+        n_fields = rng.randrange(2, 7)
+        fields = [f"f{j}_{rng.randrange(10)}" for j in range(n_fields)]
+        delim_name, delim = rng.choice(
+            [("comma", ","), ("space", " "), ("tab", "\t")]
+        )
+        missing = rng.choice(["-999", "-9999.0", "NA"])
+        bdl = rng.choice([None, "-888", "BDL"])
+        n_rows = rng.randrange(1, 30)
+
+        expected: list[list[float | None]] = []
+        lines = ["/begin_header", f"/fields={','.join(fields)}",
+                 f"/delimiter={delim_name}", f"/missing={missing}"]
+        if bdl:
+            lines.append(f"/below_detection_limit={bdl}")
+        lines.append("/end_header")
+        for _ in range(n_rows):
+            row_tokens, row_exp = [], []
+            for _f in fields:
+                roll = rng.random()
+                if roll < 0.12:
+                    row_tokens.append(missing)
+                    row_exp.append(None)
+                elif bdl and roll < 0.2:
+                    row_tokens.append(bdl)
+                    row_exp.append(None)
+                elif roll < 0.26:
+                    row_tokens.append("junk" + str(rng.randrange(5)))
+                    row_exp.append(None)  # non-numeric → NULL double
+                else:
+                    v = round(rng.uniform(-100, 100), 4)
+                    row_tokens.append(repr(v))
+                    row_exp.append(v)
+            pad = "  " if delim_name == "space" and rng.random() < 0.4 else ""
+            lines.append(pad + delim.join(row_tokens))
+            expected.append(row_exp)
+            if rng.random() < 0.1:
+                lines.append("")  # blank line, must be skipped
+
+        p = tmp_path / f"fuzz{trial}.sb"
+        p.write_text("\n".join(lines) + "\n")
+
+        got = read_seabass(spark, str(p))
+        assert got.columns == fields, trial
+        rows = [[r[c] for c in fields] for r in got.collect()]
+        assert len(rows) == len(expected), trial
+        # text files keep line order within one small split
+        for ri, (g, e) in enumerate(zip(rows, expected)):
+            for gv, ev in zip(g, e):
+                if ev is None:
+                    assert gv is None, (trial, ri, g, e)
+                else:
+                    assert gv is not None and math.isclose(gv, ev), (
+                        trial, ri, g, e,
+                    )
