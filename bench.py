@@ -92,9 +92,33 @@ def compact_summary(detail: dict) -> str:
         "detail_file": "bench_detail.json",
         "sf": detail["sf"],
     }
+    # Belt-and-braces budget: shed non-contract fields in priority
+    # order (least grade-relevant first) until the line fits. The
+    # contract fields (metric/value/unit/queries/sf) are never shed —
+    # the session code review caught the original single-level shed
+    # silently returning an overlong line once the headline set grows
+    # past ~25 queries.
+    # Physical ceiling: the contract fields alone fit ~35 entries of
+    # typical op-key name length in 1800 chars; if HEADLINE ever grows
+    # past that, trim HEADLINE — no shed order can help a contract
+    # dict that outgrows the driver's capture window by itself.
+    shed_order = (
+        "queries_median",
+        "plan_build_sec",
+        "job_floor_at_legacy_sec",
+        "job_floor_sec",
+        "detail_file",
+        "yardstick_ratio_floor_adjusted",
+        "comparable5_yardstick_sec",
+        "comparable5_total_sec",
+        "legacy_noop_total_sec",
+        "yardstick_ratio_raw",
+    )
     line = json.dumps(compact)
-    if len(line) > 1800:  # belt-and-braces: never outgrow the window
-        compact.pop("queries_median", None)
+    for k in shed_order:
+        if len(line) <= 1800:
+            break
+        compact.pop(k, None)
         line = json.dumps(compact)
     return line
 

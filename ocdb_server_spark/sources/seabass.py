@@ -123,6 +123,40 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError(f"{path}: missing /fields= header")
     null_tokens = [t for t in (header.get("missing"), header.get("below_detection_limit")) if t]
 
+    # STRUCTURAL sanity before any distributed work: the first body
+    # line already collected for the header scan must split into
+    # exactly len(fields) tokens. A misdeclared delimiter or a
+    # misaligned /fields= list is a file-level misconfiguration that
+    # must stay LOUD — with try_cast below it would otherwise parse
+    # as an all-NULL frame (and ZERO records through the long path's
+    # isNotNull filter): silent total data loss, the failure mode the
+    # session code review flagged. Per-CELL junk is a different class
+    # and maps to NULL. Bodies starting past the collected window are
+    # rare (200-line headers); the check is then skipped, not faked.
+    import re as _re
+
+    first_body = next(
+        (
+            ln.strip()
+            for ln in head_lines[end + 1:]
+            if ln.strip() and not ln.strip().startswith("/")
+        ),
+        None,
+    )
+    if first_body is not None:
+        n_tok = len(
+            _re.split(delim, first_body)
+            if delim == _DELIMS["space"]
+            else first_body.split(delim)
+        )
+        if n_tok != len(fields):
+            raise ValueError(
+                f"{path}: first record splits into {n_tok} tokens under "
+                f"delimiter={header.get('delimiter', 'comma')!r} but "
+                f"/fields= declares {len(fields)} columns — misdeclared "
+                "delimiter or misaligned fields list"
+            )
+
     body = raw.filter(~F.col("value").startswith("/")).filter(F.trim("value") != "")
     # trim before splitting so a leading-aligned field doesn't produce
     # an empty first token under the \s+ delimiter
@@ -139,7 +173,8 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
         # time strings, station names, stray comments). One bad cell
         # must map to NULL, not kill a corpus-scale ingest job; the
         # validation rule engine is where bad cells get FLAGGED
-        # (required/value_range over the parsed frame).
+        # (required/value_range over the parsed wide frame). File-level
+        # structural breakage is caught loudly above instead.
         cols.append(c.try_cast("double").alias(name))
     return body.select(*cols)
 

@@ -113,6 +113,15 @@ def main() -> None:
         join_agg(lib, ob)._jdf.queryExecution().executedPlan().toString()
     )
     n_exch = plan.count("Exchange")
+    # The whole claim is "zero JOIN-SIDE exchanges": the only Exchange
+    # allowed in the bucketed plan is the single pre-agg repartition
+    # after the join. Assert it, don't just print it — a bucket-count
+    # mismatch or layout regression would otherwise produce a timing
+    # table that silently measures a shuffled join (review finding).
+    assert n_exch == 1, (
+        f"bucketed plan has {n_exch} Exchanges (expected exactly the "
+        f"1 pre-agg exchange — join-side shuffles are back):\n{plan}"
+    )
     # sanity: identical results both paths
     a = join_agg(li, o).toPandas().sort_values("o_orderstatus")
     b = join_agg(lib, ob).toPandas().sort_values("o_orderstatus")

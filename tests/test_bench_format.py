@@ -45,22 +45,32 @@ def test_compact_line_fits_capture_window():
     assert parsed["queries_median"].keys() == parsed["queries"].keys()
 
 
-def test_compact_line_sheds_median_rather_than_overflow():
-    d = _detail_fixture()
-    # widen every number to worst-case repr and every key by a margin:
-    # the budget must hold by dropping the median dict, never by
-    # emitting an unparseable or over-long final line
-    wide = dict(d)
+def test_compact_line_sheds_rather_than_overflow():
+    """Force the shed ladder to actually fire: 30 long-named headline
+    queries make the full compact dict overshoot 1800 chars, so
+    compact_summary must drop non-contract fields (median first)
+    until the line fits — never emit an overlong or unparseable final
+    line, and never shed the contract fields."""
+    d = dict(_detail_fixture())
+    # 25 queries at realistic op-key name lengths (~30 chars): the
+    # full compact dict overshoots, but the contract fields alone fit
+    # (the ladder can't shed those — compact_summary documents the
+    # physical ceiling of ~35 contract-only entries)
+    many = {
+        f"op{900 + i}_headline_query_name_pad": 123456.7891
+        for i in range(25)
+    }
     for dk in ("queries", "queries_median", "queries_noop_write_legacy"):
-        wide[dk] = {
-            name + "_widened_for_worst_case": 123456.7891
-            for name in d[dk]
-        }
-    line = bench.compact_summary(wide)
+        d[dk] = dict(many)
+    # sanity: the unshed line really is over budget, so the ladder runs
+    assert len(json.dumps({**d, "detail_file": "x"})) > 1800
+    line = bench.compact_summary(d)
     assert len(line) <= 1800
     parsed = json.loads(line)
     for k in CONTRACT_KEYS:
         assert k in parsed, k
+    assert parsed["queries"] == many          # contract dict intact
+    assert "queries_median" not in parsed     # shed first
 
 
 def test_main_prints_compact_line_last():

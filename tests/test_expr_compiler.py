@@ -208,7 +208,10 @@ def _expr_of(q) -> str:
     """Render to reference syntax (fully parenthesized) so the test
     exercises the WHOLE pipeline: tokenize → parse → compile."""
     if isinstance(q, PhraseQuery):
-        return q.text
+        # quoted, not bare: a corpus-derived token that happens to be
+        # an operator word ('not', 'and', 'or') would otherwise parse
+        # as the operator and crash the round-trip (review finding)
+        return f'"{q.text}"'
     if isinstance(q, FieldValueQuery):
         return f"{q.field}:{q.value}"
     if isinstance(q, FieldRangeQuery):
@@ -261,7 +264,7 @@ def _random_ast(rng, tokens, depth=0):
     )
 
 
-def test_differential_semantics_vs_duckdb(spark, sf_dir):
+def test_differential_semantics_vs_duckdb(spark, sf_dir, duck):
     """60 seeded-random query ASTs evaluated through BOTH backends —
     the real pipeline (render → tokenize → parse → compile_expr →
     Catalyst) against an independent SQL rendering in DuckDB — over
@@ -275,7 +278,6 @@ def test_differential_semantics_vs_duckdb(spark, sf_dir):
     import random
     import re
 
-    import duckdb
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
@@ -313,11 +315,9 @@ def test_differential_semantics_vs_duckdb(spark, sf_dir):
         f" AS c{i}"
         for i, a in enumerate(asts)
     )
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
-    )
-    drow = con.execute(f"SELECT {sel} FROM documents").arrow().to_pandas()
+    # session-scoped conftest `duck` fixture already registers the
+    # documents view over sf_dir (review finding: don't duplicate it)
+    drow = duck.execute(f"SELECT {sel} FROM documents").arrow().to_pandas()
 
     mismatches = [
         (i, _expr_of(asts[i]), srow[f"c{i}"], int(drow[f"c{i}"][0]))

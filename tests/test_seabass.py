@@ -218,3 +218,17 @@ def test_randomized_file_roundtrip(spark, tmp_path):
                     assert gv is not None and math.isclose(gv, ev), (
                         trial, ri, g, e,
                     )
+
+
+def test_structural_misalignment_stays_loud(spark, tmp_path):
+    """A misdeclared delimiter (or misaligned /fields=) must raise at
+    plan time, not parse to an all-NULL frame (try_cast would
+    otherwise swallow it — and the long path's isNotNull filter would
+    silently drop every record of the file)."""
+    p = tmp_path / "misdecl.sb"
+    p.write_text(
+        "/begin_header\n/fields=depth,chl\n/delimiter=comma\n"
+        "/end_header\n1.0\t0.5\n2.0\t0.6\n"
+    )
+    with pytest.raises(ValueError, match="misdeclared delimiter"):
+        read_seabass(spark, str(p))

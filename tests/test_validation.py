@@ -191,8 +191,9 @@ def test_randomized_rulesets_vs_pandas(spark):
     statuses_seen = set()
     for trial in range(8):
         drawn = draw_rules(rng)
+        validated = validate(sdf, [r for _, r in drawn])
         out = (
-            validate(sdf, [r for _, r in drawn])
+            validated
             .select("id", "grp", "status", F.size("issues").alias("ni"))
             .toPandas()
             .sort_values("id")
@@ -221,7 +222,7 @@ def test_randomized_rulesets_vs_pandas(spark):
         statuses_seen.update(out["status"])
 
         roll = (
-            status_rollup(validate(sdf, [r for _, r in drawn]), ["grp"])
+            status_rollup(validated, ["grp"])
             .toPandas()
             .sort_values("grp")
             .reset_index(drop=True)
