@@ -247,3 +247,50 @@ def test_randomized_rulesets_vs_pandas(spark):
         got_roll = roll[["grp", "n_records", "n_issues", "status"]]
         assert got_roll.astype(object).equals(exp_roll.astype(object)), trial
     assert {OK, WARNING, ERROR} <= statuses_seen  # generator health
+
+
+def test_dirty_corpus_submission_sweep(spark, tmp_path):
+    """Submission-workflow sweep over a DIRTY corpus — the failure
+    taxonomy the round-8 SeaBASS hardening established, exercised end
+    to end: (a) a structurally broken file (misdeclared delimiter)
+    REJECTS loudly at plan time and poisons nothing else; (b) files
+    with cell-level junk ingest with NULLs and get FLAGGED by the
+    rule engine; (c) clean files roll up OK. One union frame, one
+    rollup — the per-file statuses a submission UI would show."""
+    clean = (
+        "/begin_header\n/fields=depth,chl\n/delimiter=comma\n"
+        "/missing=-999\n/end_header\n1.0,0.5\n2.0,0.6\n"
+    )
+    junky = (
+        "/begin_header\n/fields=depth,chl\n/delimiter=comma\n"
+        "/missing=-999\n/end_header\n1.0,0.5\n2.0,oops\n3.0,-999\n"
+    )
+    broken = (
+        "/begin_header\n/fields=depth,chl\n/delimiter=comma\n"
+        "/end_header\n1.0\t0.5\n"
+    )
+    files = {"clean.sb": clean, "junky.sb": junky, "broken.sb": broken}
+    for name, body in files.items():
+        (tmp_path / name).write_text(body)
+
+    frames, rejected = [], []
+    for name in sorted(files):
+        try:
+            df = read_seabass(spark, str(tmp_path / name))
+        except ValueError:
+            rejected.append(name)
+            continue
+        frames.append(df.withColumn("file", F.lit(name)))
+    assert rejected == ["broken.sb"]
+
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    v = validate(union, [required("chl", severity=WARNING)])
+    roll = {
+        r["file"]: (r["status"], r["n_records"], r["n_issues"])
+        for r in status_rollup(v, ["file"]).collect()
+    }
+    assert roll["clean.sb"] == (OK, 2, 0)
+    # junky: 'oops' (junk → NULL) and -999 (declared missing → NULL)
+    assert roll["junky.sb"] == (WARNING, 3, 2)
