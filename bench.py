@@ -246,12 +246,19 @@ def main() -> None:
             lf = min(lf, time.perf_counter() - t0)
         floor_local[name] = round(lf, 4)
         # Transparency: the rounds-1-4 noop-write measurement, emitted
-        # alongside so the methodology switch hides nothing — the gap
-        # between the two IS the write-command overhead documented in
-        # BASELINE.md (plus, for top-k plans, the lost executeCollect
-        # fast path), not a change in the queries. Best-of-5 (was 3):
-        # the round-5/6 legacy regressions were machine load, so buy
-        # variance resistance where it showed up.
+        # alongside so the methodology switch hides nothing. PRECISE
+        # SEMANTICS (round-8 review correction): this loop re-writes
+        # the LAST instance, whose shuffle map outputs are already
+        # materialized by the loops above — so it measures final-stage
+        # work + the write-command overhead, exactly as every prior
+        # round measured it (rounds 1-4 also re-wrote one instance).
+        # That makes it the cross-round regression gate, and NOT
+        # comparable to the fresh-instance `queries` numbers: for a
+        # shuffle-bearing query the noop figure can legitimately come
+        # out BELOW `queries` (skipped map stages outweigh the write
+        # overhead). Best-of-5 (was 3): the round-5/6 legacy
+        # regressions were machine load, so buy variance resistance
+        # where it showed up.
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()

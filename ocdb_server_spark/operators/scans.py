@@ -136,11 +136,14 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same per-flag counts on the original table, so a
     dropped/duplicated partition breaks the hash.
     """
-    # sf-tagged scratch: two concurrent runs at different scale factors
-    # must never overwrite each other's files mid-read (op159/op172's
-    # rule — a race here produced a transient snapshot drift in r5)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_sink_roundtrip_{tag}")
+    # Per-process scratch with dead-PID reaping: the sf tag alone
+    # still left two concurrent sessions at the SAME sf able to
+    # overwrite each other's files between write and lazy re-read —
+    # the exact race scratch_dir was built for, and this op is
+    # hash-gated since r8 (round-8 review finding).
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("sink_roundtrip", sf_dir), "data")
     li = load_table(spark, sf_dir, "lineitem")
     (
         li.filter(F.col("l_quantity") > 45)
@@ -187,11 +190,12 @@ def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     via explicit schema on read) and columnar pruning, which is why
     parquet stays the serving layout (§7.2).
     """
-    import os as _os
-    import tempfile as _tmp
+    # per-process scratch + dead-PID reaping: hash-gated since r8, so
+    # a same-sf concurrent session must not clobber the files between
+    # write and lazy re-read (round-8 review finding)
+    from ocdb_server_spark.scratch import scratch_dir
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_fmt_roundtrip_{tag}")
+    base = scratch_dir("fmt_roundtrip", sf_dir)
     src = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000.0)
@@ -406,8 +410,12 @@ def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_gzip_jsonl_{tag}")
+    # per-process scratch + dead-PID reaping (round-8 review finding:
+    # every hash-gated sink round-trip uses scratch_dir, not a shared
+    # sf-tagged dir a concurrent same-sf session could clobber)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("gzip_jsonl", sf_dir), "export")
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
@@ -545,8 +553,10 @@ def op209_orc_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the re-read scan skips stripes on the pushed min/max, so the
     round-trip costs two scans of the projected columns, not the
     table."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_orc_orders_{tag}")
+    # per-process scratch + dead-PID reaping (round-8 review finding)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("orc_orders", sf_dir), "export")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
@@ -614,8 +624,10 @@ def op210_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_spark_xml_events_{tag}")
+    # per-process scratch + dead-PID reaping (round-8 review finding)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("xml_events", sf_dir), "export")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

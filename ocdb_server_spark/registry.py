@@ -109,6 +109,36 @@ def _row_is_green(row: object) -> bool:
     return False
 
 
+def iter_correctness_rounds(root: str):
+    """Yield (round, rows_dict) for every CORRECTNESS_r*.json under
+    `root`, in PARSED round order — lexicographic filename order would
+    put an unpadded r10 before r2 and let an older round's row
+    override a newer one (round-7 ADVICE). Malformed files are
+    skipped, never raised. SHARED by _sweep_order and
+    scripts/evidence_age (round-8 review: the fold lived in two
+    copies that could silently diverge)."""
+    import json
+    import os
+
+    rounds: list[tuple[int, str]] = []
+    for fname in os.listdir(root):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            digits = "".join(
+                ch
+                for ch in fname[len("CORRECTNESS_r"):-len(".json")]
+                if ch.isdigit()
+            )
+            rounds.append((int(digits or 0), fname))
+    for rnd, fname in sorted(rounds):
+        try:
+            with open(os.path.join(root, fname)) as f:
+                rows = json.load(f)
+        except Exception:
+            continue  # a malformed file must never break the registry
+        if isinstance(rows, dict):
+            yield rnd, rows
+
+
 def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     """Order the registry for the driver's budgeted correctness sweep.
 
@@ -152,24 +182,12 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     # an op that failed in r1 but passed in r3 is certified; one that
     # passed in r1 but erred in r3 is NOT.
     certified: dict[str, int] = {}
-    # Iterate in PARSED round order, not filename order: lexicographic
-    # sorting would put an unpadded r10 before r2 and make an older
-    # round's row override a newer one (round-7 ADVICE).
-    rounds: list[tuple[int, str]] = []
-    for fname in os.listdir(root):
-        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            rnd = int("".join(ch for ch in fname[len("CORRECTNESS_r"):-len(".json")] if ch.isdigit()) or 0)
-            rounds.append((rnd, fname))
-    for rnd, fname in sorted(rounds):
-        try:
-            with open(os.path.join(root, fname)) as f:
-                for key, row in json.load(f).items():
-                    if _row_is_green(row):
-                        certified[key] = rnd
-                    else:
-                        certified.pop(key, None)
-        except Exception:
-            pass  # a malformed file must never break the registry
+    for rnd, rows in iter_correctness_rounds(root):
+        for key, row in rows.items():
+            if _row_is_green(row):
+                certified[key] = rnd
+            else:
+                certified.pop(key, None)
     costs: dict[str, float] = {}
     try:
         with open(os.path.join(root, "ocdb_server_spark", "op_costs.json")) as f:

@@ -52,7 +52,15 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
             if not name.startswith(prefix):
                 continue
             suffix = name[len(prefix):]
-            if not suffix.isdigit() or not _pid_alive(int(suffix)):
+            # Reap ONLY <prefix><digits> dirs whose PID is dead. A
+            # non-numeric suffix is NOT ours to judge: when one
+            # (kind, tag) string is a prefix of another tag plus '_'
+            # (e.g. tag 'sf0_1' vs 'sf0_1_v2'), a live sibling
+            # session's 'ocdb_spark_k_sf0_1_v2_1234' matches this
+            # prefix with suffix 'v2_1234' — deleting it would be
+            # exactly the cross-session race this module exists to
+            # prevent (round-8 review finding).
+            if suffix.isdigit() and not _pid_alive(int(suffix)):
                 shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     except OSError:
         pass  # an unreadable tempdir must not fail the operator

@@ -139,7 +139,7 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
         (
             ln.strip()
             for ln in head_lines[end + 1:]
-            if ln.strip() and not ln.strip().startswith("/")
+            if ln.strip() and not ln.strip().startswith(("/", "!"))
         ),
         None,
     )
@@ -157,7 +157,15 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
                 "delimiter or misaligned fields list"
             )
 
-    body = raw.filter(~F.col("value").startswith("/")).filter(F.trim("value") != "")
+    # Filter on the TRIMMED line: an INDENTED '/'-line or '!' comment
+    # (SeaBASS's comment marker) would otherwise slip past an
+    # unstripped startswith, try_cast to all-NULLs, and ingest as a
+    # phantom record (round-8 review finding — before try_cast the
+    # ANSI cast made this loud by accident).
+    trimmed = F.trim(F.col("value"))
+    body = raw.filter(
+        ~trimmed.startswith("/") & ~trimmed.startswith("!") & (trimmed != "")
+    )
     # trim before splitting so a leading-aligned field doesn't produce
     # an empty first token under the \s+ delimiter
     parts = F.split(F.trim(F.col("value")), delim)

@@ -201,6 +201,12 @@ def test_randomized_file_roundtrip(spark, tmp_path):
             expected.append(row_exp)
             if rng.random() < 0.1:
                 lines.append("")  # blank line, must be skipped
+            if rng.random() < 0.12:
+                # indented header-ish line / '!' comment mid-body: must
+                # be skipped, never ingested as a phantom all-NULL row
+                lines.append(
+                    rng.choice(["  /stray_note=x", "! a comment", "  ! note"])
+                )
 
         p = tmp_path / f"fuzz{trial}.sb"
         p.write_text("\n".join(lines) + "\n")

@@ -269,8 +269,13 @@ def test_bzip2_single_file_splits_into_many_tasks(spark, sf_dir, tmp_path):
 
 def test_scratch_dir_isolation_and_reaping(tmp_path, monkeypatch):
     """scratch_dir must (a) give each process its own dir, (b) reap
-    same-prefix dirs whose owning PID is dead, (c) leave live PIDs'
-    dirs and foreign names untouched."""
+    same-prefix dirs whose suffix is a DEAD pid, (c) leave everything
+    else alone — live PIDs, other tags, and NON-NUMERIC suffixes: a
+    'foreign' name like <prefix>v2_1234 may be a LIVE sibling
+    session's dir for a nesting tag ('sf0_001' vs 'sf0_001_v2'), so
+    reaping it would recreate the cross-session race this module
+    exists to prevent (round-8 review finding; the previous contract
+    treated non-numeric suffixes as dead litter)."""
     import os
 
     from ocdb_server_spark import scratch
@@ -291,7 +296,9 @@ def test_scratch_dir_isolation_and_reaping(tmp_path, monkeypatch):
     assert mine == str(tmp_path / f"ocdb_spark_demo_sf0_001_{os.getpid()}")
     assert os.path.isdir(mine) and not os.listdir(mine)
     assert not dead.exists(), "dead-PID sibling not reaped"
-    assert not foreign.exists(), "non-PID suffix treated as dead litter"
+    assert foreign.exists(), (
+        "non-PID suffix reaped — could be a live nesting-tag sibling"
+    )
     assert other_tag.exists(), "different sf tag must not be touched"
 
     # re-entry clears the caller's own dir
