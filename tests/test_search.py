@@ -498,3 +498,55 @@ def test_randomized_param_differential(orders):
         for r in find_datasets(df, via_offset, cols).datasets.select("o_orderkey").collect()
     ]
     assert ids_a == ids_o and len(ids_a) == 20
+
+
+def test_multicolumn_keyset_walk_covers_filtered_set(orders):
+    """Randomized MULTI-COLUMN keyset pagination: _keyset_after's
+    lexicographic row-value predicate is only exercised single-key by
+    the op193 tests, but the contract is any order_by tuple whose
+    last element is the unique key. For 6 seeded (filter, order_by,
+    page-size) draws — including a non-unique leading column with
+    heavy ties (o_orderstatus) and a DESC-unfriendly float column —
+    walking pages via `after` must reproduce the offset-walk exactly:
+    disjoint pages, in order, union = the whole filtered set."""
+    import random
+
+    rng = random.Random(5520)
+    cols_pool = [
+        ("o_orderstatus", "o_orderkey"),
+        ("o_orderpriority", "o_custkey", "o_orderkey"),
+        ("o_totalprice", "o_orderkey"),
+    ]
+    for trial in range(6):
+        order_by = rng.choice(cols_pool)
+        count = rng.randrange(40, 120)  # enough pages to stress the
+        # cursor without walking ~200 pages per trial (suite-time cap)
+        status = rng.choice([None, "F", "O"])
+        sc = SearchColumns(
+            order_key="o_orderkey",
+            order_by=order_by,
+            status="o_orderstatus" if status else None,
+        )
+        q0 = DatasetQuery(status=status, count=count)
+        full = [
+            tuple(r[c] for c in order_by)
+            for r in find_datasets(orders, DatasetQuery(status=status, count=10_000), sc)
+            .datasets.select(*order_by)
+            .collect()
+        ]
+        walked, after, pages = [], None, 0
+        while True:
+            q = DatasetQuery(status=status, count=count, after=after)
+            page = [
+                tuple(r[c] for c in order_by)
+                for r in find_datasets(orders, q, sc)
+                .datasets.select(*order_by)
+                .collect()
+            ]
+            if not page:
+                break
+            walked.extend(page)
+            after = page[-1]
+            pages += 1
+            assert pages <= len(full) // count + 2, "cursor walk not advancing"
+        assert walked == full, (trial, order_by, count, status)
