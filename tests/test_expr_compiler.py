@@ -225,42 +225,55 @@ def _expr_of(q) -> str:
     raise TypeError(type(q))
 
 
-def _random_ast(rng, tokens, depth=0):
-    langs = ["es", "zh", "de", "fr", "en", "xx"]
+def _random_ast(rng, pools, depth=0):
+    """pools: dict with data-DERIVED value lists (langs, sources,
+    tokens, n_chars span, doc_id span) — hardcoding current generator
+    values would make the health gate below false-fail the round the
+    driver regenerates testdata with different content."""
+    tokens = pools["tokens"]
     roll = rng.random()
     if depth >= 3 or roll < 0.45:
         kind = rng.randrange(8)
         if kind == 0:
-            return FieldValueQuery("lang", rng.choice(langs))
+            return FieldValueQuery("lang", rng.choice(pools["langs"] + ["xx"]))
         if kind == 1:
-            return FieldValueQuery("source", f"src{rng.randrange(14)}")
+            return FieldValueQuery(
+                "source", rng.choice(pools["sources"] + ["nosuchsrc"])
+            )
         if kind == 2:
-            return FieldValueQuery("n_chars", str(rng.randrange(40, 620)))
+            lo, hi = pools["n_chars"]
+            return FieldValueQuery("n_chars", str(rng.randrange(lo, hi + 1)))
         if kind == 3:
-            lo = rng.choice(["*", str(rng.randrange(0, 700))])
-            hi = rng.choice(["*", str(rng.randrange(0, 700))])
+            nlo, nhi = pools["n_chars"]
+            span = max(nhi - nlo, 1)
+            lo = rng.choice(["*", str(nlo + rng.randrange(0, span + span // 4))])
+            hi = rng.choice(["*", str(nlo + rng.randrange(0, span + span // 4))])
             return FieldRangeQuery("n_chars", lo, hi)
         if kind == 4:
-            lo, hi = sorted(rng.randrange(0, 520) for _ in range(2))
+            dlo, dhi = pools["doc_id"]
+            lo, hi = sorted(rng.randrange(dlo, dhi + 1) for _ in range(2))
             return FieldRangeQuery("doc_id", str(lo), str(hi))
         if kind == 5:
+            s = rng.choice(pools["sources"])
             return FieldWildcardQuery(
                 "source",
-                rng.choice(["src*", "src?", f"src{rng.randrange(10)}*",
-                            f"*{rng.randrange(10)}"]),
+                rng.choice(
+                    [s[:-1] + "*", s[:-1] + "?", s[:2] + "*", "*" + s[-1]]
+                ),
             )
         if kind == 6:
+            lg = rng.choice(pools["langs"])
             return FieldWildcardQuery(
-                "lang", rng.choice(["e?", "z*", "?e", "f*"])
+                "lang", rng.choice([lg[0] + "?", lg[0] + "*", "?" + lg[-1]])
             )
         return PhraseQuery(rng.choice(tokens))
     if roll < 0.60:
-        return UnaryOpQuery("NOT", _random_ast(rng, tokens, depth + 1))
+        return UnaryOpQuery("NOT", _random_ast(rng, pools, depth + 1))
     op = "AND" if roll < 0.80 else "OR"
     return BinaryOpQuery(
         op,
-        _random_ast(rng, tokens, depth + 1),
-        _random_ast(rng, tokens, depth + 1),
+        _random_ast(rng, pools, depth + 1),
+        _random_ast(rng, pools, depth + 1),
     )
 
 
@@ -284,13 +297,27 @@ def test_differential_semantics_vs_duckdb(spark, sf_dir, duck):
     from ocdb_server_spark.io import load_table
 
     path = os.path.join(sf_dir, "documents.parquet")
-    texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+    tbl = pq.read_table(
+        path, columns=["text", "lang", "source", "n_chars", "doc_id"]
+    )
+    texts = tbl["text"].to_pylist()
     tokens = sorted(
         {w for t in texts[:40] for w in re.findall(r"[a-z]{3,8}", t)}
     )[:24] or ["data"]
+    nc = sorted(tbl["n_chars"].to_pylist())
+    di = sorted(tbl["doc_id"].to_pylist())
+    pools = {
+        "tokens": tokens,
+        "langs": sorted({v for v in tbl["lang"].to_pylist() if v})[:8]
+        or ["en"],
+        "sources": sorted({v for v in tbl["source"].to_pylist() if v})[:16]
+        or ["src0"],
+        "n_chars": (int(nc[0]), int(nc[-1])),
+        "doc_id": (int(di[0]), int(di[-1])),
+    }
 
     rng = random.Random(8842)
-    asts = [_random_ast(rng, tokens) for _ in range(60)]
+    asts = [_random_ast(rng, pools) for _ in range(60)]
 
     preds = [
         compile_expr(_expr_of(a), default_fields=["text", "source"])
@@ -328,9 +355,9 @@ def test_differential_semantics_vs_duckdb(spark, sf_dir, duck):
     assert not mismatches, mismatches[:5]
     # generator health: the comparison must not be vacuous — a decent
     # share of predicates match some-but-not-all rows
-    n_rows = 500 if sf_dir.endswith("0.001") else None
+    n_rows = len(texts)
     partial = [
         i for i in range(len(asts))
-        if srow[f"c{i}"] > 0 and (n_rows is None or srow[f"c{i}"] < n_rows)
+        if 0 < srow[f"c{i}"] < n_rows
     ]
     assert len(partial) >= len(asts) // 3, len(partial)
