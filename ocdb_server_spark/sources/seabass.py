@@ -101,13 +101,14 @@ def parse_header(lines: list[str]) -> dict[str, str]:
     return header
 
 
-def read_seabass(spark: SparkSession, path: str) -> DataFrame:
-    """Read one SeaBASS-style file into a typed DataFrame.
-
-    Header is bounded → driver-side parse of the first lines; the
-    record body is a distributed text scan parsed with JVM expressions
-    (split + element_at + null-token mapping + cast to double).
-    """
+def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read one SeaBASS-style file into STRING columns: header-driven
+    split + null-token mapping, NO numeric cast. This is the
+    reference's actual record model — `List[List[Union[float, str]]]`
+    (`Dataset.records` [U]) — where date/time/station fields stay
+    text; `read_seabass` layers the all-double cast on top for the
+    numeric analytics path, and `seabass_record_geotime` composes the
+    per-record geo/time columns from these raw strings."""
     raw = spark.read.text(path)
     # header: everything until /end_header — bounded, take() is safe.
     head_lines = [r.value for r in raw.limit(200).collect()]
@@ -127,10 +128,10 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
     # line already collected for the header scan must split into
     # exactly len(fields) tokens. A misdeclared delimiter or a
     # misaligned /fields= list is a file-level misconfiguration that
-    # must stay LOUD — with try_cast below it would otherwise parse
-    # as an all-NULL frame (and ZERO records through the long path's
-    # isNotNull filter): silent total data loss, the failure mode the
-    # session code review flagged. Per-CELL junk is a different class
+    # must stay LOUD — with read_seabass's downstream try_cast it
+    # would otherwise parse as an all-NULL frame (and ZERO records
+    # through the long path's isNotNull filter): silent total data
+    # loss, the failure mode the session code review flagged. Per-CELL junk is a different class
     # and maps to NULL. Bodies starting past the collected window are
     # rare (200-line headers); the check is then skipped, not faked.
     import re as _re
@@ -174,17 +175,66 @@ def read_seabass(spark: SparkSession, path: str) -> DataFrame:
         c = F.trim(F.element_at(parts, i + 1))
         for tok in null_tokens:
             c = F.nullif(c, F.lit(tok))
-        # try_cast, not cast: under ANSI mode a plain cast THROWS on
-        # any malformed token (found by the randomized file fuzz —
-        # real SeaBASS bodies carry non-numeric cells beyond the
-        # declared /missing= and /below_detection_limit= markers:
-        # time strings, station names, stray comments). One bad cell
-        # must map to NULL, not kill a corpus-scale ingest job; the
-        # validation rule engine is where bad cells get FLAGGED
-        # (required/value_range over the parsed wide frame). File-level
-        # structural breakage is caught loudly above instead.
-        cols.append(c.try_cast("double").alias(name))
+        cols.append(c.alias(name))
     return body.select(*cols)
+
+
+def read_seabass(spark: SparkSession, path: str) -> DataFrame:
+    """Read one SeaBASS-style file into a typed all-double DataFrame.
+
+    Header is bounded → driver-side parse of the first lines; the
+    record body is a distributed text scan parsed with JVM expressions
+    (split + element_at + null-token mapping + cast to double).
+
+    try_cast, not cast: under ANSI mode a plain cast THROWS on any
+    malformed token (found by the randomized file fuzz — real SeaBASS
+    bodies carry non-numeric cells beyond the declared /missing= and
+    /below_detection_limit= markers: time strings, station names,
+    stray comments). One bad cell must map to NULL, not kill a
+    corpus-scale ingest job; the validation rule engine is where bad
+    cells get FLAGGED (required/value_range over the parsed wide
+    frame). File-level structural breakage raises loudly in
+    read_seabass_raw instead; text-typed fields are served by
+    read_seabass_raw + seabass_record_geotime."""
+    raw = read_seabass_raw(spark, path)
+    return raw.select(
+        *[F.col(c).try_cast("double").alias(c) for c in raw.columns]
+    )
+
+
+def seabass_record_geotime(
+    raw: DataFrame,
+    date_col: str = "date",
+    time_col: str = "time",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Append the reference's per-record geolocation/time columns —
+    `Dataset.longitudes/latitudes/times` [U] — to a read_seabass_raw
+    frame: `longitude`/`latitude` as doubles and `ts` as a TIMESTAMP
+    composed from the standard SeaBASS `date` (YYYYMMDD) + `time`
+    (HH:MM:SS) fields. These are exactly the columns the search
+    façade binds (SearchColumns x/y/t_start), closing the loop from
+    file ingest to bbox/time-interval search.
+
+    All-JVM expressions; malformed date/time compose to NULL ts via
+    try_to_timestamp (same taxonomy as the reader: cell-level junk →
+    NULL + validation, not a killed job)."""
+    for c in (date_col, time_col, lat_col, lon_col):
+        if c not in raw.columns:
+            raise ValueError(
+                f"seabass_record_geotime: field {c!r} not in frame "
+                f"(have {raw.columns})"
+            )
+    ts = F.expr(
+        f"try_to_timestamp(concat(`{date_col}`, ' ', `{time_col}`),"
+        " 'yyyyMMdd HH:mm:ss')"
+    )
+    return (
+        raw.withColumn("longitude", F.col(lon_col).try_cast("double"))
+        .withColumn("latitude", F.col(lat_col).try_cast("double"))
+        .withColumn("ts", ts)
+    )
 
 
 def read_seabass_long(spark: SparkSession, path: str, dataset_id: str) -> DataFrame:

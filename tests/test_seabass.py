@@ -238,3 +238,61 @@ def test_structural_misalignment_stays_loud(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="misdeclared delimiter"):
         read_seabass(spark, str(p))
+
+
+def test_raw_and_geotime_compose_reference_record_model(spark, tmp_path):
+    """read_seabass_raw keeps the reference's float/str record model
+    (Dataset.records [U]) — text fields survive as strings instead of
+    try_cast-ing to NULL — and seabass_record_geotime composes the
+    per-record longitudes/latitudes/times the reference extracts,
+    which then bind straight into find_datasets' bbox+time search."""
+    from ocdb_server_spark.search import (
+        DatasetQuery,
+        SearchColumns,
+        find_datasets,
+    )
+    from ocdb_server_spark.sources.seabass import (
+        read_seabass_raw,
+        seabass_record_geotime,
+    )
+
+    p = tmp_path / "geo.sb"
+    p.write_text(
+        "/begin_header\n"
+        "/fields=date,time,lat,lon,station,chl\n"
+        "/delimiter=comma\n/missing=-999\n/end_header\n"
+        "19970115,10:30:00,43.5,-68.2,stnA,0.52\n"
+        "19970115,11:00:00,43.6,-68.1,stnB,0.61\n"
+        "19970116,09:15:00,44.0,-67.9,stnC,-999\n"
+        "19970116,badtime,44.1,-67.8,stnD,0.40\n"
+    )
+    raw = read_seabass_raw(spark, str(p))
+    rows = raw.collect()
+    # text fields survive (the all-double path would NULL these)
+    assert [r["station"] for r in rows] == ["stnA", "stnB", "stnC", "stnD"]
+    assert rows[2]["chl"] is None  # missing token → NULL even raw
+
+    geo = seabass_record_geotime(raw)
+    g = geo.collect()
+    assert g[0]["longitude"] == -68.2 and g[0]["latitude"] == 43.5
+    assert str(g[0]["ts"]).startswith("1997-01-15 10:30:00")
+    assert g[3]["ts"] is None  # malformed time → NULL ts, not a crash
+
+    # the composed columns bind directly into the search façade
+    cols = SearchColumns(
+        x="longitude", y="latitude", t_start="ts", order_key="station"
+    )
+    res = find_datasets(
+        geo,
+        DatasetQuery(
+            region=(-68.5, 43.0, -68.0, 44.5),
+            time=("1997-01-15 00:00:00", "1997-01-15 23:59:59"),
+            count=100,
+        ),
+        cols,
+    )
+    assert res.total_count == 2
+    assert [r["station"] for r in res.datasets.collect()] == ["stnA", "stnB"]
+
+    with pytest.raises(ValueError, match="not in frame"):
+        seabass_record_geotime(raw.drop("lat"))
