@@ -101,19 +101,26 @@ def parse_header(lines: list[str]) -> dict[str, str]:
     return header
 
 
-def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
-    """Read one SeaBASS-style file into STRING columns: header-driven
-    split + null-token mapping, NO numeric cast. This is the
-    reference's actual record model — `List[List[Union[float, str]]]`
-    (`Dataset.records` [U]) — where date/time/station fields stay
-    text; `read_seabass` layers the all-double cast on top for the
-    numeric analytics path, and `seabass_record_geotime` composes the
-    per-record geo/time columns from these raw strings."""
-    raw = spark.read.text(path)
-    # header: everything until /end_header — bounded, take() is safe.
-    head_lines = [r.value for r in raw.limit(200).collect()]
+def _header_spec(
+    head_lines: list[str], path: str
+) -> tuple[str, list[str], list[str]]:
+    """Resolve (delimiter regex, fields, null tokens) from a file's
+    first lines, with the STRUCTURAL guard: the first body line must
+    split into exactly len(fields) tokens. A misdeclared delimiter or
+    a misaligned /fields= list is a file-level misconfiguration that
+    must stay LOUD — with read_seabass's downstream try_cast it would
+    otherwise parse as an all-NULL frame (and ZERO records through
+    the long path's isNotNull filter): silent total data loss, the
+    failure mode the session code review flagged. Per-CELL junk is a
+    different class and maps to NULL. Bodies starting past the
+    collected window are rare (200-line headers); the check is then
+    skipped, not faked."""
+    import re as _re
+
     try:
-        end = next(i for i, ln in enumerate(head_lines) if ln.strip() == "/end_header")
+        end = next(
+            i for i, ln in enumerate(head_lines) if ln.strip() == "/end_header"
+        )
     except StopIteration:
         raise ValueError(f"{path}: no /end_header in first 200 lines")
     header = parse_header(head_lines[: end + 1])
@@ -122,19 +129,11 @@ def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
     fields = [f.strip() for f in header.get("fields", "").split(",") if f.strip()]
     if not fields:
         raise ValueError(f"{path}: missing /fields= header")
-    null_tokens = [t for t in (header.get("missing"), header.get("below_detection_limit")) if t]
-
-    # STRUCTURAL sanity before any distributed work: the first body
-    # line already collected for the header scan must split into
-    # exactly len(fields) tokens. A misdeclared delimiter or a
-    # misaligned /fields= list is a file-level misconfiguration that
-    # must stay LOUD — with read_seabass's downstream try_cast it
-    # would otherwise parse as an all-NULL frame (and ZERO records
-    # through the long path's isNotNull filter): silent total data
-    # loss, the failure mode the session code review flagged. Per-CELL junk is a different class
-    # and maps to NULL. Bodies starting past the collected window are
-    # rare (200-line headers); the check is then skipped, not faked.
-    import re as _re
+    null_tokens = [
+        t
+        for t in (header.get("missing"), header.get("below_detection_limit"))
+        if t
+    ]
 
     first_body = next(
         (
@@ -157,6 +156,21 @@ def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
                 f"/fields= declares {len(fields)} columns — misdeclared "
                 "delimiter or misaligned fields list"
             )
+    return delim, fields, null_tokens
+
+
+def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read one SeaBASS-style file into STRING columns: header-driven
+    split + null-token mapping, NO numeric cast. This is the
+    reference's actual record model — `List[List[Union[float, str]]]`
+    (`Dataset.records` [U]) — where date/time/station fields stay
+    text; `read_seabass` layers the all-double cast on top for the
+    numeric analytics path, and `seabass_record_geotime` composes the
+    per-record geo/time columns from these raw strings."""
+    raw = spark.read.text(path)
+    # header: everything until /end_header — bounded, take() is safe.
+    head_lines = [r.value for r in raw.limit(200).collect()]
+    delim, fields, null_tokens = _header_spec(head_lines, path)
 
     # Filter on the TRIMMED line: an INDENTED '/'-line or '!' comment
     # (SeaBASS's comment marker) would otherwise slip past an
@@ -260,3 +274,76 @@ def read_seabass_long(spark: SparkSession, path: str, dataset_id: str) -> DataFr
         )
         .filter(F.col("value").isNotNull())
     )
+
+
+def read_seabass_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """LONG records `(dataset_id, field, value)` for a CORPUS of
+    SeaBASS files — the module docstring's many-files scale path,
+    built: files are grouped by header SIGNATURE (delimiter, fields
+    tuple, null tokens) and each signature group parses in ONE
+    distributed text scan over ALL its files, with `input_file_name()`
+    supplying the dataset_id (file stem). The number of Spark scans
+    equals the number of DISTINCT header shapes in the corpus, not
+    the number of files — a 100k-file drop with a dozen field layouts
+    is a dozen scans, each fanning out one task per file (text files
+    split per-file like op207's gzip story).
+
+    Header resolution is the one-time catalog step: each file's
+    bounded header (≤200 lines) is read driver-side and folded into
+    the file→signature map — KBs of metadata even at 100k files, the
+    'per-file headers resolved into a broadcast map' the module
+    docstring promises (here the map folds into plan literals rather
+    than a runtime broadcast: each signature group's parse is
+    identical for every file in it). Structural misalignment in any
+    file raises loudly at catalog time with the file named
+    (_header_spec's guard), before any cluster work.
+
+    Output matches `read_seabass_long` exactly (same stack shape,
+    NULL observations dropped, value cast to double via try_cast) —
+    asserted in tests against a per-file union."""
+    by_sig: dict[tuple, list[str]] = {}
+    for p in paths:
+        with open(p, encoding="utf-8", errors="replace") as f:
+            head_lines = [next(f, "") for _ in range(200)]
+        delim, fields, null_tokens = _header_spec(head_lines, p)
+        by_sig.setdefault(
+            (delim, tuple(fields), tuple(null_tokens)), []
+        ).append(p)
+
+    frames = []
+    for (delim, fields, null_tokens), group in sorted(by_sig.items()):
+        raw = spark.read.text(group)
+        trimmed = F.trim(F.col("value"))
+        body = raw.filter(
+            ~trimmed.startswith("/")
+            & ~trimmed.startswith("!")
+            & (trimmed != "")
+        )
+        parts = F.split(F.trim(F.col("value")), delim)
+        cols = []
+        for i, name in enumerate(fields):
+            c = F.trim(F.element_at(parts, i + 1))
+            for tok in null_tokens:
+                c = F.nullif(c, F.lit(tok))
+            cols.append(c.try_cast("double").alias(name))
+        ds_id = F.regexp_replace(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            r"\.[^.]*$",
+            "",
+        )
+        wide = body.select(ds_id.alias("dataset_id"), *cols)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in fields)
+        frames.append(
+            wide.select(
+                "dataset_id",
+                F.expr(f"stack({len(fields)}, {pairs})").alias(
+                    "field", "value"
+                ),
+            ).filter(F.col("value").isNotNull())
+        )
+    if not frames:
+        raise ValueError("read_seabass_corpus: empty path list")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -296,3 +296,50 @@ def test_raw_and_geotime_compose_reference_record_model(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in frame"):
         seabass_record_geotime(raw.drop("lat"))
+
+
+def test_corpus_reader_matches_per_file_union_with_fewer_scans(
+    spark, tmp_path
+):
+    """read_seabass_corpus over 5 files spanning 3 header signatures
+    must equal the per-file read_seabass_long union exactly, while
+    planning ONE text scan per SIGNATURE (3), not per file (5) — the
+    many-files scale shape the module docstring promises. A broken
+    file anywhere in the corpus is named loudly at catalog time."""
+    from ocdb_server_spark.sources.seabass import read_seabass_corpus
+
+    # ds1/ds4/ds5 share FIXTURE's signature; ds2/ds3 bring two more
+    contents = {
+        "ds1": FIXTURE,
+        "ds2": FIXTURE2,
+        "ds3": FIXTURE3,
+        "ds4": FIXTURE.replace("1.0,0.52,12.3,35.1", "9.0,0.9,10.0,30.0"),
+        "ds5": FIXTURE,
+    }
+    paths = []
+    for name, body in contents.items():
+        p = tmp_path / f"{name}.sb"
+        p.write_text(body)
+        paths.append(str(p))
+
+    corpus = read_seabass_corpus(spark, paths)
+    manual = None
+    for name in contents:
+        f = read_seabass_long(spark, str(tmp_path / f"{name}.sb"), name)
+        manual = f if manual is None else manual.unionByName(f)
+
+    key = lambda r: (r["dataset_id"], r["field"], r["value"])  # noqa: E731
+    got = sorted(corpus.collect(), key=key)
+    exp = sorted(manual.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan text") == 3, plan
+
+    # catalog-time loudness: one broken file fails the whole build by name
+    bad = tmp_path / "bad.sb"
+    bad.write_text(
+        "/begin_header\n/fields=a,b\n/delimiter=comma\n/end_header\n1\t2\n"
+    )
+    with pytest.raises(ValueError, match="bad.sb"):
+        read_seabass_corpus(spark, paths + [str(bad)])
