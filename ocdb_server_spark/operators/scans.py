@@ -341,20 +341,27 @@ def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         FIXTURE,
         FIXTURE2,
         FIXTURE3,
-        read_seabass_long,
+        read_seabass_corpus,
     )
 
     d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
     os.makedirs(d, exist_ok=True)
-    frames = []
+    paths = []
     for ds_id, content in (("ds1", FIXTURE), ("ds2", FIXTURE2), ("ds3", FIXTURE3)):
         path = os.path.join(d, f"{ds_id}.sb")
         tmp_path = f"{path}.{os.getpid()}.tmp"
         with open(tmp_path, "w") as f:
             f.write(content)
         os.replace(tmp_path, path)  # atomic: same rule as op03
-        frames.append(read_seabass_long(spark, path, ds_id))
-    long_tbl = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        paths.append(path)
+    # corpus reader (r8): one scan per header SIGNATURE — here every
+    # file has its own delimiter/fields, so 3 scans for 3 files, but
+    # the same call handles 100k files with a dozen layouts as a dozen
+    # scans; dataset_id = file stem, matching the oracle's ds1/ds2/ds3.
+    # Proven row-identical to the per-file read_seabass_long union in
+    # tests/test_seabass.py; this registration puts it under the
+    # driver's hash gate as well.
+    long_tbl = read_seabass_corpus(spark, paths)
     dim = spark.createDataFrame(_PGROUPS, "field string, pgroup string")
     return (
         long_tbl.join(F.broadcast(dim), "field", "left")
