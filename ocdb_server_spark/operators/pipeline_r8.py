@@ -452,3 +452,145 @@ def op257_holt_winters_damped_multiplicative(
         + ", ".join(f"fc_{h} long" for h in range(1, _HWM_H + 1))
     )
     return daily.groupBy("event_type").applyInPandas(hwdm, schema)
+
+
+# --------------------------------------------------------------------------
+# op258: Avro OCF sink pairing for the open-schema records table
+# --------------------------------------------------------------------------
+
+# The obs VALUES are the same hand transcription of the three SeaBASS
+# fixtures that certifies op204 (operators/scans.py::_OP204_SQL) —
+# re-aggregated without the group dim: the sink pairing certifies the
+# TRANSPORT (long records → OCF bytes → back), not the resolution.
+_OP258_SQL = """
+WITH obs(dataset_id, field, value) AS (VALUES
+  ('ds1','depth',1.0),('ds1','chl',0.52),('ds1','wt',12.3),('ds1','sal',35.1),
+  ('ds1','depth',2.5),('ds1','wt',12.1),('ds1','sal',35.0),
+  ('ds1','depth',5.0),('ds1','chl',0.31),('ds1','sal',34.9),
+  ('ds1','depth',7.5),('ds1','chl',0.22),('ds1','wt',11.8),
+  ('ds1','depth',10.0),('ds1','wt',11.5),('ds1','sal',34.7),
+  ('ds2','depth',1.0),('ds2','lu412',1.11),('ds2','lu443',2.22),('ds2','es412',3.33),
+  ('ds2','depth',5.0),('ds2','lu443',2.10),('ds2','es412',3.20),
+  ('ds2','depth',10.0),('ds2','lu412',0.95),('ds2','lu443',1.98),
+  ('ds2','depth',20.0),('ds2','lu412',0.80),('ds2','es412',3.05),
+  ('ds3','depth',2.0),('ds3','chl',0.50),('ds3','kd490',0.061),('ds3','sal',35.2),
+  ('ds3','depth',4.0),('ds3','kd490',0.055),('ds3','sal',35.1),
+  ('ds3','depth',8.0),('ds3','chl',0.42),('ds3','sal',35.0)
+)
+SELECT dataset_id, field,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+FROM obs
+GROUP BY dataset_id, field
+"""
+
+_OBS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Obs",
+    "fields": [
+        {"name": "dataset_id", "type": "string"},
+        {"name": "field", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+def _obs_avro_write(out_dir: str):
+    def write(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ocdb_server_spark.sources.avro_ocf import write_ocf
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in it:
+            for r in pdf.to_dict("records"):
+                rows.append(
+                    {
+                        "dataset_id": r["dataset_id"],
+                        "field": r["field"],
+                        "value": float(r["value"]),
+                    }
+                )
+        if not rows:  # empty partition: no file, not an empty OCF
+            return
+        codec = "deflate" if pid % 2 else "null"
+        path = os.path.join(out_dir, f"obs-{pid:05d}.avro")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_ocf(_OBS_AVRO_SCHEMA, rows, codec=codec,
+                              rows_per_block=8))
+        os.replace(tmp, path)
+        yield pd.DataFrame({"path": [path], "n_rows": [len(rows)]})
+
+    return write
+
+
+def _obs_avro_read(it):
+    import pandas as pd
+
+    from ocdb_server_spark.sources.avro_ocf import read_ocf
+
+    for pdf in it:
+        for content in pdf["content"]:
+            rows = read_ocf(bytes(content))
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        "dataset_id": [r["dataset_id"] for r in rows],
+                        "field": [r["field"] for r in rows],
+                        "value": [r["value"] for r in rows],
+                    }
+                )
+
+
+@register("op258_avro_records_sink", oracle=_OP258_SQL)
+def op258_avro_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCF Avro SINK pairing for the open-schema records table — the
+    op204 ↔ op252 gap named in SURVEY §7.8 (the writer existed, only
+    the pairing was missing): the long `(dataset_id, field, value)`
+    frame from the SeaBASS fixture corpus (scans.seabass_fixture_corpus
+    — one text scan per header signature) is exported executor-side as
+    Avro Object Container Files — the record-oriented interchange
+    format an archive consumer actually takes for open-schema records
+    (a fixed parquet schema can't hold per-file field sets; the long
+    triple CAN, and Avro carries it with the schema in the container
+    header) — then re-read through binaryFile + read_ocf and
+    re-aggregated. The per-(dataset_id, field) count + quantized sum
+    must hash-match the fixtures' hand transcription: a value corrupted
+    anywhere in parse → long → OCF double bits → decode breaks the
+    hash. Codec alternates null/deflate per partition; 8-row blocks
+    force multi-block files (every fixture dataset exceeds one block) so block framing is exercised, not just
+    one-block containers.
+
+    Scale shape: op252's exactly — encode and decode are mapInPandas
+    stages, payload bytes live and die inside one task, the shuffle
+    after decode carries the (dataset_id, field) aggregate only; the
+    partitionBy-style repartition on dataset_id bounds each OCF file's
+    writer state. The ≤4-row manifest collect() forces the write
+    before the read plan is returned (bounded, op252's rule)."""
+    from ocdb_server_spark.operators.scans import seabass_fixture_corpus
+
+    out_dir = scratch_dir("avro_records", sf_dir)
+    long_tbl = seabass_fixture_corpus(spark)
+    manifest = (
+        long_tbl.repartition(3, F.col("dataset_id"))
+        .mapInPandas(_obs_avro_write(out_dir), "path string, n_rows long")
+        .collect()
+    )
+    assert sum(r.n_rows for r in manifest) > 0
+    back = (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .select("content")
+        .mapInPandas(
+            _obs_avro_read, "dataset_id string, field string, value double"
+        )
+    )
+    return back.groupBy("dataset_id", "field").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_q"),
+    )

@@ -285,6 +285,37 @@ _PGROUPS = [
 # same way. Values quantized ROUND(v*1000) -> BIGINT per the
 # cross-engine float rule (same double literal, same product, same
 # round in both engines).
+def seabass_fixture_corpus(spark: SparkSession) -> DataFrame:
+    """The three deterministic heterogeneous SeaBASS fixtures written
+    atomically to the shared fixture dir (identical bytes across
+    sessions — op03's rule) and ingested through read_seabass_corpus:
+    one scan per header SIGNATURE (here every file has its own
+    delimiter/fields, so 3 scans; the same call handles 100k files
+    with a dozen layouts as a dozen scans), dataset_id = file stem.
+    Proven row-identical to the per-file read_seabass_long union in
+    tests/test_seabass.py. Shared by op204 (group resolution) and
+    op258 (Avro OCF sink pairing), so both hash gates exercise the
+    corpus path."""
+    from ocdb_server_spark.sources.seabass import (
+        FIXTURE,
+        FIXTURE2,
+        FIXTURE3,
+        read_seabass_corpus,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for ds_id, content in (("ds1", FIXTURE), ("ds2", FIXTURE2), ("ds3", FIXTURE3)):
+        path = os.path.join(d, f"{ds_id}.sb")
+        tmp_path = f"{path}.{os.getpid()}.tmp"
+        with open(tmp_path, "w") as f:
+            f.write(content)
+        os.replace(tmp_path, path)  # atomic: same rule as op03
+        paths.append(path)
+    return read_seabass_corpus(spark, paths)
+
+
 _OP204_SQL = """
 WITH obs(dataset_id, field, value) AS (VALUES
   ('ds1','depth',1.0),('ds1','chl',0.52),('ds1','wt',12.3),('ds1','sal',35.1),
@@ -337,31 +368,7 @@ def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, not migrations. The oracle restates the fixtures'
     observations as a hand-transcribed VALUES table — a parse bug on
     either engine's side breaks the hash."""
-    from ocdb_server_spark.sources.seabass import (
-        FIXTURE,
-        FIXTURE2,
-        FIXTURE3,
-        read_seabass_corpus,
-    )
-
-    d = os.path.join(tempfile.gettempdir(), "ocdb_spark_seabass_fixture")
-    os.makedirs(d, exist_ok=True)
-    paths = []
-    for ds_id, content in (("ds1", FIXTURE), ("ds2", FIXTURE2), ("ds3", FIXTURE3)):
-        path = os.path.join(d, f"{ds_id}.sb")
-        tmp_path = f"{path}.{os.getpid()}.tmp"
-        with open(tmp_path, "w") as f:
-            f.write(content)
-        os.replace(tmp_path, path)  # atomic: same rule as op03
-        paths.append(path)
-    # corpus reader (r8): one scan per header SIGNATURE — here every
-    # file has its own delimiter/fields, so 3 scans for 3 files, but
-    # the same call handles 100k files with a dozen layouts as a dozen
-    # scans; dataset_id = file stem, matching the oracle's ds1/ds2/ds3.
-    # Proven row-identical to the per-file read_seabass_long union in
-    # tests/test_seabass.py; this registration puts it under the
-    # driver's hash gate as well.
-    long_tbl = read_seabass_corpus(spark, paths)
+    long_tbl = seabass_fixture_corpus(spark)
     dim = spark.createDataFrame(_PGROUPS, "field string, pgroup string")
     return (
         long_tbl.join(F.broadcast(dim), "field", "left")

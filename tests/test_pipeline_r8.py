@@ -201,3 +201,70 @@ def test_hw_damped_mult_trend_is_damped_vs_op254(spark, sf_dir):
         # seasonal ratio — whereas op254's grows linearly with h.
         assert abs(r.trend) <= abs(undamped[et].trend) + 1, et
         assert len(r) == len(undamped[et]) == 3 + _HWM_H
+
+
+def test_op258_ocf_files_are_multiblock_and_jvm_readable(spark, sf_dir):
+    """op258's transport claims, pinned: the exported OCF files are
+    MULTI-block (8-row blocks — block framing is exercised, not just
+    one-block containers), both codec paths appear across the file
+    set, and the JVM avro library on Spark's own classpath reads our
+    bytes back to the exact same (dataset_id, field, value) triples —
+    the interop gate op252 established, applied to the records sink."""
+    import glob
+
+    from ocdb_server_spark.operators.pipeline_r8 import (
+        op258_avro_records_sink,
+    )
+    from ocdb_server_spark.sources.avro_ocf import read_ocf
+
+    out = op258_avro_records_sink(spark, sf_dir)
+    rows = {(r.dataset_id, r.field): (r.n_obs, r.sum_q) for r in out.collect()}
+    assert rows[("ds1", "depth")] == (5, 26000)  # 1+2.5+5+7.5+10 → *1000
+
+    # THIS process's scratch dir only (same naming rule as scratch_dir;
+    # calling scratch_dir() again would reap and EMPTY it) — a glob
+    # over all pids would pick up stale dirs from other sessions/tags
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    mine = os.path.join(
+        tempfile.gettempdir(),
+        f"ocdb_spark_avro_records_{tag}_{os.getpid()}",
+    )
+    files = sorted(glob.glob(f"{mine}/obs-*.avro"))
+    assert files, "no OCF files left on disk"
+    total = []
+    for p in files:
+        with open(p, "rb") as f:
+            blob = f.read()
+        recs = read_ocf(blob)
+        total.extend((r["dataset_id"], r["field"], r["value"]) for r in recs)
+        if len(recs) > 8:
+            # count sync markers: blocks = occurrences of the 16-byte
+            # marker after the header; >2 means ≥2 data blocks
+            marker = blob[-16:]
+            assert blob.count(marker) >= 3, p  # header + ≥2 blocks
+    assert len(total) == 39  # every fixture observation survived (16+13+10)
+
+    # JVM interop: DataFileReader parses our bytes
+    jvm = spark._jvm
+    sf = jvm.java.io.File(files[0])
+    dgr = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(sf, dgr)
+    jvm_rows = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        jvm_rows.append(
+            (
+                str(rec.get("dataset_id")),
+                str(rec.get("field")),
+                float(rec.get("value")),
+            )
+        )
+    dfr.close()
+    ours = [
+        (r["dataset_id"], r["field"], r["value"])
+        for r in read_ocf(open(files[0], "rb").read())
+    ]
+    assert jvm_rows == ours and len(jvm_rows) > 0
