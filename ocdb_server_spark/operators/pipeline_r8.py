@@ -594,3 +594,185 @@ def op258_avro_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# op259: Croston / SBA intermittent-demand forecasting
+# --------------------------------------------------------------------------
+
+_CR_K = 32  # demand series = o_custkey % 32; with the 13-month window
+# below, ≈18% of (series, day) cells have demand: genuinely intermittent
+_CR_FROM = "2000-07-01 00:00:00"  # bound the recursion to ~400 daily steps
+# (the full 6.5-year span costs the DuckDB side a 2400-step recursive
+# join — 21 s of sweep budget for no extra certification power)
+
+# Croston 1972 / Syntetos-Boylan 2005 (SBA), α = 1/2, integer-exact.
+# State per series: z (smoothed demand size), p (smoothed inter-demand
+# interval), q (periods since last demand), nd (demands seen). Updates
+# happen ONLY at nonzero-demand periods:
+#     z' = (y + z) // 2          (α-average, nonneg → // is exact f2)
+#     p' = (q + 1 + p) // 2      (interval = gap since last demand)
+# Init at the FIRST demand: z = y, p = t + 1 (1-based interval from
+# series start). Point forecasts, quantized ×1000 (all operands nonneg
+# so // floors identically in python and DuckDB):
+#     fc_croston_q = z·1000 // p
+#     fc_sba_q     = z·3000 // (4p)      (SBA bias factor 1 − α/2 = 3/4)
+_OP259_SQL = f"""
+WITH RECURSIVE o AS (
+  SELECT * FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CR_FROM}'),
+bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         MAX(CAST(o_orderdate AS DATE)) AS d1 FROM o),
+maxt AS (SELECT CAST(d1 - d0 AS BIGINT) AS m FROM bounds),
+counts AS (
+  SELECT o_custkey % {_CR_K} AS k,
+         CAST(CAST(o_orderdate AS DATE) - b.d0 AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM o CROSS JOIN bounds b
+  GROUP BY 1, 2),
+spine AS (
+  SELECT CAST(s.i AS BIGINT) AS k, CAST(t.i AS BIGINT) AS t
+  FROM UNNEST(range(0, {_CR_K})) s(i), maxt m,
+       UNNEST(range(0, m.m + 1)) t(i)),
+daily AS (
+  SELECT s.k, s.t, COALESCE(c.y, CAST(0 AS BIGINT)) AS y
+  FROM spine s LEFT JOIN counts c ON s.k = c.k AND s.t = c.t),
+cr AS (
+  SELECT k, CAST(0 AS BIGINT) AS t,
+         CASE WHEN y > 0 THEN y ELSE CAST(0 AS BIGINT) END AS z,
+         CASE WHEN y > 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS p,
+         CAST(0 AS BIGINT) AS q,
+         CASE WHEN y > 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS nd
+  FROM daily WHERE t = 0
+  UNION ALL
+  SELECT h.k, h.t + 1,
+         CASE WHEN h.nd = 0 THEN
+                CASE WHEN d.y > 0 THEN d.y ELSE CAST(0 AS BIGINT) END
+              WHEN d.y > 0 THEN (d.y + h.z) // 2
+              ELSE h.z END AS z,
+         CASE WHEN h.nd = 0 THEN
+                CASE WHEN d.y > 0 THEN h.t + 2 ELSE CAST(0 AS BIGINT) END
+              WHEN d.y > 0 THEN (h.q + 1 + h.p) // 2
+              ELSE h.p END AS p,
+         CASE WHEN d.y > 0 OR h.nd = 0 THEN CAST(0 AS BIGINT)
+              ELSE h.q + 1 END AS q,
+         h.nd + CASE WHEN d.y > 0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS nd
+  FROM cr h
+  JOIN daily d ON d.k = h.k AND d.t = h.t + 1
+  CROSS JOIN maxt m
+  WHERE h.t + 1 <= m.m
+)
+SELECT h.k AS series_k,
+       h.nd AS n_demands,
+       h.z AS z_size,
+       h.p AS p_interval,
+       h.z * 1000 // h.p AS fc_croston_q,
+       h.z * 3000 // (h.p * 4) AS fc_sba_q
+FROM cr h CROSS JOIN maxt m
+WHERE h.t = m.m AND h.nd > 0
+"""
+
+
+@register("op259_croston_sba", oracle=_OP259_SQL)
+def op259_croston_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON / SBA intermittent-demand forecasting (SURVEY §7.8
+    round-9 candidate 3 — the forecasting family's sparse-series
+    member): op231/op253/op254/op257 smooth EVERY period, which is
+    known-biased when most periods have zero demand (spare parts,
+    long-tail SKUs, rare event types). Croston's method decomposes
+    the series into demand SIZE and inter-demand INTERVAL, each
+    SES-smoothed only at demand points; the point forecast is their
+    ratio, and SBA (Syntetos-Boylan 2005) multiplies by 1 − α/2 to
+    correct Croston's convexity bias — the standard pairing in
+    intermittent-demand practice (M5-competition baseline set).
+
+    Demand series: daily order counts per o_custkey % 16 (≈32%
+    nonzero days at sf0.01 — genuinely intermittent). α = 1/2 keeps
+    every update one integer halving on nonneg operands, so the
+    state loop and both quantized forecasts are bit-identical
+    between applyInPandas and DuckDB's WITH RECURSIVE (op253's
+    certification pattern; no _HW_OFF shift needed — every operand
+    here is provably nonnegative, noted per value in _OP259_SQL).
+
+    Scale: one shuffle on the series key; a ~2400-step ordered loop
+    per series inside one task; series parallelize freely (10^6 SKUs
+    = 10^6 independent tasks). The daily spine is built per-series
+    by sequence() explode — no driver loop, no cross-series state."""
+    ords = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(_CR_FROM).cast("timestamp")
+    )
+    b = ords.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    counts = (
+        ords.crossJoin(F.broadcast(b))
+        .groupBy(
+            (F.col("o_custkey") % _CR_K).cast("bigint").alias("k"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0"))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    spine = (
+        spark.range(_CR_K)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "k",
+            F.explode(
+                F.expr(
+                    "sequence(cast(0 as bigint),"
+                    " cast(datediff(d1, d0) as bigint))"
+                )
+            ).alias("t"),
+        )
+    )
+    daily = spine.join(counts, ["k", "t"], "left").select(
+        "k", "t", F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y")
+    )
+
+    def croston(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        z = p = q = nd = 0
+        for y, t in zip(pdf["y"].astype(int), pdf["t"].astype(int)):
+            if nd == 0:
+                if y > 0:
+                    z, p, q, nd = y, t + 1, 0, 1
+            elif y > 0:
+                z = (y + z) // 2
+                p = (q + 1 + p) // 2
+                q = 0
+                nd += 1
+            else:
+                q += 1
+        if nd == 0:  # series with no demand at all: no forecast row
+            return pd.DataFrame(
+                columns=[
+                    "series_k", "n_demands", "z_size", "p_interval",
+                    "fc_croston_q", "fc_sba_q",
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "series_k": [int(pdf["k"].iloc[0])],
+                "n_demands": [nd],
+                "z_size": [z],
+                "p_interval": [p],
+                "fc_croston_q": [z * 1000 // p],
+                "fc_sba_q": [z * 3000 // (4 * p)],
+            }
+        )
+
+    schema = (
+        "series_k long, n_demands long, z_size long, p_interval long, "
+        "fc_croston_q long, fc_sba_q long"
+    )
+    return daily.groupBy("k").applyInPandas(croston, schema)

@@ -673,3 +673,148 @@ def op210_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("bigint").alias("sum_user_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+# --------------------- op260: BGZF blocked-gzip SPLITTABLE gzip source
+
+_OP260_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _bgzf_write_docs(path: str):
+    def write(it):
+        import json
+
+        import pandas as pd
+
+        from ocdb_server_spark.sources.bgzf import iter_bgzf_members
+
+        def lines():
+            for pdf in it:
+                for r in pdf.to_dict("records"):
+                    yield json.dumps(
+                        {
+                            "doc_id": int(r["doc_id"]),
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "n_chars": int(r["n_chars"]),
+                        },
+                        sort_keys=True,
+                    )
+
+        n = 0
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            for member in iter_bgzf_members(lines()):
+                f.write(member)
+                n += 1
+        os.replace(tmp, path)  # atomic publish (op03's rule)
+        yield pd.DataFrame({"path": [path], "n_members": [n]})
+
+    return write
+
+
+def _bgzf_walk(it):
+    import pandas as pd
+
+    from ocdb_server_spark.sources.bgzf import walk_blocks
+
+    for pdf in it:
+        for p in pdf["path"]:
+            blocks = walk_blocks(p)
+            yield pd.DataFrame(
+                {
+                    "path": [p] * len(blocks),
+                    "offset": [b[0] for b in blocks],
+                    "length": [b[1] for b in blocks],
+                }
+            )
+
+
+def _bgzf_decode(it):
+    import json
+
+    import pandas as pd
+
+    from ocdb_server_spark.sources.bgzf import read_block
+
+    for pdf in it:
+        for p, o, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+            recs = [
+                json.loads(x)
+                for x in read_block(p, int(o), int(ln)).decode("utf-8").splitlines()
+            ]
+            if recs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in recs],
+                        "text": [r["text"] for r in recs],
+                        "lang": [r["lang"] for r in recs],
+                        "n_chars": [r["n_chars"] for r in recs],
+                    }
+                )
+
+
+@register("op260_bgzf_splittable_gzip", oracle=_OP260_SQL)
+def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITTABLE GZIP — the op207/op256 story completed for gzip
+    itself (SURVEY §7.8 round-9 candidate 3): the documents table
+    exported as ONE BGZF file (sources/bgzf.py — the SAM-spec §4.1
+    blocked-gzip framing: ≤64 KiB independent gzip members, each
+    member's compressed length carried in-band in a gzip FEXTRA 'BC'
+    subfield). op207 proved a plain .gz condemns Spark to one task
+    per file; op256 showed bzip2's block magic makes splitting free;
+    BGZF shows gzip can join them WITHOUT losing gzip compatibility —
+    the file remains a valid multi-member gzip stream any stock
+    consumer reads end-to-end (pinned vs stdlib gzip in
+    tests/test_bgzf.py).
+
+    The split path is index-free and three-stage, all executor-side:
+    (1) one task streams the corpus through iter_bgzf_members (one
+    ≤48 KiB batch in memory, members flushed at record boundaries —
+    a split can never tear a record); (2) walk_blocks builds the
+    block manifest from the in-band BSIZE fields alone, reading ~18
+    bytes per 64 KiB member — parquet-footer economics, distributed
+    per file via mapInPandas; (3) the manifest rows (NOT the bytes)
+    shuffle to a repartition(8) fan-out where each task range-reads
+    and inflates its own members, CRC-verified. Payload bytes never
+    shuffle; at 100 TB the manifest is ~1/4000th of the data and the
+    block reads fan out to maxPartitionBytes-sized task groups —
+    the exact economics Spark's native bzip2 split gives op256.
+    The per-lang aggregate over the re-read frame hash-matching the
+    original-parquet oracle certifies the JSON→BGZF→manifest-split→
+    inflate path loses nothing; the ≤1-row manifest collect() forces
+    the write before the read plan is returned (op252's rule)."""
+    from ocdb_server_spark.scratch import scratch_dir
+
+    path = os.path.join(
+        scratch_dir("bgzf_jsonl", sf_dir), "documents.jsonl.gz"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    manifest = (
+        d.coalesce(1)
+        .mapInPandas(_bgzf_write_docs(path), "path string, n_members long")
+        .collect()
+    )
+    assert len(manifest) == 1 and manifest[0].n_members > 1
+    blocks = spark.createDataFrame([(path,)], "path string").mapInPandas(
+        _bgzf_walk, "path string, offset long, length long"
+    )
+    back = blocks.repartition(8).mapInPandas(
+        _bgzf_decode, "doc_id long, text string, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )

@@ -1,0 +1,129 @@
+"""BGZF blocked-gzip source (sources/bgzf.py + op260).
+
+What must hold (module docstring's three claims, each pinned here):
+- COMPATIBLE: the file is a valid multi-member gzip stream — stdlib
+  gzip reads it end-to-end byte-identically.
+- SPLITTABLE: the manifest comes from the in-band BSIZE fields alone,
+  blocks inflate independently and reassemble the corpus exactly, and
+  a non-BGZF gzip file fails catalog-time with a loud error.
+- LOUD ON CORRUPTION: a flipped byte in any member fails that
+  member's CRC — never silent partial data.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import pytest
+
+from ocdb_server_spark.sources.bgzf import (
+    BGZF_EOF,
+    read_block,
+    walk_blocks,
+    write_bgzf,
+)
+
+
+def _corpus(n=4000):
+    # ~200 KB uncompressed -> several 48 KiB-batched members
+    return [f"line-{i}-" + "x" * (i % 37) for i in range(n)]
+
+
+def test_roundtrip_multiblock_and_stdlib_gzip_compat(tmp_path):
+    lines = _corpus()
+    blob = write_bgzf(lines)
+    path = str(tmp_path / "c.jsonl.gz")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    # gzip compatibility: a stock consumer sees the exact byte stream
+    assert gzip.decompress(blob).decode() == "".join(x + "\n" for x in lines)
+    # canonical EOF marker terminates the file
+    assert blob.endswith(BGZF_EOF)
+
+    # split path: header-walk manifest, independent member inflation
+    blocks = walk_blocks(path)
+    assert len(blocks) > 2, "corpus must span multiple members"
+    # members are contiguous and the EOF marker is excluded
+    assert blocks[0][0] == 0
+    for (o1, l1), (o2, _) in zip(blocks, blocks[1:]):
+        assert o1 + l1 == o2
+    out = []
+    for off, ln in blocks:
+        payload = read_block(path, off, ln)
+        text = payload.decode()
+        assert text.endswith("\n"), "member must end at a record boundary"
+        out.extend(text.splitlines())
+    assert out == lines
+
+
+def test_plain_gzip_rejected_at_catalog_time(tmp_path):
+    path = str(tmp_path / "plain.gz")
+    with open(path, "wb") as f:
+        f.write(gzip.compress(b"hello\nworld\n"))
+    with pytest.raises(ValueError, match="BC subfield"):
+        walk_blocks(path)
+
+
+def test_corrupt_member_fails_crc(tmp_path):
+    blob = bytearray(write_bgzf(_corpus(1000)))
+    path = str(tmp_path / "bad.gz")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    blocks = walk_blocks(path)
+    off, ln = blocks[0]
+    # flip one payload byte mid-member (past the 18-byte header)
+    blob[off + 20] ^= 0xFF
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError):
+        read_block(path, off, ln)
+
+
+def test_oversized_single_record_rejected():
+    # incompressible single line whose member cannot fit 64 KiB
+    line = os.urandom(70_000).hex()  # ~140 KB, low redundancy
+    with pytest.raises(ValueError, match="cap"):
+        write_bgzf([line])
+
+
+def test_op260_splits_across_tasks_and_matches_table(spark, sf_dir):
+    """The op's own fan-out claims at the test scale: the block scan
+    runs in >1 partition with >1 block, and the per-lang aggregate
+    equals the same aggregate computed straight off parquet."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.scans import op260_bgzf_splittable_gzip
+
+    out = op260_bgzf_splittable_gzip(spark, sf_dir)
+    got = {r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+           for r in out.collect()}
+    exp = {
+        r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.length("text")).alias("sum_text_chars"),
+            F.sum("n_chars").alias("sum_n_chars"),
+        )
+        .collect()
+    }
+    assert got == exp and got
+
+    # the BGZF file really was written blocked: walk the scratch file
+    # this process just produced and confirm >1 data member
+    import glob
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    mine = os.path.join(
+        tempfile.gettempdir(), f"ocdb_spark_bgzf_jsonl_{tag}_{os.getpid()}"
+    )
+    files = glob.glob(f"{mine}/documents.jsonl.gz")
+    assert files, "scratch BGZF file missing"
+    assert len(walk_blocks(files[0])) > 1

@@ -268,3 +268,39 @@ def test_op258_ocf_files_are_multiblock_and_jvm_readable(spark, sf_dir):
         for r in read_ocf(open(files[0], "rb").read())
     ]
     assert jvm_rows == ours and len(jvm_rows) > 0
+
+
+def test_op259_croston_hand_computed_and_sba_bound(spark, sf_dir):
+    """op259's recurrence against a hand-worked series, plus the SBA
+    bias bound on the real output.
+
+    Hand series y = [0,2,0,0,3,0,1] (t = 0..6):
+      t=1 first demand: z=2, p=t+1=2
+      t=4 (gap q=2):    z=(3+2)//2=2, p=(2+1+2)//2=2
+      t=6 (gap q=1):    z=(1+2)//2=1, p=(1+1+2)//2=2
+      nd=3, fc = 1000//2 = 500, sba = 3000//(4*2) = 375
+    """
+    from ocdb_server_spark.operators.pipeline_r8 import op259_croston_sba
+
+    # pin the hand series with a local loop that restates the kernel's
+    # statements in the same order (the kernel itself is certified
+    # bit-identical to the DuckDB recursion by the oracle hash):
+    z = p = q = nd = 0
+    for t, y in enumerate([0, 2, 0, 0, 3, 0, 1]):
+        if nd == 0:
+            if y > 0:
+                z, p, q, nd = y, t + 1, 0, 1
+        elif y > 0:
+            z, p, q, nd = (y + z) // 2, (q + 1 + p) // 2, 0, nd + 1
+        else:
+            q += 1
+    assert (z, p, nd) == (1, 2, 3)
+    assert (z * 1000 // p, z * 3000 // (4 * p)) == (500, 375)
+
+    rows = op259_croston_sba(spark, sf_dir).collect()
+    assert rows, "every custkey bucket has at least one order"
+    for r in rows:
+        # SBA is a strict 3/4 shrink of Croston (integer-floored)
+        assert r.fc_sba_q <= r.fc_croston_q
+        assert r.fc_sba_q >= r.fc_croston_q * 3 // 4 - 1
+        assert r.p_interval >= 1 and r.z_size >= 1 and r.n_demands >= 1
