@@ -120,6 +120,12 @@ FULL_TABLE_OPS = [
     # round-8: the damped multiplicative composition inherits both
     # parents' invariance obligations
     "op257_holt_winters_damped_multiplicative",
+    # round-8 late: the Croston state loop must not care how the
+    # orders scan was split, and the BGZF export re-blocks by writer
+    # batch — the re-read aggregate must not care about scan layout
+    # or shuffle width either
+    "op259_croston_sba",
+    "op260_bgzf_splittable_gzip",
 ]
 
 _ALL_TABLES = (
