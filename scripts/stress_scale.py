@@ -82,6 +82,12 @@ QUERIES = (
     # (daily-spine agg 10x taller, recurrence length unchanged)
     "op215_cms_pointquery",
     "op257_holt_winters_damped_multiplicative",
+    # round-8 late additions: the Croston state loop (series count
+    # fixed, window fixed — only the counts agg sees 10× rows) and
+    # the BGZF write→walk→split-read round-trip (10× documents →
+    # 10× members; the whole pipeline is data-proportional)
+    "op259_croston_sba",
+    "op260_bgzf_splittable_gzip",
 )
 
 
