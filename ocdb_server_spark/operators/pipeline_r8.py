@@ -517,7 +517,11 @@ def _obs_avro_write(out_dir: str):
             return
         codec = "deflate" if pid % 2 else "null"
         path = os.path.join(out_dir, f"obs-{pid:05d}.avro")
-        tmp = path + ".tmp"
+        # PID-discriminated tmp name: a speculative/zombie first
+        # attempt writing the same partition must not interleave
+        # bytes with the retry's stream (same pattern as the BGZF
+        # and fixture writers); last os.replace wins atomically.
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             f.write(write_ocf(_OBS_AVRO_SCHEMA, rows, codec=codec,
                               rows_per_block=8))
@@ -690,7 +694,7 @@ def op259_croston_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct Croston's convexity bias — the standard pairing in
     intermittent-demand practice (M5-competition baseline set).
 
-    Demand series: daily order counts per o_custkey % 16 (≈32%
+    Demand series: daily order counts per o_custkey % 32 (≈18%
     nonzero days at sf0.01 — genuinely intermittent). α = 1/2 keeps
     every update one integer halving on nonneg operands, so the
     state loop and both quantized forecasts are bit-identical
@@ -698,7 +702,7 @@ def op259_croston_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification pattern; no _HW_OFF shift needed — every operand
     here is provably nonnegative, noted per value in _OP259_SQL).
 
-    Scale: one shuffle on the series key; a ~2400-step ordered loop
+    Scale: one shuffle on the series key; a ~400-step ordered loop
     per series inside one task; series parallelize freely (10^6 SKUs
     = 10^6 independent tasks). The daily spine is built per-series
     by sequence() explode — no driver loop, no cross-series state."""

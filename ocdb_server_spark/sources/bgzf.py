@@ -126,7 +126,16 @@ def walk_blocks(path: str) -> list[tuple[int, int]]:
             bsize = struct.unpack("<H", hdr[16:18])[0] + 1
             isize_at = off + bsize - 4
             f.seek(isize_at)
-            isize = struct.unpack("<I", f.read(4))[0]
+            ftr = f.read(4)
+            if len(ftr) < 4:
+                # header intact but the member body is cut off —
+                # same loud taxonomy as a truncated header, not a
+                # struct.error leaking out of the catalog step
+                raise ValueError(
+                    f"bgzf: truncated member body at {off} "
+                    f"(BSIZE says {bsize} bytes, file ends early)"
+                )
+            isize = struct.unpack("<I", ftr)[0]
             if isize > 0:  # skip the EOF marker / empty members
                 blocks.append((off, bsize))
             off += bsize

@@ -21,6 +21,8 @@ function.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # F.split takes a Java regex. /delimiter=space means "whitespace runs"
@@ -129,6 +131,16 @@ def _header_spec(
     fields = [f.strip() for f in header.get("fields", "").split(",") if f.strip()]
     if not fields:
         raise ValueError(f"{path}: missing /fields= header")
+    if len(set(fields)) != len(fields):
+        # A repeated /fields= name is the same structural class as a
+        # misaligned list: downstream by-name selection would throw
+        # Spark's AMBIGUOUS_REFERENCE deep inside the ingest job.
+        # Fail catalog-time with the file and the offender named.
+        dups = sorted({f for f in fields if fields.count(f) > 1})
+        raise ValueError(
+            f"{path}: /fields= repeats column name(s) {dups} — "
+            "field names must be unique"
+        )
     null_tokens = [
         t
         for t in (header.get("missing"), header.get("below_detection_limit"))
@@ -159,24 +171,23 @@ def _header_spec(
     return delim, fields, null_tokens
 
 
-def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
-    """Read one SeaBASS-style file into STRING columns: header-driven
-    split + null-token mapping, NO numeric cast. This is the
-    reference's actual record model — `List[List[Union[float, str]]]`
-    (`Dataset.records` [U]) — where date/time/station fields stay
-    text; `read_seabass` layers the all-double cast on top for the
-    numeric analytics path, and `seabass_record_geotime` composes the
-    per-record geo/time columns from these raw strings."""
-    raw = spark.read.text(path)
-    # header: everything until /end_header — bounded, take() is safe.
-    head_lines = [r.value for r in raw.limit(200).collect()]
-    delim, fields, null_tokens = _header_spec(head_lines, path)
-
-    # Filter on the TRIMMED line: an INDENTED '/'-line or '!' comment
-    # (SeaBASS's comment marker) would otherwise slip past an
-    # unstripped startswith, try_cast to all-NULLs, and ingest as a
-    # phantom record (round-8 review finding — before try_cast the
-    # ANSI cast made this loud by accident).
+def _parse_body(
+    raw: DataFrame,
+    delim: str,
+    fields: list[str],
+    null_tokens: list[str],
+) -> tuple[DataFrame, list]:
+    """The ONE body-parse block both the per-file and corpus readers
+    share (extracted after a review caught the two copies drifting):
+    trimmed-line comment/blank filter — an INDENTED '/'-line or '!'
+    comment would otherwise slip past an unstripped startswith and
+    ingest as a phantom all-NULL record — then split, positional
+    element_at, and null-token mapping, all STRING-typed. Returns
+    (filtered body frame, per-field column expressions) so callers
+    compose the final select: read_seabass_raw selects them as-is,
+    read_seabass_corpus prepends its input_file_name-derived
+    dataset_id and layers try_cast on each; any future body-grammar
+    fix lands here exactly once."""
     trimmed = F.trim(F.col("value"))
     body = raw.filter(
         ~trimmed.startswith("/") & ~trimmed.startswith("!") & (trimmed != "")
@@ -190,6 +201,22 @@ def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
         for tok in null_tokens:
             c = F.nullif(c, F.lit(tok))
         cols.append(c.alias(name))
+    return body, cols
+
+
+def read_seabass_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read one SeaBASS-style file into STRING columns: header-driven
+    split + null-token mapping, NO numeric cast. This is the
+    reference's actual record model — `List[List[Union[float, str]]]`
+    (`Dataset.records` [U]) — where date/time/station fields stay
+    text; `read_seabass` layers the all-double cast on top for the
+    numeric analytics path, and `seabass_record_geotime` composes the
+    per-record geo/time columns from these raw strings."""
+    raw = spark.read.text(path)
+    # header: everything until /end_header — bounded, take() is safe.
+    head_lines = [r.value for r in raw.limit(200).collect()]
+    delim, fields, null_tokens = _header_spec(head_lines, path)
+    body, cols = _parse_body(raw, delim, fields, null_tokens)
     return body.select(*cols)
 
 
@@ -301,8 +328,23 @@ def read_seabass_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
     Output matches `read_seabass_long` exactly (same stack shape,
     NULL observations dropped, value cast to double via try_cast) —
     asserted in tests against a per-file union."""
+    import re as _re
+
     by_sig: dict[tuple, list[str]] = {}
+    stems: dict[str, str] = {}
     for p in paths:
+        # dataset_id = file stem, so stems must be UNIQUE across the
+        # whole corpus: two files named site1.sb in different drop
+        # directories would otherwise silently pool into one dataset
+        # (review finding). Loud catalog-time guard, both paths named.
+        stem = _re.sub(r"\.[^.]*$", "", os.path.basename(p))
+        if stem in stems and stems[stem] != p:
+            raise ValueError(
+                f"read_seabass_corpus: duplicate dataset stem {stem!r} "
+                f"from {stems[stem]!r} and {p!r} — files must have "
+                "unique basenames (the stem becomes dataset_id)"
+            )
+        stems[stem] = p
         with open(p, encoding="utf-8", errors="replace") as f:
             head_lines = [next(f, "") for _ in range(200)]
         delim, fields, null_tokens = _header_spec(head_lines, p)
@@ -313,21 +355,16 @@ def read_seabass_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
     frames = []
     for (delim, fields, null_tokens), group in sorted(by_sig.items()):
         raw = spark.read.text(group)
-        trimmed = F.trim(F.col("value"))
-        body = raw.filter(
-            ~trimmed.startswith("/")
-            & ~trimmed.startswith("!")
-            & (trimmed != "")
-        )
-        parts = F.split(F.trim(F.col("value")), delim)
-        cols = []
-        for i, name in enumerate(fields):
-            c = F.trim(F.element_at(parts, i + 1))
-            for tok in null_tokens:
-                c = F.nullif(c, F.lit(tok))
-            cols.append(c.try_cast("double").alias(name))
+        body, cols = _parse_body(raw, delim, list(fields), list(null_tokens))
+        cols = [c.try_cast("double").alias(n) for c, n in zip(cols, fields)]
+        # input_file_name() returns the file URI percent-ENCODED
+        # ('my station.sb' → 'my%20station.sb'), so decode the
+        # basename before stripping the extension; the '+'→'%2B'
+        # pre-substitution keeps url_decode (form-decoding: '+' is a
+        # space) from eating literal '+' in filenames.
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
         ds_id = F.regexp_replace(
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.url_decode(F.replace(fname, F.lit("+"), F.lit("%2B"))),
             r"\.[^.]*$",
             "",
         )

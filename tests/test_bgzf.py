@@ -127,3 +127,17 @@ def test_op260_splits_across_tasks_and_matches_table(spark, sf_dir):
     files = glob.glob(f"{mine}/documents.jsonl.gz")
     assert files, "scratch BGZF file missing"
     assert len(walk_blocks(files[0])) > 1
+
+
+def test_truncated_member_body_raises_valueerror(tmp_path):
+    """A file cut off INSIDE a member (18-byte header intact, body
+    missing) must raise the module's documented ValueError taxonomy —
+    not let struct.error leak out of the catalog step (review
+    finding: callers catching ValueError for the catalog-time error
+    path would miss the truncation)."""
+    blob = write_bgzf(_corpus(50))
+    path = str(tmp_path / "cut.gz")
+    with open(path, "wb") as f:
+        f.write(blob[:24])  # header (18B) + a few body bytes
+    with pytest.raises(ValueError, match="truncated member body"):
+        walk_blocks(path)

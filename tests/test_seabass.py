@@ -343,3 +343,55 @@ def test_corpus_reader_matches_per_file_union_with_fewer_scans(
     )
     with pytest.raises(ValueError, match="bad.sb"):
         read_seabass_corpus(spark, paths + [str(bad)])
+
+
+def test_duplicate_fields_rejected_catalog_time(spark, tmp_path):
+    """A repeated /fields= name must fail loudly at catalog time with
+    the file and offender named — by-name selection downstream would
+    otherwise die mid-job with Spark's AMBIGUOUS_REFERENCE (review
+    finding; duplicate names are a structural misconfiguration, same
+    class as a misaligned fields list)."""
+    p = tmp_path / "dup.sb"
+    p.write_text(
+        "/begin_header\n/fields=depth,chl,depth\n/delimiter=comma\n"
+        "/end_header\n1.0,0.5,2.0\n"
+    )
+    with pytest.raises(ValueError, match=r"dup\.sb.*depth"):
+        read_seabass(spark, str(p))
+
+
+def test_corpus_duplicate_stem_rejected(spark, tmp_path):
+    """Two corpus files with the same stem in DIFFERENT directories
+    must not silently pool into one dataset_id (review finding) —
+    loud catalog-time error naming both paths."""
+    from ocdb_server_spark.sources.seabass import read_seabass_corpus
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    pa = tmp_path / "a" / "site1.sb"
+    pb = tmp_path / "b" / "site1.sb"
+    pa.write_text(FIXTURE)
+    pb.write_text(FIXTURE)
+    with pytest.raises(ValueError, match="duplicate dataset stem"):
+        read_seabass_corpus(spark, [str(pa), str(pb)])
+
+
+def test_corpus_dataset_id_decodes_special_filenames(spark, tmp_path):
+    """input_file_name() percent-encodes the URI ('my station.sb' →
+    'my%20station.sb'); dataset_id must come back DECODED, and a
+    literal '+' in the stem must survive (url_decode alone would
+    form-decode it to a space — review finding)."""
+    from ocdb_server_spark.sources.seabass import read_seabass_corpus
+
+    p1 = tmp_path / "my station.sb"
+    p2 = tmp_path / "a+b.sb"
+    p1.write_text(FIXTURE)
+    p2.write_text(FIXTURE2)
+    ids = {
+        r.dataset_id
+        for r in read_seabass_corpus(spark, [str(p1), str(p2)])
+        .select("dataset_id")
+        .distinct()
+        .collect()
+    }
+    assert ids == {"my station", "a+b"}

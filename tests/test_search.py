@@ -517,6 +517,11 @@ def test_multicolumn_keyset_walk_covers_filtered_set(orders):
         ("o_orderpriority", "o_custkey", "o_orderkey"),
         ("o_totalprice", "o_orderkey"),
     ]
+    # reference-set page size = the whole table, NOT a fixed cap: a
+    # hardcoded 10_000 silently truncated `full` when the suite runs
+    # against a larger SPARK_GRAFT_TEST_SF_DIR (review finding), which
+    # would fail the walk==full assert on correct cursor code.
+    table_rows = orders.count()
     for trial in range(6):
         order_by = rng.choice(cols_pool)
         count = rng.randrange(40, 120)  # enough pages to stress the
@@ -530,7 +535,7 @@ def test_multicolumn_keyset_walk_covers_filtered_set(orders):
         q0 = DatasetQuery(status=status, count=count)
         full = [
             tuple(r[c] for c in order_by)
-            for r in find_datasets(orders, DatasetQuery(status=status, count=10_000), sc)
+            for r in find_datasets(orders, DatasetQuery(status=status, count=table_rows), sc)
             .datasets.select(*order_by)
             .collect()
         ]
