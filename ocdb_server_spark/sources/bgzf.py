@@ -107,7 +107,13 @@ def walk_blocks(path: str) -> list[tuple[int, int]]:
     64 KiB member — metadata economics (a parquet footer read), not a
     data scan; the EOF marker (empty member) is recognized and not
     emitted. Malformed headers raise — a truncated or non-BGZF gzip
-    file must fail catalog-time, never produce silent partial data."""
+    file must fail catalog-time, never produce silent partial data.
+    That promise includes truncation at a MEMBER BOUNDARY (every
+    member intact, tail members missing): per the SAM spec the file
+    must END with the fixed 28-byte EOF marker (htslib's own
+    truncation detector), so a boundary cut — undetectable from the
+    member chain alone — still fails here, not as a silently shorter
+    corpus."""
     blocks: list[tuple[int, int]] = []
     with open(path, "rb") as f:
         f.seek(0, 2)
@@ -139,6 +145,18 @@ def walk_blocks(path: str) -> list[tuple[int, int]]:
             if isize > 0:  # skip the EOF marker / empty members
                 blocks.append((off, bsize))
             off += bsize
+        # after the walk (so plain gzip still fails with the BC
+        # message at offset 0): the file must END with the spec's
+        # fixed EOF marker — a cut at a member boundary leaves every
+        # remaining member valid and is detectable ONLY this way
+        if size < len(BGZF_EOF):
+            raise ValueError("bgzf: file shorter than the EOF marker")
+        f.seek(size - len(BGZF_EOF))
+        if f.read(len(BGZF_EOF)) != BGZF_EOF:
+            raise ValueError(
+                "bgzf: missing EOF marker — file truncated at a "
+                "member boundary, or not finalized by a BGZF writer"
+            )
     return blocks
 
 

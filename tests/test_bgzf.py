@@ -141,3 +141,51 @@ def test_truncated_member_body_raises_valueerror(tmp_path):
         f.write(blob[:24])  # header (18B) + a few body bytes
     with pytest.raises(ValueError, match="truncated member body"):
         walk_blocks(path)
+
+
+def test_boundary_truncation_detected_via_eof_marker(tmp_path):
+    """A cut exactly at a MEMBER boundary leaves every remaining
+    member valid — detectable only by the SAM spec's fixed 28-byte
+    EOF marker (htslib's truncation detector). walk_blocks must
+    reject such a file, never return a silently shorter corpus."""
+    from ocdb_server_spark.sources.bgzf import BGZF_EOF
+
+    blob = write_bgzf(_corpus())
+    path = str(tmp_path / "cut.gz")
+    # full file parses
+    with open(path, "wb") as f:
+        f.write(blob)
+    n_full = len(walk_blocks(path))
+    assert n_full > 1
+    # drop the EOF marker plus the last member: every remaining
+    # member is intact, only the marker check can catch it
+    hdr_at = []
+    off = 0
+    while off < len(blob):
+        bsize = struct.unpack("<H", blob[off + 16:off + 18])[0] + 1
+        hdr_at.append(off)
+        off += bsize
+    cut = hdr_at[-2]  # start of the last real member (EOF is hdr_at[-1])
+    with open(path, "wb") as f:
+        f.write(blob[:cut])
+    with pytest.raises(ValueError, match="EOF marker"):
+        walk_blocks(path)
+
+
+def test_any_truncation_point_raises_valueerror(tmp_path):
+    """Truncation-sweep fuzz: for a sample of cut positions across
+    the whole blob (mid-header, mid-body, mid-footer, boundaries),
+    walk_blocks must raise ValueError — the module's single loud
+    taxonomy — and never struct.error or a silent partial manifest."""
+    blob = write_bgzf(_corpus())
+    path = str(tmp_path / "sweep.gz")
+    cuts = sorted({1, 17, 18, 19, len(blob) // 2, len(blob) - 29,
+                   len(blob) - 28, len(blob) - 1}
+                  | {i * len(blob) // 37 for i in range(1, 37)})
+    for cut in cuts:
+        if cut <= 0 or cut >= len(blob):
+            continue
+        with open(path, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises(ValueError):
+            walk_blocks(path)
