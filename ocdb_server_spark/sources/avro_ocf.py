@@ -72,6 +72,24 @@ def _zigzag_encode(n: int) -> bytes:
             return bytes(out)
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Read exactly n bytes or raise the module's loud ValueError.
+    Every decode-path read goes through here: a bare buf.read(n) on a
+    truncated or corrupt stream returns SHORT and either leaks
+    struct.error out of the float/double unpack (found by the
+    truncation fuzz) or — worse — silently yields a wrong value
+    (boolean, fixed). A negative length (corrupt varint where a
+    string/bytes length belongs) is the same class."""
+    if n < 0:
+        raise ValueError(f"avro: negative length {n} (corrupt stream)")
+    b = buf.read(n)
+    if len(b) != n:
+        raise ValueError(
+            f"avro: truncated stream (wanted {n} bytes, got {len(b)})"
+        )
+    return b
+
+
 def _zigzag_decode(buf: io.BytesIO) -> int:
     shift = 0
     u = 0
@@ -120,7 +138,14 @@ def _validate(t) -> None:
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "record":
+            fields = t.get("fields")
+            if not isinstance(fields, list):
+                raise ValueError("avro: record needs a fields list")
             for f in t["fields"]:
+                # structural, not KeyError: a corrupt schema JSON can
+                # parse cleanly yet miss name/type (truncation fuzz)
+                if not isinstance(f, dict) or "name" not in f or "type" not in f:
+                    raise ValueError(f"avro: malformed record field {f!r}")
                 _validate(f["type"])
             return
         if kind == "enum":
@@ -139,9 +164,13 @@ def _validate(t) -> None:
                 raise ValueError("avro: fixed needs integer size")
             return
         if kind == "array":
+            if "items" not in t:
+                raise ValueError("avro: array needs items")
             _validate(t["items"])
             return
         if kind == "map":
+            if "values" not in t:
+                raise ValueError("avro: map needs values")
             _validate(t["values"])
             return
         if kind in _PRIMS:  # {"type": "long"} wrapper form
@@ -296,21 +325,24 @@ def _decode(t, buf: io.BytesIO):
     if k == "null":
         return None
     if k == "boolean":
-        return buf.read(1) == b"\x01"
+        b = _read_exact(buf, 1)
+        if b not in (b"\x00", b"\x01"):
+            raise ValueError(f"avro: bad boolean byte {b!r}")
+        return b == b"\x01"
     if k in ("int", "long"):
         return _zigzag_decode(buf)
     if k == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if k == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if k == "string":
         n = _zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        return _read_exact(buf, n).decode("utf-8")
     if k == "bytes":
         n = _zigzag_decode(buf)
-        return bytes(buf.read(n))
+        return bytes(_read_exact(buf, n))
     if k == "fixed":
-        return bytes(buf.read(t["size"]))
+        return bytes(_read_exact(buf, t["size"]))
     if k == "enum":
         idx = _zigzag_decode(buf)
         syms = t["symbols"]
@@ -328,7 +360,7 @@ def _decode(t, buf: io.BytesIO):
         for n in _block_counts(buf):
             for _ in range(n):
                 klen = _zigzag_decode(buf)
-                key = buf.read(klen).decode("utf-8")
+                key = _read_exact(buf, klen).decode("utf-8")
                 out[key] = _decode(t["values"], buf)
         return out
     if k == "record":
@@ -483,7 +515,7 @@ def _make_resolver(wt, rt):
             for n in _block_counts(buf):
                 for _ in range(n):
                     klen = _zigzag_decode(buf)
-                    key = buf.read(klen).decode("utf-8")
+                    key = _read_exact(buf, klen).decode("utf-8")
                     out[key] = val_fn(buf)
             return out
         return read_map
@@ -518,7 +550,7 @@ def _make_resolver(wt, rt):
         if _name(wt) != _name(rt) or wt["size"] != rt["size"]:
             raise _resolution_error(wt, rt)
         size = wt["size"]
-        return lambda buf: bytes(buf.read(size))
+        return lambda buf: bytes(_read_exact(buf, size))
 
     if wk in _PRIMS and rk in _PRIMS:
         if wk == rk:
@@ -593,10 +625,14 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
     for n in _block_counts(buf):
         for _ in range(n):
             klen = _zigzag_decode(buf)
-            k = buf.read(klen).decode()
+            k = _read_exact(buf, klen).decode()
             vlen = _zigzag_decode(buf)
-            meta[k] = buf.read(vlen)
-    sync = buf.read(16)
+            meta[k] = _read_exact(buf, vlen)
+    # exact: a file cut inside the header sync would otherwise fall
+    # out of the block loop below with ZERO rows — silent total loss
+    sync = _read_exact(buf, 16)
+    if "avro.schema" not in meta:
+        raise ValueError("avro: header missing avro.schema")
     writer_schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -620,12 +656,15 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
         buf.seek(-1, 1)
         count = _zigzag_decode(buf)
         size = _zigzag_decode(buf)
-        data = buf.read(size)
+        data = _read_exact(buf, size)
         if codec == "deflate":
-            data = zlib.decompress(data, -15)
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(f"avro: corrupt deflate block: {exc}")
         bbuf = io.BytesIO(data)
         for _ in range(count):
             rows.append(row_fn(bbuf))
-        if buf.read(16) != sync:
+        if _read_exact(buf, 16) != sync:
             raise ValueError("avro: sync marker mismatch")
     return rows

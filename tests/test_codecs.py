@@ -1392,3 +1392,48 @@ def test_avro_reads_negative_and_multi_block_arrays():
                           "type": {"type": "array", "items": "long"}}]}
     assert read_ocf(bytes(payload), reader_schema=reader) == [
         {"xs": [5, 6, 7]}]
+
+
+def test_avro_truncation_and_corruption_fuzz():
+    """Reader-robustness fuzz (the discipline that caught a real
+    struct.error leak): for hundreds of truncation points and random
+    byte flips over both codecs, read_ocf must either return rows or
+    raise the module's loud ValueError — never struct.error /
+    KeyError / a silent wrong value. Every decode-path read goes
+    through _read_exact and _validate is structural, so a corrupt
+    stream cannot leak a foreign exception out of the catalog step."""
+    import random
+
+    float_schema = {
+        "type": "record",
+        "name": "Z",
+        "fields": _AVRO_SCHEMA["fields"] + [
+            {"name": "f32", "type": "float"},
+            {"name": "fx", "type": {"type": "fixed", "name": "FX", "size": 3}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+        ],
+    }
+    rows = [
+        {**r, "f32": float(i), "fx": bytes([i % 256] * 3),
+         "tags": [f"t{i % 3}"], "m": {f"k{i % 5}": i}}
+        for i, r in enumerate(_avro_rows(80))
+    ]
+    rng = random.Random(5521)
+    for codec in ("null", "deflate"):
+        blob = write_ocf(float_schema, rows, codec=codec, rows_per_block=16)
+        for cut in sorted({rng.randrange(1, len(blob)) for _ in range(150)}):
+            try:
+                read_ocf(blob[:cut])
+            except ValueError:
+                pass  # the one allowed taxonomy
+        for _ in range(200):
+            i = rng.randrange(len(blob))
+            mut = bytearray(blob)
+            mut[i] ^= rng.randrange(1, 256)
+            try:
+                read_ocf(bytes(mut))
+            except ValueError:
+                pass
+    # intact stream still round-trips exactly after the hardening
+    assert read_ocf(write_ocf(float_schema, rows, codec="deflate")) == rows
