@@ -43,6 +43,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     like LIST/INFO that other encoders emit are skipped correctly).
     Returns (sample_rate, n_channels, n_samples_per_channel, samples
     as int16 array, channel-interleaved)."""
+    if len(payload) < 12:
+        raise ValueError("wav: truncated RIFF header")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
@@ -53,11 +55,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("wav: truncated fmt chunk")
             fmt_tag, n_channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
             if fmt_tag != 1 or bits != 16:
                 raise ValueError(f"only PCM16 supported, got tag={fmt_tag} bits={bits}")
+            if n_channels < 1:
+                raise ValueError("wav: zero channels")
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -95,6 +101,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     standard bottom-up layout and negative-height top-down files."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP file")
+    if len(payload) < 34:
+        # full file header (14) + the BITMAPINFOHEADER fields we
+        # unpack below — a shorter buffer would leak struct.error
+        # out of the catalog step (truncation fuzz)
+        raise ValueError("bmp: truncated header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)

@@ -231,6 +231,17 @@ def decode_gif_frames(
     path)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+
+    def _byte(i: int) -> int:
+        # every cursor read goes through here: a truncated stream
+        # must raise the module's loud ValueError, not IndexError
+        # (truncation fuzz)
+        if i >= len(payload):
+            raise ValueError("gif: truncated stream")
+        return payload[i]
+
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None
@@ -244,10 +255,12 @@ def decode_gif_frames(
         pos += 1
         if b0 == 0x21:  # extension: label byte + sub-blocks
             pos += 1
-            while payload[pos] != 0:
+            while _byte(pos) != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("gif: truncated image descriptor")
             _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             interlaced = bool(ipack & 0x40)
@@ -260,12 +273,12 @@ def decode_gif_frames(
                 pos += 3 * n
             if pal is None:
                 raise ValueError("no color table")
-            min_code = payload[pos]
+            min_code = _byte(pos)
             pos += 1
             if min_code != _MIN_CODE_SIZE:
                 raise ValueError(f"only {_MIN_CODE_SIZE}-bit palettes supported")
             data = bytearray()
-            while payload[pos] != 0:
+            while _byte(pos) != 0:
                 ln = payload[pos]
                 data.extend(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln

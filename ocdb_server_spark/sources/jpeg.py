@@ -249,6 +249,8 @@ class _BitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else None
                 if nxt == 0x00:
                     self.pos += 1  # stuffed 0xFF data byte
+                elif nxt is None:
+                    raise ValueError("entropy data ends on a bare 0xFF")
                 else:
                     raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
             self._acc = byte
@@ -334,10 +336,17 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        # a truncated file must fail as a loud ValueError here, not
+        # leak struct/Index/KeyError from parsing a short body below
+        # (truncation fuzz)
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("jpeg: truncated segment")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
             while b < len(body):
+                if b + 65 > len(body):
+                    raise ValueError("jpeg: short DQT table")
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
                     raise ValueError("only 8-bit quant tables supported")
@@ -346,6 +355,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
                 ).astype(np.int64)
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("jpeg: short SOF0 segment")
             precision, height, width, n_comp = struct.unpack_from(">BHHB", body)
             if precision != 8 or n_comp != 1:
                 raise ValueError("only 8-bit single-component baseline supported")
@@ -357,13 +368,19 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("jpeg: short DHT table")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n_vals = sum(bits)
+                if b + 17 + n_vals > len(body):
+                    raise ValueError("jpeg: short DHT values")
                 vals = list(body[b + 17 : b + 17 + n_vals])
                 (dc_maps if tc == 0 else ac_maps)[th] = _build_decode_map(bits, vals)
                 b += 17 + n_vals
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("jpeg: short SOS segment")
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
             pos = pos + 2 + seg_len
             break
@@ -373,6 +390,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     if width % 8 or height % 8:
         raise ValueError("dimensions must be multiples of 8 (no partial MCUs)")
 
+    if comp_dc not in dc_maps or comp_ac not in ac_maps:
+        raise ValueError("jpeg: missing Huffman table for scan component")
     q = qtables[comp_q]  # zigzag order
     dc_map, ac_map = dc_maps[comp_dc], ac_maps[comp_ac]
     r = _BitReader(payload, pos)
@@ -382,6 +401,12 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     pred = 0
     for b in range(n_blocks):
         s = _read_huffman(r, dc_map)
+        if s > 11:
+            # T.81 F.1.2.1.1: 8-bit baseline DC categories are 0-11.
+            # A corrupt DHT can emit a larger symbol, whose
+            # read_bits(s) value would overflow the int64 coeff array
+            # (truncation fuzz).
+            raise ValueError(f"jpeg: invalid DC category {s}")
         pred += _receive_extend(r, s)
         qcoeffs[b, 0] = pred
         k = 1

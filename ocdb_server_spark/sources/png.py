@@ -102,12 +102,18 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         length = struct.unpack_from(">I", payload, pos)[0]
+        # bounds BEFORE slicing: a truncated chunk would otherwise
+        # leak struct.error out of the CRC unpack (truncation fuzz)
+        if pos + 12 + length > len(payload):
+            raise ValueError("png: truncated chunk")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("png: bad IHDR length")
             w, h, depth, ctype_col, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -122,7 +128,10 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # same loud taxonomy as the CRC path
+        raise ValueError(f"png: corrupt IDAT stream: {exc}")
     if len(raw) != h * (w + 1):
         raise ValueError("decompressed size mismatch")
     px = np.zeros((h, w), dtype=np.int64)

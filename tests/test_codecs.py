@@ -1437,3 +1437,56 @@ def test_avro_truncation_and_corruption_fuzz():
                 pass
     # intact stream still round-trips exactly after the hardening
     assert read_ocf(write_ocf(float_schema, rows, codec="deflate")) == rows
+
+
+def test_decoder_truncation_corruption_fuzz():
+    """Reader-robustness fuzz across EVERY hand-rolled binary decoder
+    (the discipline that found real leaks: struct.error out of PNG
+    chunk/BMP header/JPEG segment parses, IndexError out of the GIF
+    sub-block walk, OverflowError from a corrupt JPEG DC category):
+    for sampled truncation points and random byte flips, each decoder
+    must either succeed or raise ValueError — the one loud taxonomy —
+    never a foreign exception type."""
+    import random
+
+    from ocdb_server_spark.sources.codecs import (
+        decode_bmp, decode_wav, encode_bmp, encode_wav,
+    )
+    from ocdb_server_spark.sources.flac import decode_flac, encode_flac
+    from ocdb_server_spark.sources.gif import (
+        decode_gif_frames, encode_gif_anim,
+    )
+    from ocdb_server_spark.sources.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from ocdb_server_spark.sources.png import decode_png_gray, encode_png_gray
+
+    rng = random.Random(5522)
+    px = (np.arange(32 * 24).reshape(24, 32) % 251).astype(np.uint8)
+    frames = [px, (px + 7).astype(np.uint8)]
+    stereo = np.stack(
+        [np.arange(800) % 97 - 48, np.arange(800) % 89 - 44], axis=1
+    ).astype(np.int16)
+    cases = [
+        ("png", encode_png_gray(px), decode_png_gray),
+        ("gif", encode_gif_anim(frames), decode_gif_frames),
+        ("bmp", encode_bmp(np.dstack([px, px, px])), decode_bmp),
+        ("jpeg", encode_jpeg_gray(_rand_coeffs(12, seed=11), 32, 24),
+         decode_jpeg_gray),
+        ("wav", encode_wav(stereo[:, 0], 16000), decode_wav),
+        ("flac", encode_flac(stereo, 16000), decode_flac),
+    ]
+    for name, blob, dec in cases:
+        for cut in sorted({rng.randrange(1, len(blob)) for _ in range(60)}):
+            try:
+                dec(blob[:cut])
+            except ValueError:
+                pass  # the one allowed taxonomy
+        for _ in range(90):
+            i = rng.randrange(len(blob))
+            mut = bytearray(blob)
+            mut[i] ^= rng.randrange(1, 256)
+            try:
+                dec(bytes(mut))
+            except ValueError:
+                pass
