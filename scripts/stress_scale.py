@@ -28,7 +28,8 @@ throughput-shaped operators run with the bench methodology
 (warm cache, best-of-3, toArrow).
 
 Prints a markdown table: sf0.1 wall, sf1 wall, ratio (ideal ≤ 10×),
-and per-row slope. Usage: python scripts/stress_scale.py [REP]
+and per-row slope.
+Usage: python scripts/stress_scale.py [REP] [--keep] [--only=opA,opB]
 """
 
 from __future__ import annotations
@@ -47,6 +48,14 @@ from ocdb_server_spark.scratch import _pid_alive  # noqa: E402
 # argv[1] used to crash int()).
 _POSITIONAL = [a for a in sys.argv[1:] if not a.startswith("-")]
 REP = int(_POSITIONAL[0]) if _POSITIONAL else 10
+# --only=opA,opB runs a subset (e.g. freshly added ops against KEPT
+# datasets) without re-timing the whole list — the round-8 close
+# measured op259/op260 this way
+_ONLY = next(
+    (a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+     if a.startswith("--only=")),
+    None,
+)
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10**9
 
@@ -101,6 +110,10 @@ def main() -> None:
     spark = get_spark(app_name="stress_scale", profile="interactive")
     spark.sparkContext.setLogLevel("ERROR")
     ops = load_all()
+    queries = tuple(_ONLY) if _ONLY else QUERIES
+    unknown = [q for q in queries if q not in ops]
+    if unknown:
+        raise SystemExit(f"--only names unknown ops: {unknown}")
 
     # Build into a temp name and atomically rename on completion, so a
     # run interrupted mid-build never leaves a partial dataset that a
@@ -158,7 +171,7 @@ def main() -> None:
         eio.clear_cache()
         eio.warm_cache(spark, sf_dir)
         out: dict[str, float] = {}
-        for q in QUERIES:
+        for q in queries:
             ops[q].fn(spark, sf_dir).toArrow()  # session/codegen warm
             best = float("inf")
             # ROUND-8 CORRECTION (see bench.py): re-executing ONE
@@ -180,7 +193,7 @@ def main() -> None:
     big = run(out_dir)
     print(f"| query | sf0.1 ms | {REP}x ms | ratio (ideal <= {REP}x) |")
     print("|---|---|---|---|")
-    for q in QUERIES:
+    for q in queries:
         print(
             f"| {q} | {base[q]*1000:.0f} | {big[q]*1000:.0f} "
             f"| {big[q]/base[q]:.1f}x |"
