@@ -656,6 +656,12 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
         buf.seek(-1, 1)
         count = _zigzag_decode(buf)
         size = _zigzag_decode(buf)
+        if count <= 0:
+            # a corrupt count varint (0 or negative) would otherwise
+            # decode NOTHING while data/size/sync stay intact — the
+            # sync check passes and the block's rows vanish silently
+            # (review finding; spec blocks always hold >=1 object)
+            raise ValueError(f"avro: bad block row count {count}")
         data = _read_exact(buf, size)
         if codec == "deflate":
             try:
@@ -665,6 +671,10 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
         bbuf = io.BytesIO(data)
         for _ in range(count):
             rows.append(row_fn(bbuf))
+        if bbuf.read(1):
+            # count smaller than the rows actually serialized would
+            # silently drop the tail of the block
+            raise ValueError("avro: trailing bytes after last row in block")
         if _read_exact(buf, 16) != sync:
             raise ValueError("avro: sync marker mismatch")
     return rows

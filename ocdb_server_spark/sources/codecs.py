@@ -65,11 +65,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             if n_channels < 1:
                 raise ValueError("wav: zero channels")
         elif cid == b"data":
+            if len(body) != size:
+                # a truncated file would otherwise return FEWER
+                # samples with no error (review finding: the chunk
+                # walk's min(end, len) bound exits quietly)
+                raise ValueError("wav: truncated data chunk")
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     samples = np.frombuffer(pcm, dtype="<i2")
+    if len(samples) % n_channels:
+        raise ValueError("wav: data chunk not a whole number of frames")
     return sample_rate, n_channels, len(samples) // n_channels, samples
 
 
@@ -113,6 +120,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"only 24bpp uncompressed supported (bpp={bpp})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # w=-1 would otherwise make row_len 0 and numpy infer the -1
+        # in reshape, returning garbage metadata + an empty array
+        # with no error (review finding)
+        raise ValueError(f"bmp: bad dimensions {w}x{h}")
     row_len = (w * 3 + 3) & ~3
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_len * h, offset=data_offset

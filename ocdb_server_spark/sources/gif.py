@@ -286,6 +286,11 @@ def decode_gif_frames(
             idx = np.frombuffer(_lzw_decode(bytes(data), w * h), np.uint8)
             if len(idx) != w * h:
                 raise ValueError("decoded pixel count mismatch")
+            if len(idx) and int(idx.max()) >= len(pal):
+                # LZW output is 8-bit codes but the color table may be
+                # smaller; unvalidated indexing leaks numpy IndexError
+                # (review finding)
+                raise ValueError("gif: pixel index outside color table")
             if not (pal[:, 0] == pal[:, 1]).all() or not (
                 pal[:, 1] == pal[:, 2]
             ).all():

@@ -1490,3 +1490,65 @@ def test_decoder_truncation_corruption_fuzz():
                 dec(bytes(mut))
             except ValueError:
                 pass
+
+
+def test_silent_wrong_value_guards():
+    """The four silent-wrong-value holes a review pass found AFTER
+    the exception-type fuzz (which cannot see silent successes):
+    (1) an Avro block whose count varint is corrupted to 0/negative
+    must raise, not return zero rows past an intact sync check, and
+    a count smaller than the serialized rows must not drop the tail;
+    (2) a truncated WAV must raise, not return fewer samples;
+    (3) a BMP with corrupt non-positive width must raise, not return
+    (w=-1, empty array); (4) a GIF whose LZW output indexes past a
+    small local color table must raise ValueError, not numpy
+    IndexError."""
+    import struct as _struct
+
+    from ocdb_server_spark.sources.codecs import decode_bmp, encode_bmp
+    from ocdb_server_spark.sources.gif import (
+        _MIN_CODE_SIZE, _lzw_encode, _sub_blocks, decode_gif_gray,
+    )
+
+    # (1) avro: flip the block-count varint every way — no mutation
+    # may yield a silent row-count change
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "id", "type": "long"}]}
+    rows = [{"id": i} for i in range(16)]
+    blob = write_ocf(schema, rows, codec="null", rows_per_block=16)
+    for i in range(len(blob)):
+        for v in (0x00, 0x01, 0x20):
+            mut = bytearray(blob)
+            mut[i] = v
+            if bytes(mut) == blob:
+                continue
+            try:
+                out = read_ocf(bytes(mut))
+            except ValueError:
+                continue
+            assert len(out) == 16, f"silent row loss at byte {i}"
+
+    # (2) wav: cut inside the data chunk
+    from ocdb_server_spark.sources.codecs import decode_wav, encode_wav
+    wav = encode_wav((np.arange(800) % 97 - 48).astype(np.int16), 16000)
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        decode_wav(wav[:-100])
+
+    # (3) bmp: corrupt signed width
+    px = (np.arange(32 * 24).reshape(24, 32) % 251).astype(np.uint8)
+    bmp = bytearray(encode_bmp(np.dstack([px, px, px])))
+    _struct.pack_into("<i", bmp, 18, -1)
+    with pytest.raises(ValueError, match="bad dimensions"):
+        decode_bmp(bytes(bmp))
+
+    # (4) gif: 2-entry local color table, pixel index 2
+    w, h = 4, 1
+    idx = np.array([0, 1, 2, 1], dtype=np.uint8)
+    payload = (
+        b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+        + b"\x2C" + _struct.pack("<HHHHB", 0, 0, w, h, 0x80)
+        + bytes([0, 0, 0, 255, 255, 255])
+        + bytes([_MIN_CODE_SIZE]) + _sub_blocks(_lzw_encode(idx)) + b"\x3B"
+    )
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif_gray(payload)
