@@ -321,9 +321,16 @@ daily AS (
     ON s.event_type = c.event_type AND s.t = c.t),
 maxt AS (SELECT MAX(t) AS m FROM daily),
 week1 AS (
+  -- degenerate-span guard (round-8 ADVICE): a corpus spanning < 7
+  -- days must fail LOUDLY on both engines, not NULL-propagate the
+  -- missing y_i seasonals here while the Python side IndexErrors
   SELECT event_type, {y_cols},
-         CAST((SUM(CASE WHEN t < 7 THEN y ELSE 0 END)) // 7 AS BIGINT)
-           AS l_init
+         CASE WHEN COUNT(*) < 7 THEN CAST(error(
+             'op257: events span < 7 days — damped multiplicative '
+             'Holt-Winters needs one full seasonal period (m=7)')
+           AS BIGINT)
+         ELSE CAST((SUM(CASE WHEN t < 7 THEN y ELSE 0 END)) // 7
+           AS BIGINT) END AS l_init
   FROM daily WHERE t < 7 GROUP BY event_type),
 hw AS (
   SELECT event_type, CAST(6 AS BIGINT) AS t, l_init AS l,
@@ -419,6 +426,15 @@ def op257_holt_winters_damped_multiplicative(
     def hwdm(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t")
         ys = pdf["y"].astype(int).tolist()
+        if len(ys) < _HWM_M:
+            # mirror of the SQL week1 error() guard (round-8 ADVICE):
+            # one loud failure mode on both engines, not IndexError
+            # here vs NULL-propagation there
+            raise ValueError(
+                f"op257: events span {len(ys)} < {_HWM_M} days — "
+                "damped multiplicative Holt-Winters needs one full "
+                "seasonal period (m=7)"
+            )
         S = _HWM_S
         f2 = lambda x: (x + _HW_OFF) // 2 - _HW_OFF // 2  # noqa: E731
         l = sum(ys[:_HWM_M]) // _HWM_M

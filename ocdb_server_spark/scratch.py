@@ -24,6 +24,12 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
+
+# Dead-by-age threshold for the PID-recycling backstop: 2 days. Scratch
+# dirs live for one operator call (seconds); anything this old whose
+# "owner" merely answers os.kill(pid, 0) is a recycled PID's orphan.
+_REAP_AGE_S = 2 * 24 * 3600
 
 
 def _pid_alive(pid: int) -> bool:
@@ -60,8 +66,25 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
             # prefix with suffix 'v2_1234' — deleting it would be
             # exactly the cross-session race this module exists to
             # prevent (round-8 review finding).
-            if suffix.isdigit() and not _pid_alive(int(suffix)):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            if not suffix.isdigit():
+                continue
+            full = os.path.join(base, name)
+            if not _pid_alive(int(suffix)):
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            # PID-recycling backstop (round-8 ADVICE): os.kill(pid,0)
+            # says "alive" even when a crashed session's PID was later
+            # recycled by an UNRELATED process — that dir would never
+            # reap. Age-gate it: any same-prefix dir (ours included —
+            # we recreate below) untouched for > _REAP_AGE_S is an
+            # orphaned table copy, not a live session's working set;
+            # a live session's scratch is written and read within one
+            # operator call, minutes not days.
+            try:
+                if time.time() - os.stat(full).st_mtime > _REAP_AGE_S:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass  # raced with its owner — leave it
     except OSError:
         pass  # an unreadable tempdir must not fail the operator
     mine = os.path.join(base, prefix + str(os.getpid()))

@@ -210,7 +210,14 @@ def _matches(t, v, strict: bool = False) -> bool:
     if k == "boolean":
         return isinstance(v, bool)
     if k in ("int", "long"):
-        return isinstance(v, int) and not isinstance(v, bool)
+        if not (isinstance(v, int) and not isinstance(v, bool)):
+            return False
+        # Range-aware branch binding: in a union ["int","long"] a
+        # value of 2^40 must bind to the long branch, not bind to
+        # int and then fail _encode's range check. A long out of
+        # int64 range matches nothing → the union raises loudly.
+        bound = 31 if k == "int" else 63
+        return -(1 << bound) <= v < (1 << bound)
     if k in ("float", "double"):
         if strict:
             return isinstance(v, float)

@@ -130,6 +130,16 @@ def walk_blocks(path: str) -> list[tuple[int, int]]:
                     "(plain gzip lacks the BC subfield — unsplittable)"
                 )
             bsize = struct.unpack("<H", hdr[16:18])[0] + 1
+            if bsize < _HDR_LEN + _FTR_LEN:
+                # a zeroed/corrupt BSIZE (e.g. bsize=1) would put the
+                # footer seek BEFORE this header or inside it — fail in
+                # the module's loud taxonomy, not as a stray OSError
+                # from f.seek or footer bytes read out of the header
+                raise ValueError(
+                    f"bgzf: member at offset {off} declares BSIZE "
+                    f"{bsize} < minimum {_HDR_LEN + _FTR_LEN} "
+                    "(header+footer) — corrupt BSIZE field"
+                )
             isize_at = off + bsize - 4
             f.seek(isize_at)
             ftr = f.read(4)

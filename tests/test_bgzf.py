@@ -143,6 +143,21 @@ def test_truncated_member_body_raises_valueerror(tmp_path):
         walk_blocks(path)
 
 
+def test_corrupt_bsize_below_minimum_raises_valueerror(tmp_path):
+    """A zeroed/corrupt BSIZE field (e.g. bsize=1 from a zeroed u16)
+    would make the footer seek land BEFORE the header — the module
+    must fail in its loud ValueError taxonomy, not raise OSError from
+    f.seek or misread footer bytes out of the header (round-8
+    ADVICE)."""
+    blob = bytearray(write_bgzf(_corpus(10)))
+    blob[16:18] = b"\x00\x00"  # first member's BSIZE u16 → bsize=1
+    path = str(tmp_path / "zeroed_bsize.gz")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="corrupt BSIZE"):
+        walk_blocks(path)
+
+
 def test_boundary_truncation_detected_via_eof_marker(tmp_path):
     """A cut exactly at a MEMBER boundary leaves every remaining
     member valid — detectable only by the SAM spec's fixed 28-byte

@@ -708,6 +708,63 @@ def test_avro_zigzag_varint_edges():
     assert read_ocf(write_ocf(schema, rows)) == rows
 
 
+def test_avro_int32_range_check_and_union_widening():
+    """The reject-loudly contract at the int32 edge (round-8 verdict):
+    in-range boundary values round-trip, one-past-the-edge raises a
+    ValueError from _encode (never a decodable-but-nonconformant
+    varint), and a union ["int","long"] WIDENS an int64-range value
+    to the long branch instead of binding int and then rejecting."""
+    import pytest
+
+    int_schema = {
+        "type": "record",
+        "name": "I",
+        "fields": [{"name": "v", "type": "int"}],
+    }
+    edge_rows = [{"v": 2**31 - 1}, {"v": -(2**31)}, {"v": 0}]
+    assert read_ocf(write_ocf(int_schema, edge_rows)) == edge_rows
+    for bad in (2**31, -(2**31) - 1, 2**40):
+        with pytest.raises(ValueError, match="out of range|no union"):
+            write_ocf(int_schema, [{"v": bad}])
+    union_schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "v", "type": ["int", "long"]}],
+    }
+    mixed = [{"v": 7}, {"v": 2**40}, {"v": -(2**33)}, {"v": 2**63 - 1}]
+    assert read_ocf(write_ocf(union_schema, mixed)) == mixed
+    with pytest.raises(ValueError, match="no union branch"):
+        write_ocf(union_schema, [{"v": 2**63}])  # past int64 too
+
+
+def test_avro_jvm_int32_boundary_interop(spark):
+    """JVM DataFileReader reads our int32 boundary values exactly —
+    the spec-strict partner the range check protects (round-8
+    verdict item 4)."""
+    import json as _json
+    import tempfile as _tf
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "B",
+        "fields": [{"name": "v", "type": "int"}],
+    }
+    rows = [{"v": 2**31 - 1}, {"v": -(2**31)}, {"v": -1}, {"v": 0}]
+    with _tf.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        f.write(write_ocf(schema, rows))
+        path = f.name
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rd.hasNext():
+        got.append(_json.loads(str(rd.next())))
+    rd.close()
+    assert got == rows
+
+
 def test_avro_jvm_interop_two_way(spark):
     """avro-1.12 on Spark's own classpath is the independent
     implementation (the javax.imageio pattern): DataFileReader must

@@ -108,6 +108,46 @@ def test_snapshot_isolation_and_compaction_equivalence(spark, sf_dir, root):
 # ------------------------------------------------------------------ op257
 
 
+def test_hw_damped_mult_short_span_fails_loudly(spark, tmp_path):
+    """A corpus spanning < 7 days must raise ONE loud error naming the
+    minimum-span requirement on BOTH engines (round-8 ADVICE): the
+    applyInPandas side a ValueError (not an executor IndexError), the
+    DuckDB oracle an error() from the week1 CTE (not NULL-propagated
+    seasonals)."""
+    import duckdb
+    import pytest
+    from pyspark.errors import PythonException
+
+    from ocdb_server_spark.operators.pipeline_r8 import (
+        _op257_sql,
+        op257_holt_winters_damped_multiplicative,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (i, f"2024-01-0{1 + i % 3} 0{i}:00:00", i, "click", 1.0, "{}")
+            for i in range(6)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) as ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    with pytest.raises(PythonException, match="span.*< 7 days"):
+        op257_holt_winters_damped_multiplicative(spark, sf).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf}/events.parquet/*.parquet'"
+    )
+    with pytest.raises(duckdb.Error, match="span < 7 days"):
+        con.execute(_op257_sql()).fetchall()
+
+
 def test_hw_damped_mult_matches_python_recurrence(spark, sf_dir):
     """op257: the applyInPandas damped multiplicative recurrence must
     equal an independent python implementation over the zero-filled

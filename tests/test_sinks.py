@@ -306,3 +306,33 @@ def test_scratch_dir_isolation_and_reaping(tmp_path, monkeypatch):
         f.write("x")
     again = scratch.scratch_dir("demo", "/data/sf0.001")
     assert again == mine and not os.listdir(again)
+
+
+def test_scratch_dir_age_gates_recycled_pid_orphans(tmp_path, monkeypatch):
+    """PID-recycling backstop (round-8 ADVICE): os.kill(pid, 0) says
+    'alive' for a crashed session's PID that an unrelated process has
+    since recycled, so liveness alone would keep that orphaned table
+    copy forever. A same-prefix dir owned by a LIVE pid must still be
+    reaped once its mtime exceeds the age gate — and must survive
+    while fresh."""
+    import os
+    import time
+
+    from ocdb_server_spark import scratch
+
+    monkeypatch.setattr(
+        scratch.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    # PID 1 is always alive — the stand-in for a recycled PID
+    fresh_live = tmp_path / "ocdb_spark_demo_sf0_001_1"
+    fresh_live.mkdir()
+    (fresh_live / "f").write_text("x")
+    scratch.scratch_dir("demo", "/data/sf0.001")
+    assert fresh_live.exists(), "fresh live-PID dir must not be reaped"
+
+    old = time.time() - scratch._REAP_AGE_S - 60
+    os.utime(fresh_live, (old, old))
+    scratch.scratch_dir("demo", "/data/sf0.001")
+    assert not fresh_live.exists(), (
+        "age-gated live-PID orphan (recycled PID) not reaped"
+    )
