@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
-from ocdb_server_spark.operators.northstar import minhash_neardup_pairs
+from ocdb_server_spark.operators.pipeline_ext import ngram_jaccard_pairs
 from ocdb_server_spark.registry import register
 
 
@@ -75,13 +75,93 @@ def connected_components(
     return labels
 
 
-@register("op96_dedup_components", oracle=None)  # ROWS: iterative, not ANSI-expressible
+# The exact near-dup edge relation both engines can compute: word-
+# 3-gram Jaccard ≥ 0.5 across ALL sources (dedup's whole point is the
+# same text resurfacing in different crawls). 0.5 is the classic
+# "near duplicate" bar (≈ the similarity MinHash banding at 4×4 is
+# tuned to catch); the LSH approximation of this same relation stays
+# under op79/op194 as the 100 TB candidate-generation path.
+_EXACT_NEARDUP_THRESHOLD = 0.5
+
+# Shared CTE chain for the op96/op221 oracles: the op89-style exact
+# gram-blocked pair relation (no source restriction, J ≥ 0.5), its
+# symmetric closure, and the min-reachable-id fixpoint — DuckDB's
+# WITH RECURSIVE computes exactly the label each vertex converges to
+# under min-label propagation, because both equal "min doc_id
+# reachable" (the fixpoint is order-independent). UNION (not UNION
+# ALL) dedups reach rows, so the recursion terminates after diameter
+# steps. O(cluster_size²) rows per cluster is oracle-only economics:
+# near-dup clusters are small cliques; the ENGINE side never builds
+# transitive closure (components.connected_components is the
+# HashToMin-family iterative relational CC).
+NEARDUP_CC_CTES = f"""
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+capped AS (
+  SELECT * FROM grams WHERE gram IN (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 50)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+                JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6)
+        >= {_EXACT_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+"""
+
+_OP96_SQL = f"""
+WITH RECURSIVE {NEARDUP_CC_CTES}
+SELECT component AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comp GROUP BY component HAVING COUNT(*) > 1
+"""
+
+
+@register("op96_dedup_components", oracle=_OP96_SQL)
 def op96_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters over documents: MinHash candidate pairs →
-    connected components → per-cluster size and canonical (min) doc_id,
+    """Near-dup clusters over documents: exact 3-gram-Jaccard ≥ 0.5
+    candidate pairs (ngram_jaccard_pairs, cross-source) → connected
+    components → per-cluster size and canonical (min) doc_id,
     returning only non-trivial clusters. The keep-one-survivor dedup
-    decision is `filter(doc_id == component)` on the same frame."""
-    pairs = minhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+    decision is `filter(doc_id == component)` on the same frame.
+
+    Graduated from ROWS to a SQL oracle in round 9 (round-8 verdict
+    item 5): the edge relation is the EXACT near-dup graph — the
+    deterministic, ANSI-expressible relation MinHash-LSH (op79)
+    approximates — so DuckDB's WITH RECURSIVE min-reachable-id
+    fixpoint hash-certifies the iterative min-label CC end to end.
+    The LSH→CC composition (the approximate 100 TB candidate path)
+    keeps its planted-cluster behavioral gates in
+    tests/test_components.py."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_EXACT_NEARDUP_THRESHOLD,
+        same_source=False,
+    )
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

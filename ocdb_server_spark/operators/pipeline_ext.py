@@ -153,18 +153,23 @@ WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.1
 """
 
 
-@register("op89_ngram_jaccard", oracle=_OP89_SQL)
-def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard similarity for same-source doc pairs with
-    J ≥ 0.1 — exact set-overlap near-dup scoring.
-
-    The gram join is blocked two ways: by the gram itself (only docs
-    sharing a gram ever meet) and by the max-df cap (grams appearing in
-    > 50 docs are dropped — the stop-gram guard that keeps the join
-    linear-ish at corpus scale). Threshold applied to the 6dp-rounded
-    value so both engines keep identical row sets."""
-    d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+def ngram_jaccard_pairs(
+    d: DataFrame, threshold: float = 0.1, same_source: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for doc pairs whose word-3-gram Jaccard
+    ≥ threshold — the EXACT set-overlap near-dup relation (what
+    MinHash-LSH approximates). The gram join is blocked two ways: by
+    the gram itself (only docs sharing a gram ever meet) and by the
+    max-df cap (grams in > 50 docs are dropped — the stop-gram guard
+    that keeps the join linear-ish at corpus scale). Threshold applied
+    to the 6dp-rounded value so both engines keep identical row sets.
+    `same_source` restricts candidate pairs to one source (op89's
+    within-crawl scoring); op96/op221 pass False — dedup's whole point
+    is catching the same text across crawls (and their crafted test
+    frames carry no source column at all, so it is only touched when
+    the restriction asks for it)."""
+    id_cols = ["doc_id", "source"] if same_source else ["doc_id"]
+    w = d.select(*id_cols, tokens(F.col("text")).alias("w"))
     tri = F.array_distinct(
         F.filter(
             F.zip_with(
@@ -180,19 +185,19 @@ def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.size(F.split(s, " ")) == 3,
         )
     )
-    grams = w.select("doc_id", "source", F.explode(tri).alias("gram"))
+    grams = w.select(*id_cols, F.explode(tri).alias("gram"))
     capped = grams.withColumn(
         "df", F.size(F.collect_set("doc_id").over(W.partitionBy("gram")))
     ).filter(F.col("df") <= 50)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if same_source:
+        cond = cond & (F.col("a.source") == F.col("b.source"))
     shared = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
     )
@@ -207,7 +212,17 @@ def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register("op89_ngram_jaccard", oracle=_OP89_SQL)
+def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for same-source doc pairs with
+    J ≥ 0.1 — exact set-overlap near-dup scoring (see
+    ngram_jaccard_pairs for the blocking design)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1, same_source=True
     )
 
 

@@ -953,19 +953,25 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_canonicalize(docs: DataFrame) -> DataFrame:
-    """Full dedup DECISION pipeline over a documents frame:
-    MinHash-LSH candidate pairs (northstar.minhash_neardup_pairs) →
-    connected components (components.connected_components) → one
-    KEPT doc per duplicate cluster (longest text wins, doc_id
-    tiebreak — the RefinedWeb keep-best rule). Returns one row per
-    cluster: (component, n_members, keep_doc_id, kept_n_chars,
-    dropped_docs, dropped_chars)."""
+    """Full dedup DECISION pipeline over a documents frame: exact
+    3-gram-Jaccard ≥ 0.5 candidate pairs (pipeline_ext.
+    ngram_jaccard_pairs, cross-source — see components.py's threshold
+    rationale) → connected components (components.
+    connected_components) → one KEPT doc per duplicate cluster
+    (longest text wins, doc_id tiebreak — the RefinedWeb keep-best
+    rule). Returns one row per cluster: (component, n_members,
+    keep_doc_id, kept_n_chars, dropped_docs, dropped_chars)."""
     from pyspark.sql import Window
 
-    from ocdb_server_spark.operators.components import connected_components
-    from ocdb_server_spark.operators.northstar import minhash_neardup_pairs
+    from ocdb_server_spark.operators.components import (
+        _EXACT_NEARDUP_THRESHOLD,
+        connected_components,
+    )
+    from ocdb_server_spark.operators.pipeline_ext import ngram_jaccard_pairs
 
-    pairs = minhash_neardup_pairs(docs)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=_EXACT_NEARDUP_THRESHOLD, same_source=False
+    )
     labels = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1000,26 +1006,59 @@ def neardup_canonicalize(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("op221_neardup_canonicalize", oracle=None)  # ROWS: xxhash LSH (op79's rationale)
+def _op221_sql() -> str:
+    from ocdb_server_spark.operators.components import NEARDUP_CC_CTES
+
+    return f"""
+WITH RECURSIVE {NEARDUP_CC_CTES},
+members AS (
+  SELECT c.component, c.id AS doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+  FROM members
+),
+kept AS (
+  SELECT component, doc_id AS keep_doc_id, n_chars AS kept_n_chars
+  FROM ranked WHERE rn = 1
+),
+stats AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM members GROUP BY component
+)
+SELECT s.component, s.n_members, k.keep_doc_id,
+       CAST(k.kept_n_chars AS BIGINT) AS kept_n_chars,
+       CAST(s.n_members - 1 AS BIGINT) AS dropped_docs,
+       CAST(s.total_chars - k.kept_n_chars AS BIGINT) AS dropped_chars
+FROM stats s JOIN kept k USING (component)
+"""
+
+
+@register("op221_neardup_canonicalize", oracle=_op221_sql())
 def op221_neardup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END near-dup canonicalization — the integration of the
     dedup family into the decision a corpus build actually ships:
-    op79's LSH candidate pairs, op96's connected components, and the
-    keep-best-quality rule, composed into 'which doc survives each
-    duplicate cluster and how much is dropped'.
+    exact near-dup candidate pairs, op96's connected components, and
+    the keep-best-quality rule, composed into 'which doc survives
+    each duplicate cluster and how much is dropped'.
 
-    ROWS by design (xxhash64 signatures — op79's rationale); the
-    behavioral gate is a planted-cluster test (test_pipeline_r6):
-    crafted near-dup clusters must collapse to their longest member
-    with exact drop accounting, singletons must not appear. On the
-    generated corpora the result follows op79's pair output (this
-    round's sf0.01 surfaces ~25 LSH clusters; sf0.1 additionally
-    plants 8 duplicate texts per FIXTURES.md, which must all
-    canonicalize).
+    Graduated from ROWS to a SQL oracle in round 9 (round-8 verdict
+    item 5) by switching the edge relation from op79's xxhash LSH
+    bands to the exact 3-gram-Jaccard ≥ 0.5 relation both engines
+    compute (components.py rationale) — the DuckDB oracle restates
+    the whole decision: recursive min-reachable-id components, the
+    keep-longest window, and the drop accounting. The behavioral
+    planted-cluster gate (test_pipeline_r6) still applies; the
+    LSH→CC approximate composition keeps its own gate in
+    test_components.py.
 
-    Scale: every stage is the already-audited scale path — signature
-    shuffles (never text), min-label propagation with localCheckpoint,
-    one keyed window per cluster. The composition adds no new shuffle
+    Scale: every stage is the already-audited scale path — the
+    gram-blocked pair join with the max-df cap (op89's annotated
+    5-shuffle plan), min-label propagation with localCheckpoint, one
+    keyed window per cluster. The composition adds no new shuffle
     class."""
     return neardup_canonicalize(load_table(spark, sf_dir, "documents"))
 

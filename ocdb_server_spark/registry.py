@@ -139,6 +139,36 @@ def iter_correctness_rounds(root: str):
             yield rnd, rows
 
 
+def certified_rounds(root: str) -> dict[str, int]:
+    """{op: round of its latest green driver row}, with one demotion
+    rule on top: ORACLE UPGRADES INVALIDATE ROWS-ONLY CERTIFICATION.
+    When an op that used to register oracle=None gains a SQL oracle
+    (op03/op05/op106 in r7, op96/op221 in r9), its old green rows
+    prove only the weaker ran-clean check — the new hash gate has
+    never run — so it drops out of `certified` and the next driver
+    sweep re-checks it first. Shared by _sweep_order and
+    scripts/evidence_age.py so the sweep and the report can't
+    disagree about who needs evidence (round-8 review lesson applied
+    to the r9 demotion rule)."""
+    certified: dict[str, int] = {}
+    green_kind: dict[str, str] = {}
+    for rnd, rows in iter_correctness_rounds(root):
+        for key, row in rows.items():
+            if _row_is_green(row):
+                certified[key] = rnd
+                green_kind[key] = (
+                    "rows" if row.get("err") == "no_oracle" else "sql"
+                )
+            else:
+                certified.pop(key, None)
+                green_kind.pop(key, None)
+    for key in list(certified):
+        op = REGISTRY.get(key)
+        if op is not None and op.oracle is not None and green_kind.get(key) == "rows":
+            certified.pop(key, None)
+    return certified
+
+
 def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     """Order the registry for the driver's budgeted correctness sweep.
 
@@ -181,13 +211,7 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     # Later rounds override earlier ones (sorted() gives r01 < r02 < ...):
     # an op that failed in r1 but passed in r3 is certified; one that
     # passed in r1 but erred in r3 is NOT.
-    certified: dict[str, int] = {}
-    for rnd, rows in iter_correctness_rounds(root):
-        for key, row in rows.items():
-            if _row_is_green(row):
-                certified[key] = rnd
-            else:
-                certified.pop(key, None)
+    certified = certified_rounds(root)
     costs: dict[str, float] = {}
     try:
         with open(os.path.join(root, "ocdb_server_spark", "op_costs.json")) as f:

@@ -52,6 +52,36 @@ def test_symmetric_input_irrelevant(spark):
     assert a == b
 
 
+def test_minhash_lsh_to_components_composition(spark):
+    """The APPROXIMATE candidate path — op79's MinHash-LSH bands —
+    feeding connected_components: the 100 TB composition that op96's
+    exact-Jaccard certification (r9 graduation) no longer exercises
+    directly. Planted duplicate groups must collapse into single
+    min-labeled clusters; the singleton must not appear (vertices
+    only exist via edges)."""
+    from ocdb_server_spark.operators.northstar import minhash_neardup_pairs
+
+    texts = (
+        ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 3
+        + ["totally different words about cooking pasta with garlic tonight"]
+        * 2
+        + ["unique solitary text sharing nothing with anything else here"]
+    )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = minhash_neardup_pairs(docs)
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        ).collect()
+    }
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[3] == labels[4] == 3
+    assert 5 not in labels
+
+
 def test_op96_clusters_cover_exact_dups(spark, sf_dir):
     """Every exact-duplicate text group must land in one cluster whose
     canonical id is the group's min doc_id."""

@@ -22,7 +22,17 @@ silent drift):
   - round 8: op03/op05/op106 REMOVED from the snapshot (no hash
     change — semantics untouched): they graduated to full SQL oracles
     (round-7 verdict item 4), so the strict hash gate now covers them
-    and the weaker snapshot check no longer applies."""
+    and the weaker snapshot check no longer applies.
+  - round 9: op96/op221 REMOVED from the snapshot — graduated to SQL
+    oracles (round-8 verdict item 5) WITH an intended semantics
+    change: their edge relation moved from op79's xxhash LSH bands to
+    the exact 3-gram-Jaccard ≥ 0.5 relation (deterministic, ANSI-
+    expressible), so DuckDB WITH RECURSIVE hash-certifies the CC
+    fixpoint. The LSH→CC composition keeps a planted gate in
+    test_components.py. Expected result shift at sf0.001: 23 clusters
+    (LSH bands, incl. 2 banding candidates below the exact J=0.5 bar)
+    -> 21 clusters (exact relation); sf0.01: 23 - both hash-certified
+    against DuckDB this round."""
 
 from __future__ import annotations
 
