@@ -262,10 +262,21 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound parameter in a prepared statement). A missing query id is a
     caller error and raises ValueError, not TypeError-on-None.
 
-    Float discipline: literal doubles + a left-to-right ``+`` chain are
-    bit-identical to the zip_with/aggregate fold they replaced, and the
-    Python-side query norm is the same sequential IEEE-double sum, so
-    bround(sim, 6) keeps hash-matching the oracle."""
+    Float discipline: the aggregate() fold accumulates left-to-right —
+    the same sequential IEEE-double order as DuckDB's unnest-ordered
+    SUM and as the literal ``+`` chain it replaces (verified
+    bit-identical on the full corpus when switching round 9) — and the
+    Python-side query norm is the same sequential sum, so
+    bround(sim, 6) keeps hash-matching the oracle.
+
+    Plan-shape history: round 4 flattened the fold into a 64-term
+    literal ``+`` chain because it re-EXECUTED faster — a finding the
+    round-8 bench correction exposed as repeat-protocol bias. Under
+    the honest fresh-instance protocol the 64-term tree costs more in
+    Catalyst analysis than it saves in execution (measured r9 at
+    sf0.1: fresh exec 156 ms chain vs 81 ms fold; per-instance repeat
+    both ≈ the 1-task job floor), so round 9 restored the fold with
+    the query vector as ONE array literal."""
     import math
 
     from ocdb_server_spark.io import query_vector
@@ -286,11 +297,11 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in qvec:
         qn += x * x
     qn = math.sqrt(qn)
+    arr = "array(" + ",".join(f"cast('{v!r}' as double)" for v in qvec) + ")"
     dot = F.expr(
-        " + ".join(
-            f"(cast(embedding[{i}] as double) * cast('{v!r}' as double))"
-            for i, v in enumerate(qvec)
-        )
+        f"aggregate(zip_with(embedding, {arr},"
+        " (x, y) -> cast(x as double) * y),"
+        " cast(0.0 as double), (a, b) -> a + b)"
     )
     sim = F.bround(dot / (F.col("nrm") * F.lit(qn)), 6)
     return (

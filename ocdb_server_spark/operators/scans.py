@@ -721,6 +721,74 @@ def _bgzf_write_docs(path: str):
     return write
 
 
+def _bgzf_write_docs_part(out_dir: str):
+    """Per-PARTITION variant of _bgzf_write_docs (round-8 verdict
+    item 3 — the parallel writer shape op260's single-file demo
+    deliberately bottlenecks): each task streams ITS partition
+    through the same iter_bgzf_members kernel into its own
+    member-blocked BGZF file, named by TaskContext partition id,
+    tmp-written + os.replace (op03's atomic-publish rule). N tasks
+    write N files concurrently — writer wall drops with partitions
+    while every file stays a valid stock-gzip stream and the same
+    walk_blocks manifest split-reads the whole corpus across files."""
+
+    def write(it):
+        import json
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ocdb_server_spark.sources.bgzf import iter_bgzf_members
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.jsonl.gz")
+
+        def lines():
+            for pdf in it:
+                for r in pdf.to_dict("records"):
+                    yield json.dumps(
+                        {
+                            "doc_id": int(r["doc_id"]),
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "n_chars": int(r["n_chars"]),
+                        },
+                        sort_keys=True,
+                    )
+
+        n = 0
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            for member in iter_bgzf_members(lines()):
+                f.write(member)
+                n += 1
+        os.replace(tmp, path)
+        yield pd.DataFrame({"path": [path], "n_members": [n]})
+
+    return write
+
+
+def bgzf_export_docs_parallel(
+    spark: SparkSession, sf_dir: str, out_dir: str, partitions: int = 8
+) -> list[str]:
+    """Export the documents table as `partitions` BGZF files in
+    parallel and return their paths (write forced). The read side is
+    file-count-agnostic: _bgzf_walk manifests every file, so the
+    exact same split-read plan consumes 1 or N files."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    manifest = (
+        d.repartition(partitions)
+        .mapInPandas(_bgzf_write_docs_part(out_dir), "path string, n_members long")
+        .collect()
+    )
+    # every task yields exactly one row; an empty partition still
+    # writes a valid EOF-marker-only file walk_blocks accepts
+    assert len(manifest) == partitions
+    return sorted(r.path for r in manifest)
+
+
 def _bgzf_walk(it):
     import pandas as pd
 
@@ -791,7 +859,15 @@ def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-lang aggregate over the re-read frame hash-matching the
     original-parquet oracle certifies the JSON→BGZF→manifest-split→
     inflate path loses nothing; the ≤1-row manifest collect() forces
-    the write before the read plan is returned (op252's rule)."""
+    the write before the read plan is returned (op252's rule).
+
+    The coalesce(1) writer is the single-file DEMO semantics (one
+    downloadable artifact). The production writer shape is
+    bgzf_export_docs_parallel below (round-8 verdict item 3): one
+    member-blocked file per partition through the same kernel, same
+    manifest split-read over N files — certified equal in
+    tests/test_bgzf.py and measured in BASELINE.md's writer-scaling
+    row."""
     from ocdb_server_spark.scratch import scratch_dir
 
     path = os.path.join(
@@ -806,9 +882,20 @@ def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     assert len(manifest) == 1 and manifest[0].n_members > 1
-    blocks = spark.createDataFrame([(path,)], "path string").mapInPandas(
-        _bgzf_walk, "path string, offset long, length long"
-    )
+    return bgzf_read_lang_agg(spark, [path])
+
+
+def bgzf_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """File-count-agnostic BGZF split-read: manifest every file via
+    walk_blocks (distributed — one row in, many block rows out), fan
+    the block reads out, inflate+CRC-verify per member, and compute
+    the op260 per-lang certification aggregate. The SAME plan serves
+    op260's single-file demo and the parallel N-file export
+    (bgzf_export_docs_parallel) — at 100 TB the writer runs one task
+    per partition and this reader one manifest row per file."""
+    blocks = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).mapInPandas(_bgzf_walk, "path string, offset long, length long")
     back = blocks.repartition(8).mapInPandas(
         _bgzf_decode, "doc_id long, text string, lang string, n_chars long"
     )

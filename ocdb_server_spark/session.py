@@ -22,6 +22,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     profile: str = "batch",
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """profile:
     - 'batch' (default): AQE on (runtime coalescing + skew-join) — the
@@ -32,6 +33,10 @@ def get_spark(
       latency per query (measured at sf0.1) while its re-planning has
       nothing to improve — tiny exact stats are already known. Same
       knob any Spark deployment tunes per workload.
+    extra_conf: overrides applied last (only effective at session
+    creation — getOrCreate ignores confs on an existing session);
+    used by scripts/skew_stress.py to re-enable the UI REST API for
+    task-duration quantiles.
     """
     if profile not in ("batch", "interactive"):
         raise ValueError(f"unknown profile {profile!r}")
@@ -91,4 +96,6 @@ def get_spark(
             "true" if profile == "batch" else "false",
         )
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

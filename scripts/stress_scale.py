@@ -44,18 +44,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ocdb_server_spark.scratch import _pid_alive  # noqa: E402
 
-# Flags first, then the positional REP (round-7 ADVICE: `--keep` as
-# argv[1] used to crash int()).
-_POSITIONAL = [a for a in sys.argv[1:] if not a.startswith("-")]
-REP = int(_POSITIONAL[0]) if _POSITIONAL else 10
-# --only=opA,opB runs a subset (e.g. freshly added ops against KEPT
-# datasets) without re-timing the whole list — the round-8 close
-# measured op259/op260 this way
-_ONLY = next(
-    (a.split("=", 1)[1].split(",") for a in sys.argv[1:]
-     if a.startswith("--only=")),
-    None,
-)
+def parse_args(argv: list[str]) -> tuple[int, list[str] | None]:
+    """(REP, only-list). Flags first, then the positional REP
+    (round-7 ADVICE: `--keep` as argv[1] used to crash int()).
+    --only=opA,opB runs a subset (e.g. freshly added ops against KEPT
+    datasets) without re-timing the whole list — the round-8 close
+    measured op259/op260 this way. Parsed inside main(), not at
+    import time, so the build-publish helpers stay unit-testable."""
+    positional = [a for a in argv if not a.startswith("-")]
+    rep = int(positional[0]) if positional else 10
+    only = next(
+        (a.split("=", 1)[1].split(",") for a in argv
+         if a.startswith("--only=")),
+        None,
+    )
+    return rep, only
+
+
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10**9
 
@@ -78,10 +83,48 @@ _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 def _rotated(i: int) -> str:
     return _ALPHA[i % 26:] + _ALPHA[: i % 26]
 
+def reap_stale_builds(base: str, out_name: str) -> list[str]:
+    """Remove `<out_name>.building.<pid>` dirs whose owning PID is
+    dead — the litter a Ctrl-C mid-build leaves behind (the atomic
+    rename cleans up the happy path). Never touches a live builder's
+    dir or anything not matching the marker. Returns reaped names
+    (unit-tested in tests/test_scale_paths.py)."""
+    marker = f"{out_name}.building."
+    reaped: list[str] = []
+    for name in os.listdir(base):
+        if name.startswith(marker) and name[len(marker):].isdigit():
+            if not _pid_alive(int(name[len(marker):])):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                reaped.append(name)
+    return reaped
+
+
+def publish_build(build_dir: str, out_dir: str) -> str:
+    """Atomically publish a finished build: os.replace so a reader
+    never observes a partial dataset under `out_dir`. If a concurrent
+    run won the publish race (rename(2) onto a non-empty dir fails),
+    use theirs and drop ours. Returns the dataset path to measure."""
+    try:
+        os.replace(build_dir, out_dir)
+    except OSError:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(build_dir, ignore_errors=True)
+        else:
+            raise
+    return out_dir
+
+
 QUERIES = (
     "op17_agg_groupby",
     "op39_join_multiway_star",
     "op69_stream_tumbling",
+    # round-9 enrollment (round-8 verdict item 2): the two weak
+    # headliners that had no measured data slope — window top-k
+    # (customer count scales with REP) and brute-force cosine kNN
+    # (corpus scan scales with REP; the vec_id=0 query vector stays
+    # unique — replica keys shift by 1e9)
+    "op42_win_row_number_topk_group",
+    "op80_sim_cosine_knn",
     "op75_dedup_exact",
     "op79_minhash_neardup",
     "op93_token_count",
@@ -107,10 +150,11 @@ def main() -> None:
     from ocdb_server_spark.registry import load_all
     from ocdb_server_spark.session import get_spark
 
+    REP, only = parse_args(sys.argv[1:])
     spark = get_spark(app_name="stress_scale", profile="interactive")
     spark.sparkContext.setLogLevel("ERROR")
     ops = load_all()
-    queries = tuple(_ONLY) if _ONLY else QUERIES
+    queries = tuple(only) if only else QUERIES
     unknown = [q for q in queries if q not in ops]
     if unknown:
         raise SystemExit(f"--only names unknown ops: {unknown}")
@@ -122,14 +166,7 @@ def main() -> None:
     # reap .building litter from crashed/interrupted runs (the rename
     # below cleans up the happy path; Ctrl-C mid-build does not) —
     # only dirs whose owning PID is gone, never a concurrent builder's
-    for name in os.listdir(tempfile.gettempdir()):
-        marker = f"ocdb_stress_sf1_rep{REP}.building."
-        if name.startswith(marker) and name[len(marker):].isdigit():
-            if not _pid_alive(int(name[len(marker):])):
-                shutil.rmtree(
-                    os.path.join(tempfile.gettempdir(), name),
-                    ignore_errors=True,
-                )
+    reap_stale_builds(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
     if not os.path.isdir(out_dir):
         build_dir = out_dir + f".building.{os.getpid()}"
         os.makedirs(build_dir, exist_ok=True)
@@ -155,17 +192,8 @@ def main() -> None:
             rep.write.mode("overwrite").parquet(
                 os.path.join(build_dir, f"{name}.parquet")
             )
-        try:
-            os.replace(build_dir, out_dir)
-            print(f"built {out_dir} (REP={REP})", file=sys.stderr)
-        except OSError:
-            # a concurrent run won the publish race (rename(2) onto a
-            # non-empty dir fails) — use theirs, drop ours
-            if os.path.isdir(out_dir):
-                shutil.rmtree(build_dir, ignore_errors=True)
-                print(f"using concurrently built {out_dir}", file=sys.stderr)
-            else:
-                raise
+        publish_build(build_dir, out_dir)
+        print(f"built or adopted {out_dir} (REP={REP})", file=sys.stderr)
 
     def run(sf_dir: str) -> dict[str, float]:
         eio.clear_cache()

@@ -129,6 +129,42 @@ def test_op260_splits_across_tasks_and_matches_table(spark, sf_dir):
     assert len(walk_blocks(files[0])) > 1
 
 
+def test_parallel_writer_multi_file_roundtrip(spark, sf_dir, tmp_path):
+    """The PARALLEL writer shape (round-8 verdict item 3): N tasks
+    write N member-blocked BGZF files through the same
+    iter_bgzf_members kernel, every file is independently a valid
+    stock gzip + BGZF stream, and the SAME walk_blocks-manifest
+    split-read consumes the multi-file corpus to the identical
+    per-lang aggregate as op260's single-file demo (and as the
+    parquet truth it is certified against)."""
+    from ocdb_server_spark.operators.scans import (
+        bgzf_export_docs_parallel,
+        bgzf_read_lang_agg,
+        op260_bgzf_splittable_gzip,
+    )
+
+    parts = 4
+    paths = bgzf_export_docs_parallel(spark, sf_dir, str(tmp_path), parts)
+    assert len(paths) == parts and len(set(paths)) == parts
+    total_members = 0
+    for p in paths:
+        # valid stock gzip end-to-end
+        with gzip.open(p, "rb") as f:
+            f.read()
+        total_members += len(walk_blocks(p))  # valid BGZF, EOF-checked
+    assert total_members >= parts  # real data spread across files
+
+    multi = {
+        r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+        for r in bgzf_read_lang_agg(spark, paths).collect()
+    }
+    single = {
+        r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+        for r in op260_bgzf_splittable_gzip(spark, sf_dir).collect()
+    }
+    assert multi == single and multi
+
+
 def test_truncated_member_body_raises_valueerror(tmp_path):
     """A file cut off INSIDE a member (18-byte header intact, body
     missing) must raise the module's documented ValueError taxonomy —

@@ -130,3 +130,43 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert j.count() == expected
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_stress_build_reap_and_atomic_publish(tmp_path):
+    """Interrupted stress-dataset builds must never poison later
+    measurements (round-8 verdict item 6): a dead builder's
+    `.building.<pid>` dir is reaped, a live builder's is not, and
+    publish is atomic — the out_dir either doesn't exist or is the
+    complete build (os.replace), with the loser of a concurrent
+    publish race adopting the winner's dataset."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from stress_scale import publish_build, reap_stale_builds
+
+    base = str(tmp_path)
+    dead = tmp_path / "ocdb_stress_sf1_rep10.building.99999999"
+    live = tmp_path / f"ocdb_stress_sf1_rep10.building.{os.getpid()}"
+    other = tmp_path / "ocdb_stress_sf1_rep3.building.99999999"  # other REP
+    for d in (dead, live, other):
+        d.mkdir()
+        (d / "partial.parquet").write_text("x")
+    reaped = reap_stale_builds(base, "ocdb_stress_sf1_rep10")
+    assert reaped == [dead.name]
+    assert not dead.exists() and live.exists() and other.exists()
+
+    # happy-path publish: rename is atomic, build dir gone
+    out = tmp_path / "ocdb_stress_sf1_rep10"
+    got = publish_build(str(live), str(out))
+    assert got == str(out) and out.is_dir() and not live.exists()
+    assert (out / "partial.parquet").read_text() == "x"
+
+    # publish race: a second finished build finds out_dir taken,
+    # adopts it, and its own build dir is dropped
+    loser = tmp_path / "ocdb_stress_sf1_rep10.building.424242"
+    loser.mkdir()
+    (loser / "partial.parquet").write_text("y")
+    got2 = publish_build(str(loser), str(out))
+    assert got2 == str(out) and not loser.exists()
+    assert (out / "partial.parquet").read_text() == "x"  # winner's data
