@@ -121,6 +121,43 @@ def test_sweep_order_fronts_errored_ops(tmp_path):
     assert ordered[3:] == ["op_green", "op_rows", "op_fresh", "op_late"]
 
 
+def test_sweep_order_demotes_oracle_upgraded_ops(tmp_path):
+    """The r9 demotion rule: an op that NOW registers a SQL oracle but
+    whose latest green driver row was a rows-only (`err: "no_oracle"`)
+    check has never had its hash gate run — it must sort into the
+    uncertified front group. A genuinely ROWS-only op (oracle=None)
+    with the same row shape stays certified. Uses REAL registry keys
+    because the rule consults the live REGISTRY's oracle field."""
+    import json
+
+    from ocdb_server_spark.registry import REGISTRY, _sweep_order, load_all
+
+    load_all()
+    sql_op = "op17_agg_groupby"          # has an oracle today
+    rows_op = "op20_agg_approx_count_distinct"  # oracle=None by design
+    assert REGISTRY[sql_op].oracle is not None
+    assert REGISTRY[rows_op].oracle is None
+
+    green_rows = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
+    }
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        sql_op: green_rows,   # green, but under the OLD no-oracle check
+        rows_op: green_rows,  # green under its designed check
+        "op_other": green_sql,
+    }))
+    ordered = _sweep_order([rows_op, "op_other", sql_op], root=str(tmp_path))
+    assert ordered[0] == sql_op, (
+        f"oracle-upgraded op must re-certify first: {ordered}"
+    )
+    assert set(ordered[1:]) == {rows_op, "op_other"}
+
+
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
     df = OPS[name].fn(spark, sf_dir)
