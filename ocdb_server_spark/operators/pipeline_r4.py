@@ -317,33 +317,37 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate after the join is the oracle-checked observable
     (join output itself is 60k rows of no analytic interest)."""
     import os
-    import shutil
-    import tempfile
+
+    from ocdb_server_spark.scratch import scratch_dir
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    # sf-tagged table/dir names: a test run at sf0.001 and a sweep at
-    # sf0.01 may overlap in time; a shared scratch path would let one
-    # process rmtree the files the other is scanning.
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    li_name, o_name = f"ocdb_li_bucketed_{tag}", f"ocdb_o_bucketed_{tag}"
+    # Per-process scratch root + pid-suffixed table names (r9: the
+    # old sf-tagged names isolated concurrent SCALE FACTORS but not
+    # concurrent SESSIONS at one sf — one process's pre-write rmtree
+    # could delete bucket files another session's scan was reading).
+    # ONE scratch_dir call covers both tables: it empties on entry,
+    # so per-table calls would wipe the first table while writing the
+    # second.
+    root = scratch_dir("bucketed", sf_dir)
+    pid = os.getpid()
+    li_name, o_name = f"ocdb_li_bucketed_{pid}", f"ocdb_o_bucketed_{pid}"
     for name, df, key in (
         (li_name, li, "l_orderkey"),
         (o_name, o, "o_orderkey"),
     ):
-        # EXTERNAL bucketed tables under tempdir: the driver harness may
-        # hand us its own session whose cwd-relative warehouse dir we
-        # must not write into (static conf, can't be redirected at
-        # runtime). The test catalog is also in-memory (no metastore),
-        # so a previous PROCESS's table survives only as a directory —
-        # drop the registration and the stray location before writing.
-        # A production deployment has a metastore + fixed warehouse and
-        # plain mode("overwrite") suffices.
-        loc = os.path.join(tempfile.gettempdir(), f"ocdb_bucketed_{name}")
+        # EXTERNAL bucketed tables under the scratch root: the driver
+        # harness may hand us its own session whose cwd-relative
+        # warehouse dir we must not write into (static conf, can't be
+        # redirected at runtime). The test catalog is in-memory (no
+        # metastore), so drop any same-name registration from an
+        # earlier call in THIS session before writing. A production
+        # deployment has a metastore + fixed warehouse and plain
+        # mode("overwrite") suffices.
+        loc = os.path.join(root, name)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(loc, ignore_errors=True)
         (
             # repartition on the bucket key with the bucket count (same
             # Murmur3 hash) → exactly one file per bucket, so the read

@@ -778,12 +778,16 @@ def op172_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan 7 of 3650 day partitions of the fact).
 
     The write is part of the operator's semantics (op05/op106/op147
-    pattern); scratch path per-SF, overwritten for idempotence."""
+    pattern); per-process scratch (r9: migrated off the shared
+    sf-tagged dirs — the overwrite-vs-lazy-read cross-session race;
+    ONE scratch root holds both the fact and dim sides, which also
+    keeps the old different-SF isolation)."""
     import os as _os
-    import tempfile as _tmp
 
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_dpp_{tag}")
+    from ocdb_server_spark.scratch import scratch_dir
+
+    root = scratch_dir("dpp", sf_dir)
+    out = _os.path.join(root, "fact")
     e = load_table(spark, sf_dir, "events")
     (
         e.select("event_id", "user_id", "value", "event_type")
@@ -802,10 +806,7 @@ def op172_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    gets boolean-simplified back to the bare attribute), hence a
     #    string category filter. Both match how a real date dim is
     #    filtered in a lake anyway.
-    # sf-tagged like the fact path above: two concurrent runs at
-    # different scale factors must never overwrite each other's scratch
-    # (round-4 advice — the same race class the fact path already avoids).
-    dim_path = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_dpp_dim_{tag}")
+    dim_path = _os.path.join(root, "dim")
     spark.createDataFrame(
         [("view", "browse"), ("click", "browse"), ("error", "ops"),
          ("signup", "conversion"), ("purchase", "conversion")],

@@ -345,12 +345,14 @@ def op181_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the audit is one map-side-partial agg keyed by file name —
     #files rows of state; the export write is the only data-sized
-    step and any lake already pays it."""
+    step and any lake already pays it. Per-process scratch (r9:
+    migrated off the shared sf-tagged dir — the overwrite-vs-lazy-read
+    cross-session race)."""
     import os
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_skip_audit_{tag}")
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("skip_audit", sf_dir), "t")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderdate",

@@ -1381,10 +1381,12 @@ def op228_mor_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter per file, which is the same join keyed the same way. The
     base never rewrites; deletes accumulate until compaction
     (op178's planner)."""
-    tag = os.path.join(
-        tempfile.gettempdir(),
-        f"ocdb_spark_mor_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
-    )
+    # per-process scratch (r9: this op missed the r8 scratch_dir
+    # migration — a fixed sf-tagged dir lets one session overwrite
+    # the base files another session's lazy deletes-join still reads)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    tag = scratch_dir("mor", sf_dir)
     base_path = os.path.join(tag, "base")
     del_path = os.path.join(tag, "deletes")
     o = load_table(spark, sf_dir, "orders").select(
@@ -3187,10 +3189,12 @@ def op249_footer_stats_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are exact value copies (no truncation), which is exactly
     what the hash certifies."""
     import os
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"ocdb_footer_stats_{tag}")
+    # per-process scratch (r9: migrated off the shared sf-tagged dir
+    # — the overwrite-vs-lazy-read cross-session race)
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("footer_stats", sf_dir), "t")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",

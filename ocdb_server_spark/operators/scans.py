@@ -247,13 +247,14 @@ def op147_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cluster scale the same plan applies to a date-partitioned lake.
 
     The write is part of the operator's semantics (like op05/op106
-    sink round-trips); the scratch path is per-SF and overwritten for
-    idempotence."""
+    sink round-trips); per-process scratch (r9: migrated off the
+    shared sf-tagged dir — one session's overwrite could delete files
+    another session's lazy read had already planned)."""
     import os as _os
-    import tempfile as _tmp
 
-    tag = _os.path.basename(sf_dir.rstrip("/"))
-    out = _os.path.join(_tmp.gettempdir(), f"ocdb_spark_part_scan_{tag}")
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out = _os.path.join(scratch_dir("part_scan", sf_dir), "t")
     (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars", "lang")

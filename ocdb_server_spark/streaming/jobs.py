@@ -1048,16 +1048,19 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
     rows)."""
     import json
     import os
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), f"ocdb_spark_eo_sink_{tag}")
+    # per-process scratch (r9: missed the r8 scratch_dir migration —
+    # the fixed sf-tagged root's rmtree below would nuke another live
+    # session's in-flight committed batches). scratch_dir returns a
+    # FRESH empty dir each call, which is also the old rmtree's job:
+    # the certified artifact is this execution. The exactly-once
+    # semantics under test are WITHIN-run (batch-0 replay), so no
+    # cross-run-stable root is needed.
+    from ocdb_server_spark.scratch import scratch_dir
+
+    root = scratch_dir("eo_sink", sf_dir)
     data_dir = os.path.join(root, "data")
     man_dir = os.path.join(root, "manifest")
-    # fresh run each build: the certified artifact is this execution
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(man_dir, exist_ok=True)
 
     def commit_batch(batch_df, batch_id: int) -> None:

@@ -421,9 +421,13 @@ def test_mor_deletes_are_positional_and_exact(spark, sf_dir):
     assert {k: v.n_live for k, v in out.items()} == {
         k: v["count"] for k, v in exp.items()
     }
+    # THIS process's scratch dir (scratch_dir naming: prefix + pid —
+    # re-calling scratch_dir() here would reap and EMPTY it)
     tag = os.path.join(
         tempfile.gettempdir(),
-        f"ocdb_spark_mor_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+        f"ocdb_spark_mor_"
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_"
+        f"{os.getpid()}",
     )
     deletes = spark.read.parquet(os.path.join(tag, "deletes"))
     assert set(deletes.columns) == {"_file", "_pos"}, deletes.columns
