@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
-from ocdb_server_spark.operators.pipeline_ext import ngram_jaccard_pairs
+from ocdb_server_spark.operators.pipeline_ext import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_ctes,
+)
 from ocdb_server_spark.registry import register
 
 
@@ -83,43 +86,21 @@ def connected_components(
 # under op79/op194 as the 100 TB candidate-generation path.
 _EXACT_NEARDUP_THRESHOLD = 0.5
 
-# Shared CTE chain for the op96/op221 oracles: the op89-style exact
-# gram-blocked pair relation (no source restriction, J ≥ 0.5), its
-# symmetric closure, and the min-reachable-id fixpoint — DuckDB's
-# WITH RECURSIVE computes exactly the label each vertex converges to
-# under min-label propagation, because both equal "min doc_id
-# reachable" (the fixpoint is order-independent). UNION (not UNION
-# ALL) dedups reach rows, so the recursion terminates after diameter
-# steps. O(cluster_size²) rows per cluster is oracle-only economics:
+# Shared CTE chain for the op96/op221 oracles: the exact gram-blocked
+# pair relation (ONE template with op89's oracle —
+# pipeline_ext.ngram_jaccard_pairs_ctes, here with no source
+# restriction and J ≥ 0.5), its symmetric closure, and the
+# min-reachable-id fixpoint — DuckDB's WITH RECURSIVE computes
+# exactly the label each vertex converges to under min-label
+# propagation, because both equal "min doc_id reachable" (the
+# fixpoint is order-independent). UNION (not UNION ALL) dedups reach
+# rows, so the recursion terminates after diameter steps.
+# O(cluster_size²) rows per cluster is oracle-only economics:
 # near-dup clusters are small cliques; the ENGINE side never builds
-# transitive closure (components.connected_components is the
+# transitive closure (connected_components above is the
 # HashToMin-family iterative relational CC).
 NEARDUP_CC_CTES = f"""
-toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-),
-capped AS (
-  SELECT * FROM grams WHERE gram IN (
-    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 50)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM capped a JOIN capped b
-    ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT s.doc_a, s.doc_b
-  FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
-                JOIN sizes sb ON sb.doc_id = s.doc_b
-  WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6)
-        >= {_EXACT_NEARDUP_THRESHOLD}
-),
+{ngram_jaccard_pairs_ctes(_EXACT_NEARDUP_THRESHOLD, same_source=False)},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs

@@ -122,13 +122,26 @@ def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- op89
 
-_OP89_SQL = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+def ngram_jaccard_pairs_ctes(threshold: float, same_source: bool) -> str:
+    """ONE template for the oracle-side word-3-gram Jaccard pair
+    relation, parameterized exactly like the Spark-side
+    ngram_jaccard_pairs below — op89's oracle and op96/op221's
+    recursive-CC oracles (components.NEARDUP_CC_CTES) all derive from
+    it, so the tokenizer / max-df cap / rounding can never silently
+    desynchronize between the three (round-9 review; the same
+    single-fold rule the round-8 review applied to the Spark side).
+    Returns the CTE chain `toks, grams, capped, sizes, shared, pairs`
+    where `pairs` has columns (doc_a, doc_b, jaccard); embed after a
+    WITH / WITH RECURSIVE."""
+    src_col = ", source" if same_source else ""
+    src_join = " AND a.source = b.source" if same_source else ""
+    jac = "ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6)"
+    return f"""toks AS (
+  SELECT doc_id{src_col}, string_split(lower(text), ' ') AS w
   FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id, source,
+  SELECT DISTINCT doc_id{src_col},
          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
   FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
 ),
@@ -141,15 +154,21 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM capped a JOIN capped b
-    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+    ON a.gram = b.gram{src_join} AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT s.doc_a, s.doc_b,
-       ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) AS jaccard
-FROM shared s
-JOIN sizes sa ON sa.doc_id = s.doc_a
-JOIN sizes sb ON sb.doc_id = s.doc_b
-WHERE ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) >= 0.1
+),
+pairs AS (
+  SELECT s.doc_a, s.doc_b, {jac} AS jaccard
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE {jac} >= {threshold}
+)"""
+
+
+_OP89_SQL = f"""
+WITH {ngram_jaccard_pairs_ctes(0.1, same_source=True)}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 

@@ -689,34 +689,45 @@ GROUP BY lang
 """
 
 
+def _write_docs_bgzf_file(path: str, it) -> int:
+    """ONE writer kernel for both the single-file demo and the
+    parallel exporter (round-9 review: the record serialization —
+    field set + sort_keys — and the tmp + os.replace atomic-publish
+    protocol must live in exactly one place): stream the pandas
+    batches as JSONL through iter_bgzf_members into `path`, return
+    the member count."""
+    import json
+
+    from ocdb_server_spark.sources.bgzf import iter_bgzf_members
+
+    def lines():
+        for pdf in it:
+            for r in pdf.to_dict("records"):
+                yield json.dumps(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "text": r["text"],
+                        "lang": r["lang"],
+                        "n_chars": int(r["n_chars"]),
+                    },
+                    sort_keys=True,
+                )
+
+    n = 0
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        for member in iter_bgzf_members(lines()):
+            f.write(member)
+            n += 1
+    os.replace(tmp, path)  # atomic publish (op03's rule)
+    return n
+
+
 def _bgzf_write_docs(path: str):
     def write(it):
-        import json
-
         import pandas as pd
 
-        from ocdb_server_spark.sources.bgzf import iter_bgzf_members
-
-        def lines():
-            for pdf in it:
-                for r in pdf.to_dict("records"):
-                    yield json.dumps(
-                        {
-                            "doc_id": int(r["doc_id"]),
-                            "text": r["text"],
-                            "lang": r["lang"],
-                            "n_chars": int(r["n_chars"]),
-                        },
-                        sort_keys=True,
-                    )
-
-        n = 0
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as f:
-            for member in iter_bgzf_members(lines()):
-                f.write(member)
-                n += 1
-        os.replace(tmp, path)  # atomic publish (op03's rule)
+        n = _write_docs_bgzf_file(path, it)
         yield pd.DataFrame({"path": [path], "n_members": [n]})
 
     return write
@@ -734,36 +745,12 @@ def _bgzf_write_docs_part(out_dir: str):
     walk_blocks manifest split-reads the whole corpus across files."""
 
     def write(it):
-        import json
-
         import pandas as pd
         from pyspark import TaskContext
 
-        from ocdb_server_spark.sources.bgzf import iter_bgzf_members
-
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.jsonl.gz")
-
-        def lines():
-            for pdf in it:
-                for r in pdf.to_dict("records"):
-                    yield json.dumps(
-                        {
-                            "doc_id": int(r["doc_id"]),
-                            "text": r["text"],
-                            "lang": r["lang"],
-                            "n_chars": int(r["n_chars"]),
-                        },
-                        sort_keys=True,
-                    )
-
-        n = 0
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as f:
-            for member in iter_bgzf_members(lines()):
-                f.write(member)
-                n += 1
-        os.replace(tmp, path)
+        n = _write_docs_bgzf_file(path, it)
         yield pd.DataFrame({"path": [path], "n_members": [n]})
 
     return write
@@ -776,6 +763,7 @@ def bgzf_export_docs_parallel(
     parallel and return their paths (write forced). The read side is
     file-count-agnostic: _bgzf_walk manifests every file, so the
     exact same split-read plan consumes 1 or N files."""
+    os.makedirs(out_dir, exist_ok=True)  # tasks die opaquely otherwise
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )

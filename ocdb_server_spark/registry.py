@@ -150,6 +150,15 @@ def certified_rounds(root: str) -> dict[str, int]:
     scripts/evidence_age.py so the sweep and the report can't
     disagree about who needs evidence (round-8 review lesson applied
     to the r9 demotion rule)."""
+    if not REGISTRY:
+        # The demotion rule below consults each op's CURRENT oracle —
+        # a caller that imports registry directly (the way
+        # scripts/evidence_age.py does) must not silently get the
+        # un-demoted fold just because no one called load_all() yet.
+        # No recursion: load_all() fills REGISTRY before its own
+        # _sweep_order → certified_rounds call, which then takes the
+        # populated branch. (round-9 review)
+        load_all()
     certified: dict[str, int] = {}
     green_kind: dict[str, str] = {}
     for rnd, rows in iter_correctness_rounds(root):

@@ -47,6 +47,19 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def scratch_path(kind: str, sf_dir: str) -> str:
+    """READ-ONLY twin of scratch_dir: the path this process's
+    (kind, sf_dir) scratch resolves to, with no reaping, no rmtree,
+    no mkdir. For tests/inspection — calling scratch_dir() to learn
+    the path would reap and EMPTY the very dir under inspection
+    (round-9 review: the naming scheme was hand-reconstructed in
+    three test files)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return os.path.join(
+        tempfile.gettempdir(), f"ocdb_spark_{kind}_{tag}_{os.getpid()}"
+    )
+
+
 def scratch_dir(kind: str, sf_dir: str) -> str:
     """Return a fresh, empty scratch dir private to this process for
     (kind, sf_dir), reaping same-prefix dirs left by dead processes."""
@@ -87,7 +100,7 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
                 pass  # raced with its owner — leave it
     except OSError:
         pass  # an unreadable tempdir must not fail the operator
-    mine = os.path.join(base, prefix + str(os.getpid()))
+    mine = scratch_path(kind, sf_dir)  # one copy of the naming scheme
     shutil.rmtree(mine, ignore_errors=True)
     os.makedirs(mine, exist_ok=True)
     return mine

@@ -15,9 +15,11 @@ oracle certifies at sf0.01.
 Both variants pin the shuffled-hash join (hint + autoBroadcast off):
 the salting pattern exists for the dim-too-big-to-broadcast case, and
 broadcasting would dissolve the skew instead of measuring it. AQE is
-ON (the stress default): unsalted-under-AQE vs salted is the honest
-production comparison — AQE's skewedJoin split handles sort-merge
-skew but NOT shuffled-hash joins, which is exactly op167's niche.
+OFF (the interactive profile): AQE's skewedJoin split handles
+sort-merge skew but NOT shuffled-hash joins — op167's exact niche —
+so enabling it would only add per-stage materialization latency to
+both variants without mitigating either; the comparison is the same
+one a production job with a skewed shuffled-hash join faces.
 
 Straggler spread comes from the Spark UI REST API (taskSummary
 quantiles of the heaviest stage in each run's window): an unsalted
@@ -46,9 +48,13 @@ def _flag(argv: list[str], name: str, default: float) -> float:
     return default
 
 
-def _stage_rows(ui: str, t0: float, t1: float) -> list[dict]:
-    """Completed stages whose submission fell inside [t0, t1] (epoch
-    seconds), via the UI REST API."""
+def _stage_rows(
+    ui: str, t0: float, t1: float
+) -> list[tuple[dict, str]]:
+    """(stage, app_id) for completed stages whose submission fell
+    inside [t0, t1] (epoch seconds), via the UI REST API."""
+    import datetime as dt
+
     with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
         app = json.load(r)[0]["id"]
     with urllib.request.urlopen(
@@ -61,8 +67,6 @@ def _stage_rows(ui: str, t0: float, t1: float) -> list[dict]:
         if not sub:
             continue
         # REST timestamps look like 2026-08-15T07:50:01.123GMT
-        import datetime as dt
-
         ts = dt.datetime.strptime(
             sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
         ).timestamp()

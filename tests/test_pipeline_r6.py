@@ -421,14 +421,11 @@ def test_mor_deletes_are_positional_and_exact(spark, sf_dir):
     assert {k: v.n_live for k, v in out.items()} == {
         k: v["count"] for k, v in exp.items()
     }
-    # THIS process's scratch dir (scratch_dir naming: prefix + pid —
-    # re-calling scratch_dir() here would reap and EMPTY it)
-    tag = os.path.join(
-        tempfile.gettempdir(),
-        f"ocdb_spark_mor_"
-        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_"
-        f"{os.getpid()}",
-    )
+    # READ-ONLY scratch accessor (calling scratch_dir() here would
+    # reap and EMPTY the dir under inspection)
+    from ocdb_server_spark.scratch import scratch_path
+
+    tag = scratch_path("mor", sf_dir)
     deletes = spark.read.parquet(os.path.join(tag, "deletes"))
     assert set(deletes.columns) == {"_file", "_pos"}, deletes.columns
     n_deleted = o.filter("o_orderkey % 7 = 0").count()

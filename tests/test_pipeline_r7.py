@@ -91,15 +91,14 @@ def test_avro_files_use_both_codecs(spark, sf_dir):
 
     from ocdb_server_spark.operators.pipeline_r7 import op252_avro_roundtrip
 
+    from ocdb_server_spark.scratch import scratch_path
+
     op252_avro_roundtrip(spark, sf_dir).collect()
-    # THIS process's scratch dir (scratch_dir naming: prefix + pid —
-    # re-calling scratch_dir() here would reap and EMPTY it). The
-    # pre-r9 version read the un-suffixed pre-migration path, which
-    # passed only while stale /tmp litter from older runs survived.
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = os.path.join(
-        tempfile.gettempdir(), f"ocdb_spark_avro_docs_{tag}_{os.getpid()}"
-    )
+    # READ-ONLY scratch accessor (calling scratch_dir() here would
+    # reap and EMPTY the dir under inspection). The pre-r9 version
+    # read the un-suffixed pre-migration path, which passed only
+    # while stale /tmp litter from older runs survived.
+    out = scratch_path("avro_docs", sf_dir)
     codecs = set()
     for fname in os.listdir(out):
         with open(os.path.join(out, fname), "rb") as f:

@@ -261,17 +261,12 @@ def test_op258_ocf_files_are_multiblock_and_jvm_readable(spark, sf_dir):
     rows = {(r.dataset_id, r.field): (r.n_obs, r.sum_q) for r in out.collect()}
     assert rows[("ds1", "depth")] == (5, 26000)  # 1+2.5+5+7.5+10 → *1000
 
-    # THIS process's scratch dir only (same naming rule as scratch_dir;
-    # calling scratch_dir() again would reap and EMPTY it) — a glob
-    # over all pids would pick up stale dirs from other sessions/tags
-    import os
-    import tempfile
+    # READ-ONLY scratch accessor (calling scratch_dir() again would
+    # reap and EMPTY it) — a glob over all pids would pick up stale
+    # dirs from other sessions/tags
+    from ocdb_server_spark.scratch import scratch_path
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    mine = os.path.join(
-        tempfile.gettempdir(),
-        f"ocdb_spark_avro_records_{tag}_{os.getpid()}",
-    )
+    mine = scratch_path("avro_records", sf_dir)
     files = sorted(glob.glob(f"{mine}/obs-*.avro"))
     assert files, "no OCF files left on disk"
     total = []

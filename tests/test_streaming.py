@@ -374,12 +374,11 @@ def test_exactly_once_sink_ignores_uncommitted_orphans(spark, sf_dir):
 
     out = stream_exactly_once_manifest_sink(spark, sf_dir)
     total = sum(r.n for r in out.collect())
-    # THIS process's scratch dir (scratch_dir naming: prefix + pid —
-    # re-calling scratch_dir() here would reap and EMPTY it)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"ocdb_spark_eo_sink_{tag}_{os.getpid()}"
-    )
+    # READ-ONLY scratch accessor (calling scratch_dir() here would
+    # reap and EMPTY the dir under inspection)
+    from ocdb_server_spark.scratch import scratch_path
+
+    root = scratch_path("eo_sink", sf_dir)
     man_dir = os.path.join(root, "manifest")
     # simulate the crash: orphan data, no manifest
     orphan = os.path.join(root, "data", "batch=999")
