@@ -42,6 +42,12 @@ INVARIANT_OPS = [
     "op215_cms_pointquery",   # portable-hash sketch counters
     "op216_bpe_train",        # total-order argmax per merge round
     "op224_feature_hashing",  # signed-hash pooling
+    # round-9 graduations — exact-Jaccard edges + iterative min-label
+    # CC must not depend on how the documents table is laid out
+    # (the window df-cap, the pair join, and the label fixpoint are
+    # all keyed aggregations):
+    "op96_dedup_components",
+    "op221_neardup_canonicalize",
 ]
 
 
