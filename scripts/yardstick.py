@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import platform
+import sys
 import time
 
 import duckdb
@@ -81,6 +82,11 @@ def _best_of(con: duckdb.DuckDBPyConnection, sql: str, reps: int = 7) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # same repo-root path insert every other script here carries —
+    # without it the registry import only resolves under PYTHONPATH
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from ocdb_server_spark.registry import load_all
 
     ops = load_all()
