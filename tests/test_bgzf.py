@@ -165,6 +165,44 @@ def test_parallel_writer_multi_file_roundtrip(spark, sf_dir, tmp_path):
     assert multi == single and multi
 
 
+def test_parallel_writer_empty_partitions_write_valid_eof_files(
+    spark, tmp_path
+):
+    """bgzf_export_docs_parallel's `len(manifest) == partitions`
+    contract rests on mapInPandas invoking the kernel for EMPTY
+    partitions too — pin it with a 3-row corpus fanned to 8 tasks:
+    every task yields a manifest row, empty partitions write a valid
+    EOF-marker-only file (stdlib-gzip readable, walk_blocks → no
+    blocks), and the split-read over the mixed file set still
+    reassembles the corpus exactly."""
+    from ocdb_server_spark.operators.scans import (
+        bgzf_export_docs_parallel,
+        bgzf_read_lang_agg,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "alpha beta", "en", 10), (2, "gamma", "fr", 5),
+         (3, "delta words", "en", 11)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = tmp_path / "out"
+    paths = bgzf_export_docs_parallel(spark, sf, str(out), 8)
+    assert len(paths) == 8
+    n_empty = 0
+    for p in paths:
+        with gzip.open(p, "rb") as f:
+            f.read()  # every file is a valid gzip stream
+        if not walk_blocks(p):
+            n_empty += 1
+    assert n_empty >= 5  # 3 rows cannot fill 8 partitions
+    got = {
+        r.lang: (r.n_docs, r.sum_doc_id)
+        for r in bgzf_read_lang_agg(spark, paths).collect()
+    }
+    assert got == {"en": (2, 4), "fr": (1, 2)}
+
+
 def test_truncated_member_body_raises_valueerror(tmp_path):
     """A file cut off INSIDE a member (18-byte header intact, body
     missing) must raise the module's documented ValueError taxonomy —
