@@ -107,3 +107,113 @@ def test_op96_clusters_cover_exact_dups(spark, sf_dir):
     # canonical id is always the cluster minimum and a member
     for canon, members in clusters.items():
         assert canon == min(members)
+
+
+def test_jaccard_pairs_random_differential_vs_sql_template(spark):
+    """Randomized differential for the r9 single-fold pair relation:
+    random small corpora (planted dup groups, shared phrases, unicode,
+    short/empty docs) through the Spark helper AND the SQL template,
+    both parameterizations (op89's same-source J>=0.1 and op96/op221's
+    cross-source J>=0.5) — the pair SETS and 6dp jaccards must match
+    exactly. Guards the template/helper pair against exactly the
+    silent drift the review flagged (one side's tokenizer or df-cap
+    changing without the other)."""
+    import random
+
+    import duckdb
+
+    from ocdb_server_spark.operators.pipeline_ext import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ctes,
+    )
+
+    rng = random.Random(20260815)
+    vocab = ["alpha", "beta", "gamma", "delta", "nu", "ümlaut", "東京",
+             "x1", "y2", "z3", "longishword", "q"]
+    rows = []
+    doc_id = 0
+    for _ in range(6):  # dup groups with light edits
+        base = " ".join(rng.choices(vocab, k=rng.randint(4, 12)))
+        for _ in range(rng.randint(2, 3)):
+            tail = " ".join(rng.choices(vocab, k=rng.randint(0, 2)))
+            rows.append((doc_id, (base + " " + tail).strip(),
+                         rng.choice(["a", "b"])))
+            doc_id += 1
+    for _ in range(20):  # unrelated singletons incl. degenerate docs
+        rows.append((doc_id,
+                     " ".join(rng.choices(vocab, k=rng.randint(0, 8))),
+                     rng.choice(["a", "b"])))
+        doc_id += 1
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+
+    for threshold, same_source in ((0.1, True), (0.5, False)):
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=threshold, same_source=same_source
+            ).collect()
+        }
+        want = {
+            (a, b): round(j, 6)
+            for a, b, j in con.execute(
+                f"WITH {ngram_jaccard_pairs_ctes(threshold, same_source)} "
+                "SELECT doc_a, doc_b, jaccard FROM pairs"
+            ).fetchall()
+        }
+        assert got == want, (threshold, same_source)
+        assert want, "degenerate corpus: no pairs found at all"
+
+
+def test_connected_components_random_differential_vs_recursive_sql(spark):
+    """Randomized differential for the r9 CC certification: 30 random
+    graphs (mixed cliques, chains, isolated edges, duplicate +
+    reversed edges) through the iterative min-label loop AND DuckDB's
+    WITH RECURSIVE min-reachable-id fixpoint — labels must be
+    identical. This is the engine-vs-independent-recursion check
+    op213 established, applied to the dedup family's cluster step."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    for trial in range(30):
+        edges = set()
+        n = rng.randint(2, 18)
+        for _ in range(rng.randint(1, 25)):
+            a, b = rng.randint(0, n), rng.randint(0, n)
+            if a != b:
+                edges.add((a, b))
+        if not edges:
+            continue
+        elist = list(edges) + [
+            (b, a) for a, b in list(edges)[: rng.randint(0, len(edges))]
+        ]  # some reversed duplicates
+        df = spark.createDataFrame(elist, "src long, dst long")
+        got = {
+            r.id: r.component for r in connected_components(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", elist)
+        want = dict(
+            con.execute(
+                """
+WITH RECURSIVE sym AS (
+  SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+)
+SELECT id, MIN(r) FROM reach GROUP BY id
+"""
+            ).fetchall()
+        )
+        assert got == want, f"trial {trial}: {sorted(elist)}"
