@@ -136,13 +136,24 @@ def warm_cache(
     scan of 600k lineitems keeps improving up to 24-32 — 10k rows/slice
     with an 8-slice floor lands each table near its measured optimum
     (orders 150k -> 15 slices: 135 -> 105 ms for the window top-k;
-    events 100k -> 10: 133 -> 90 ms for the tumbling agg)."""
+    events 100k -> 10: 133 -> 90 ms for the tumbling agg).
+
+    Broadcast-dim exception (round 9): tables at or below ~20k rows
+    cache as ONE slice. Their dominant consumption is the build side
+    of a BroadcastExchange, and each broadcast build is a JOB over the
+    cached slices — an 8-slice 25-row nation makes that job an 8-task
+    wave of nothing. Measured interleaved at sf0.1: op39's five
+    broadcast builds drop the query 150 -> 136 ms best-of-7; scans of
+    a <=20k-row table are sub-ms either way, so nothing pays for it."""
     cores = spark.sparkContext.defaultParallelism
     for name in names:
         df = load_table(spark, sf_dir, name)
         if partitions == "auto":
             n = df.count()
-            p = max(8, min(cores, n // 10_000 or 8))
+            if n <= 20_000 and name not in _COMPUTE_HEAVY:
+                p = 1
+            else:
+                p = max(8, min(cores, n // 10_000 or 8))
             if name in _COMPUTE_HEAVY:
                 p = max(p, min(cores, 16))
             df = df.repartition(p)
