@@ -128,23 +128,29 @@ def warm_cache(
     and serve them from load_table until clear_cache().
 
     partitions: an int for a fixed slice count, None to keep the scan's
-    layout, or "auto" (default) to size each table by row count
-    (~10k rows/slice, clamped to [8, cores], with a higher floor for
-    compute-heavy text/vector tables). Measured at sf0.1 on local[32]:
-    scheduling-bound stages (window over orders, tumbling agg over
-    events) bottom out at 8-16 slices, while the decimal-aggregation
-    scan of 600k lineitems keeps improving up to 24-32 — 10k rows/slice
-    with an 8-slice floor lands each table near its measured optimum
-    (orders 150k -> 15 slices: 135 -> 105 ms for the window top-k;
-    events 100k -> 10: 133 -> 90 ms for the tumbling agg).
+    layout, or "auto" (default) to size each table by row count.
+    The auto sizing was RE-DERIVED round 9 under the fresh-instance
+    protocol (the old 10k-rows/slice [8, cores] clamp was tuned with
+    repeat-mode timings, which hide the map-stage wave each fresh
+    execution actually pays):
 
-    Broadcast-dim exception (round 9): tables at or below ~20k rows
-    cache as ONE slice. Their dominant consumption is the build side
-    of a BroadcastExchange, and each broadcast build is a JOB over the
-    cached slices — an 8-slice 25-row nation makes that job an 8-task
-    wave of nothing. Measured interleaved at sf0.1: op39's five
-    broadcast builds drop the query 150 -> 136 ms best-of-7; scans of
-    a <=20k-row table are sub-ms either way, so nothing pays for it."""
+    - tables ≤ 20k rows (and not compute-heavy) cache as ONE slice —
+      their dominant consumption is the build side of a
+      BroadcastExchange, and each broadcast build is a JOB over the
+      cached slices; an 8-slice 25-row nation makes that job an
+      8-task wave of nothing (interleaved at sf0.1: op39's five
+      broadcast builds, 150 → 136 ms);
+    - everything else: ~18k rows/slice clamped to [4, 24]. Interleaved
+      ABAB sweeps at sf0.1 found the per-table optima (lineitem 600k:
+      24 ≈ 32 > 16; orders 150k: 8 > 6 > 15; events 100k: 4-5 > 10),
+      and the formula lands each inside its measured plateau. Old vs
+      new formula, 3 interleaved rounds, best-of-7 per query:
+      comparable-5 532 → 464 ms, 7-query total 803 → 722 ms, NO query
+      regressed. At cluster scale the same logic holds per-executor:
+      slices sized so a stage is a single task wave, not several.
+
+    Compute-heavy text/vector tables keep their 16-slice floor (the
+    per-row work dominates scheduling there)."""
     cores = spark.sparkContext.defaultParallelism
     for name in names:
         df = load_table(spark, sf_dir, name)
@@ -153,10 +159,10 @@ def warm_cache(
             if n <= 20_000 and name not in _COMPUTE_HEAVY:
                 p = 1
             else:
-                p = max(8, min(cores, n // 10_000 or 8))
+                p = min(24, max(4, n // 18_000))
             if name in _COMPUTE_HEAVY:
                 p = max(p, min(cores, 16))
-            df = df.repartition(p)
+            df = df.repartition(int(p))
         elif partitions:
             df = df.repartition(partitions)
         df = df.cache()
