@@ -140,14 +140,17 @@ def warm_cache(
       cached slices; an 8-slice 25-row nation makes that job an
       8-task wave of nothing (interleaved at sf0.1: op39's five
       broadcast builds, 150 → 136 ms);
-    - everything else: ~18k rows/slice clamped to [4, 24]. Interleaved
-      ABAB sweeps at sf0.1 found the per-table optima (lineitem 600k:
-      24 ≈ 32 > 16; orders 150k: 8 > 6 > 15; events 100k: 4-5 > 10),
-      and the formula lands each inside its measured plateau. Old vs
-      new formula, 3 interleaved rounds, best-of-7 per query:
-      comparable-5 532 → 464 ms, 7-query total 803 → 722 ms, NO query
-      regressed. At cluster scale the same logic holds per-executor:
-      slices sized so a stage is a single task wave, not several.
+    - everything else: ~18k rows/slice clamped to [4, 4×cores].
+      Interleaved ABAB sweeps at sf0.1 found the per-table optima
+      (lineitem 600k: 24 ≈ 32-33 > 16; orders 150k: 8 > 6 > 15;
+      events 100k: 4-5 > 10), and the formula lands each inside its
+      measured plateau. Old vs new formula, 3 interleaved rounds,
+      best-of-7 per query: comparable-5 532 → 464 ms, 7-query total
+      803 → 722 ms, NO query regressed. The cap scales with cores,
+      not a constant: an absolute cap tuned at sf0.1 would throttle
+      a 60M-row stress table to 24 giant slices (the "would this
+      hold at 100×?" trap); 4×cores keeps slices memory-bounded
+      while allowing a few task waves on big inputs.
 
     Compute-heavy text/vector tables keep their 16-slice floor (the
     per-row work dominates scheduling there)."""
@@ -159,7 +162,7 @@ def warm_cache(
             if n <= 20_000 and name not in _COMPUTE_HEAVY:
                 p = 1
             else:
-                p = min(24, max(4, n // 18_000))
+                p = min(4 * cores, max(4, n // 18_000))
             if name in _COMPUTE_HEAVY:
                 p = max(p, min(cores, 16))
             df = df.repartition(int(p))
