@@ -159,10 +159,14 @@ def warm_cache(
         df = load_table(spark, sf_dir, name)
         if partitions == "auto":
             n = df.count()
-            if n <= 20_000 and name not in _COMPUTE_HEAVY:
-                p = 1
-            else:
-                p = min(4 * cores, max(4, n // 18_000))
+            # One smooth curve, ~18k rows/slice clamped to [1, 4×cores]
+            # (round-9 ADVICE: the old `n<=20k → 1 else max(4, …)` form
+            # was a 1→4 step discontinuity at an unmeasured boundary).
+            # Same values at every measured point: tiny dims (<18k) → 1
+            # slice (broadcast builds stop paying multi-task waves),
+            # events 100k → 5, orders 150k → 8, lineitem 600k → 33 —
+            # all inside their r9 interleaved-ABAB plateaus.
+            p = min(4 * cores, max(1, n // 18_000))
             if name in _COMPUTE_HEAVY:
                 p = max(p, min(cores, 16))
             df = df.repartition(int(p))

@@ -333,7 +333,13 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second.
     root = scratch_dir("bucketed", sf_dir)
     pid = os.getpid()
-    li_name, o_name = f"ocdb_li_bucketed_{pid}", f"ocdb_o_bucketed_{pid}"
+    # Name carries BOTH the sf tag and the pid (round-9 ADVICE): the
+    # scratch ROOT is (kind, sf, pid)-keyed but the Spark catalog is
+    # per-SESSION — pid-only names let two interleaved sf runs sharing
+    # one session DROP/recreate each other's registration mid-flight.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name = f"ocdb_li_bucketed_{tag}_{pid}"
+    o_name = f"ocdb_o_bucketed_{tag}_{pid}"
     for name, df, key in (
         (li_name, li, "l_orderkey"),
         (o_name, o, "o_orderkey"),

@@ -139,17 +139,87 @@ def iter_correctness_rounds(root: str):
             yield rnd, rows
 
 
+def _oracle_fp(sql: str) -> str:
+    """Stable 16-hex fingerprint of an oracle's SQL text."""
+    import hashlib
+
+    return hashlib.sha256(sql.encode()).hexdigest()[:16]
+
+
+def _load_fp_book(root: str) -> dict[str, dict]:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(root, "ocdb_server_spark", "oracle_fp.json")) as f:
+            book = json.load(f)
+        return book if isinstance(book, dict) else {}
+    except Exception:
+        return {}
+
+
+def refresh_oracle_fps(root: str) -> dict[str, dict]:
+    """Maintain oracle_fp.json: {op: {"fp", "since_round"}} where
+    since_round is the round at which the CURRENT oracle text first
+    became live (= latest recorded CORRECTNESS round + 1 when the
+    change is detected, i.e. "certifiable from the next sweep on").
+    Called from certified_rounds so the book can never silently lag
+    an oracle edit; the write is atomic and best-effort (a read-only
+    checkout just keeps the on-disk book)."""
+    import json
+    import os
+    import tempfile
+
+    book = _load_fp_book(root)
+    latest = 0
+    for rnd, _rows in iter_correctness_rounds(root):
+        latest = max(latest, rnd)
+    changed = False
+    for key, op in REGISTRY.items():
+        if op.oracle is None:
+            continue
+        fp = _oracle_fp(op.oracle)
+        ent = book.get(key)
+        if not isinstance(ent, dict) or ent.get("fp") != fp:
+            book[key] = {"fp": fp, "since_round": latest + 1}
+            changed = True
+    if changed:
+        try:
+            path = os.path.join(root, "ocdb_server_spark", "oracle_fp.json")
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(path), suffix=".tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(book, f, indent=1, sort_keys=True)
+                f.write("\n")
+            os.replace(tmp, path)
+        except Exception:
+            pass  # read-only checkout — in-memory book still applies
+    return book
+
+
 def certified_rounds(root: str) -> dict[str, int]:
-    """{op: round of its latest green driver row}, with one demotion
-    rule on top: ORACLE UPGRADES INVALIDATE ROWS-ONLY CERTIFICATION.
-    When an op that used to register oracle=None gains a SQL oracle
-    (op03/op05/op106 in r7, op96/op221 in r9), its old green rows
-    prove only the weaker ran-clean check — the new hash gate has
-    never run — so it drops out of `certified` and the next driver
-    sweep re-checks it first. Shared by _sweep_order and
-    scripts/evidence_age.py so the sweep and the report can't
-    disagree about who needs evidence (round-8 review lesson applied
-    to the r9 demotion rule)."""
+    """{op: round of its latest green driver row}, with two demotion
+    rules on top:
+
+    1. ORACLE UPGRADES INVALIDATE ROWS-ONLY CERTIFICATION. When an op
+       that used to register oracle=None gains a SQL oracle (op03/
+       op05/op106 in r7, op96/op221 in r9), its old green rows prove
+       only the weaker ran-clean check — the new hash gate has never
+       run — so it drops out of `certified` and the next driver sweep
+       re-checks it first.
+    2. ORACLE REWRITES INVALIDATE SQL CERTIFICATION (round-9 ADVICE).
+       An op whose SQL oracle text is semantically rewritten later
+       (op96/op221's edge relation in r9) would otherwise keep its
+       stale green — the new text never ran. oracle_fp.json records
+       each oracle's fingerprint and the round its current text became
+       live (maintained by refresh_oracle_fps on every fold); a green
+       row older than since_round certified a DIFFERENT oracle and is
+       demoted.
+
+    Shared by _sweep_order and scripts/evidence_age.py so the sweep
+    and the report can't disagree about who needs evidence (round-8
+    review lesson applied to the r9 demotion rule)."""
     if not REGISTRY:
         # The demotion rule below consults each op's CURRENT oracle —
         # a caller that imports registry directly (the way
@@ -171,10 +241,19 @@ def certified_rounds(root: str) -> dict[str, int]:
             else:
                 certified.pop(key, None)
                 green_kind.pop(key, None)
+    fp_book = refresh_oracle_fps(root)
     for key in list(certified):
         op = REGISTRY.get(key)
-        if op is not None and op.oracle is not None and green_kind.get(key) == "rows":
-            certified.pop(key, None)
+        if op is None or op.oracle is None:
+            continue
+        if green_kind.get(key) == "rows":
+            certified.pop(key, None)  # rule 1: oracle upgrade
+            continue
+        ent = fp_book.get(key)
+        if isinstance(ent, dict) and certified[key] < int(
+            ent.get("since_round", 0)
+        ):
+            certified.pop(key, None)  # rule 2: oracle rewrite
     return certified
 
 

@@ -92,9 +92,24 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
             # we recreate below) untouched for > _REAP_AGE_S is an
             # orphaned table copy, not a live session's working set;
             # a live session's scratch is written and read within one
-            # operator call, minutes not days.
+            # operator call, minutes not days. "Untouched" must look at
+            # the NEWEST mtime among the root and its direct children
+            # (round-9 ADVICE): POSIX only bumps a directory's mtime
+            # when direct entries are added/removed, so an op writing
+            # into root/'t' or root/'fact' never refreshes the root
+            # itself — the root's stat alone could flag a live
+            # long-running session's in-use dir as an orphan.
             try:
-                if time.time() - os.stat(full).st_mtime > _REAP_AGE_S:
+                newest = os.stat(full).st_mtime
+                for child in os.listdir(full):
+                    try:
+                        newest = max(
+                            newest,
+                            os.stat(os.path.join(full, child)).st_mtime,
+                        )
+                    except OSError:
+                        pass  # child raced away mid-scan
+                if time.time() - newest > _REAP_AGE_S:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass  # raced with its owner — leave it

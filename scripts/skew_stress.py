@@ -105,6 +105,18 @@ def _straggler_spread(
             continue
         best_read = read
         best = (q["duration"][0], q["duration"][1], s["numTasks"])
+    if best == (0.0, 0.0, 0):
+        # No stage in the window matched the reducer signature — the
+        # spread column would silently read 0/0 and look like "no
+        # skew" (round-9 ADVICE). Loudly mark the row as unmeasured
+        # instead; wall-clock numbers are still valid.
+        print(
+            f"WARNING: no {reducer_tasks}-task shuffle-read stage found "
+            f"in window [{t0:.0f}, {t1:.0f}] — spread columns are "
+            "UNMEASURED for this variant",
+            file=sys.stderr,
+        )
+        return (float("nan"), float("nan"), 0)
     return best
 
 

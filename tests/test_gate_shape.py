@@ -158,6 +158,67 @@ def test_sweep_order_demotes_oracle_upgraded_ops(tmp_path):
     assert set(ordered[1:]) == {rows_op, "op_other"}
 
 
+def test_sweep_order_demotes_rewritten_oracles(tmp_path):
+    """Round-9 ADVICE rule 2: an op whose SQL oracle TEXT changed after
+    its latest SQL-green row is uncertified until the new text's hash
+    gate runs. oracle_fp.json records {fp, since_round}; a green row
+    with round < since_round certified a DIFFERENT oracle. Also pins
+    the self-maintenance path: a book whose fp no longer matches the
+    registered oracle is refreshed in-place (since_round = latest
+    recorded round + 1) before the demotion check."""
+    import json
+
+    from ocdb_server_spark.registry import (
+        REGISTRY,
+        _oracle_fp,
+        _sweep_order,
+        load_all,
+    )
+
+    load_all()
+    sql_op = "op17_agg_groupby"
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({sql_op: green_sql, "op_other": green_sql})
+    )
+    fpdir = tmp_path / "ocdb_server_spark"
+    fpdir.mkdir()
+    cur_fp = _oracle_fp(REGISTRY[sql_op].oracle)
+
+    # Case 1: book says the current text went live AFTER the green row
+    # → demoted to the front.
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({sql_op: {"fp": cur_fp, "since_round": 4}})
+    )
+    ordered = _sweep_order(["op_other", sql_op], root=str(tmp_path))
+    assert ordered[0] == sql_op, f"rewritten oracle must re-certify first: {ordered}"
+
+    # Case 2: same book but the green row postdates the rewrite → stays
+    # certified (sorts by staleness like any other certified op).
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({sql_op: {"fp": cur_fp, "since_round": 3}})
+    )
+    ordered = _sweep_order(["op_other", sql_op], root=str(tmp_path))
+    from ocdb_server_spark.registry import certified_rounds
+
+    assert sql_op in certified_rounds(str(tmp_path))
+
+    # Case 3: the book's fp is STALE (oracle edited, updater never ran)
+    # — refresh_oracle_fps must self-heal: rewrite the entry with
+    # since_round = latest+1 (=4) and the demotion then fires.
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({sql_op: {"fp": "0" * 16, "since_round": 1}})
+    )
+    ordered = _sweep_order(["op_other", sql_op], root=str(tmp_path))
+    assert ordered[0] == sql_op, f"stale-fp op must re-certify first: {ordered}"
+    healed = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert healed[sql_op]["fp"] == cur_fp
+    assert healed[sql_op]["since_round"] == 4
+
+
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
     df = OPS[name].fn(spark, sf_dir)
