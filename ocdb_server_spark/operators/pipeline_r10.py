@@ -1,0 +1,326 @@
+"""Round-10 operators: the forecasting-family dispatcher (op262
+ADI/CV² demand classification) and the seekable-zstd splittable
+ingest (op261) — the two still-unbuilt round-9 §7.9 candidates the
+round-9 verdict endorsed (items 4 and 5).
+
+Reference: /root/reference is EMPTY (verified every round); both ops
+derive from public knowledge — Syntetos & Boylan 2005 ("On the
+categorization of demand patterns", JORS 56) for op262's thresholds,
+and the public zstandard seekable-format spec
+(github.com/facebook/zstd/blob/dev/contrib/seekable_format/
+zstd_seekable_compression_format.md) for op261's frame layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocdb_server_spark.io import load_table
+from ocdb_server_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# op262: ADI / CV² demand-pattern classification (Syntetos-Boylan)
+# ---------------------------------------------------------------------------
+
+_ADI_K = 128  # series key cardinality: o_custkey % 128 gives 3 of the
+# 4 classes at sf0.01 (smooth 71 / intermittent 56 / erratic 1) — the
+# only cardinality among {32,64,128,256} whose monthly series straddle
+# BOTH thresholds in this data (measured; 32/64 are all-smooth, 256
+# all-intermittent).
+
+_OP262_SQL = f"""
+WITH m AS (
+  SELECT o_custkey % {_ADI_K} AS k,
+         (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate)) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2),
+bounds AS (SELECT CAST(MAX(mo) - MIN(mo) + 1 AS BIGINT) AS n_periods FROM m),
+s AS (
+  SELECT CAST(k AS BIGINT) AS series_k,
+         CAST(COUNT(*) AS BIGINT) AS n_demand_periods,
+         CAST(SUM(y) AS BIGINT) AS sx,
+         CAST(SUM(y * y) AS BIGINT) AS sx2
+  FROM m GROUP BY k)
+SELECT series_k,
+       b.n_periods,
+       n_demand_periods,
+       ROUND(CAST(b.n_periods AS DOUBLE) / n_demand_periods, 6) AS adi,
+       ROUND(CAST(n_demand_periods * sx2 - sx * sx AS DOUBLE)
+             / (sx * sx), 6) AS cv2,
+       CASE WHEN 100 * b.n_periods < 132 * n_demand_periods THEN
+              CASE WHEN 100 * (n_demand_periods * sx2 - sx * sx)
+                        < 49 * sx * sx
+                   THEN 'smooth' ELSE 'erratic' END
+            ELSE
+              CASE WHEN 100 * (n_demand_periods * sx2 - sx * sx)
+                        < 49 * sx * sx
+                   THEN 'intermittent' ELSE 'lumpy' END
+       END AS demand_class,
+       CASE WHEN 100 * b.n_periods < 132 * n_demand_periods THEN
+              CASE WHEN 100 * (n_demand_periods * sx2 - sx * sx)
+                        < 49 * sx * sx
+                   THEN 'op231_holt_forecast' ELSE 'op253_holt_damped' END
+            ELSE 'op259_croston_sba'
+       END AS route
+FROM s CROSS JOIN bounds b
+"""
+
+
+@register("op262_demand_classification", oracle=_OP262_SQL)
+def op262_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern categorization — the dispatcher
+    that completes the forecasting family (round-9 §7.9 / verdict item
+    5): given each series' ADI (average inter-demand interval =
+    periods / demand-periods) and CV² (squared coefficient of
+    variation of nonzero demand sizes), route it to the right
+    forecaster:
+
+        ADI < 1.32, CV² < 0.49  → smooth       → op231 (SES/Holt)
+        ADI < 1.32, CV² ≥ 0.49  → erratic      → op253 (damped Holt)
+        ADI ≥ 1.32, any CV²     → intermittent / lumpy → op259
+                                  (Croston/SBA — SBA is the standard
+                                  recommendation for BOTH sparse
+                                  classes; Syntetos-Boylan 2005)
+
+    op254/op257's seasonal variants need a seasonality test (e.g.
+    autocorrelation at the season lag), which is outside ADI/CV²'s
+    scope — the docstring of record for why they are not routes here.
+
+    Series: monthly order counts per o_custkey % 128 — the same
+    demand construction op259 forecasts daily, at the grain and
+    cardinality where this data straddles both thresholds (see
+    _ADI_K). INTEGER-EXACT THRESHOLDS (the round-9 verdict's
+    requirement): ADI ≥ 1.32 is evaluated as 100·n_periods <
+    132·n_demand_periods and CV² ≥ 0.49 as 100·(nd·Σy² − (Σy)²) <
+    49·(Σy)² — all operands exact BIGINTs on both engines, so the
+    class boundary can never flip on a float ulp; the reported
+    adi/cv2 doubles are display values derived from the same exact
+    integers (CV² = nd·Σy²/(Σy)² − 1, the population-variance
+    identity). Pure two-level aggregation, no recursion, no UDF.
+
+    Scale: groupBy(series, month) with map-side partial counts, then
+    groupBy(series) over ≤ one row per (series, month) — at 10^6 SKUs
+    × 10 years that second stage is 1.2×10^8 tiny rows, trivially
+    shuffled; the global period count is a 1-row broadcast. The
+    classifier output (one row per series) is exactly the work list a
+    production pipeline feeds to op231/op253/op259 batch runs."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.col("o_custkey") % _ADI_K).cast("bigint").alias("series_k"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    bounds = m.agg(
+        (F.max("mo") - F.min("mo") + F.lit(1))
+        .cast("bigint")
+        .alias("n_periods")
+    )
+    s = m.groupBy("series_k").agg(
+        F.count("*").cast("bigint").alias("n_demand_periods"),
+        F.sum("y").cast("bigint").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sx2"),
+    )
+    nd, sx, sx2 = F.col("n_demand_periods"), F.col("sx"), F.col("sx2")
+    npd = F.col("n_periods")
+    sparse = 100 * npd >= 132 * nd  # ADI ≥ 1.32, integer-exact
+    high_cv = 100 * (nd * sx2 - sx * sx) >= 49 * sx * sx  # CV² ≥ 0.49
+    return s.crossJoin(F.broadcast(bounds)).select(
+        "series_k",
+        "n_periods",
+        "n_demand_periods",
+        F.round(npd.cast("double") / nd, 6).alias("adi"),
+        F.round((nd * sx2 - sx * sx).cast("double") / (sx * sx), 6).alias(
+            "cv2"
+        ),
+        F.when(
+            sparse, F.when(high_cv, F.lit("lumpy")).otherwise("intermittent")
+        )
+        .otherwise(F.when(high_cv, F.lit("erratic")).otherwise("smooth"))
+        .alias("demand_class"),
+        F.when(sparse, F.lit("op259_croston_sba"))
+        .otherwise(
+            F.when(high_cv, F.lit("op253_holt_damped")).otherwise(
+                "op231_holt_forecast"
+            )
+        )
+        .alias("route"),
+    )
+
+# ---------------------------------------------------------------------------
+# op261: seekable-zstd splittable ingest (op260's story for zstd)
+# ---------------------------------------------------------------------------
+
+_OP261_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _zstd_write_docs(path: str):
+    """Writer task: stream the pandas batches as JSONL through
+    iter_seekable_zstd into `path` (record serialization identical to
+    _write_docs_bgzf_file's — sort_keys json of the four fields),
+    append the seek-table skippable frame, atomic-publish via tmp +
+    os.replace (op03's rule). Yields (path, n_frames)."""
+
+    def write(it):
+        import json
+        import os
+
+        import pandas as pd
+
+        from ocdb_server_spark.sources.zstd_seekable import (
+            iter_seekable_zstd,
+            seek_table_frame,
+        )
+
+        def lines():
+            for pdf in it:
+                for r in pdf.to_dict("records"):
+                    yield json.dumps(
+                        {
+                            "doc_id": int(r["doc_id"]),
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "n_chars": int(r["n_chars"]),
+                        },
+                        sort_keys=True,
+                    )
+
+        sizes = []
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            for frame, usize in iter_seekable_zstd(lines()):
+                f.write(frame)
+                sizes.append((len(frame), usize))
+            f.write(seek_table_frame(sizes))
+        os.replace(tmp, path)
+        yield pd.DataFrame({"path": [path], "n_frames": [len(sizes)]})
+
+    return write
+
+
+def _zstd_manifest(it):
+    import pandas as pd
+
+    from ocdb_server_spark.sources.zstd_seekable import read_seek_table
+
+    for pdf in it:
+        for p in pdf["path"]:
+            blocks = read_seek_table(p)
+            yield pd.DataFrame(
+                {
+                    "path": [p] * len(blocks),
+                    "offset": [b[0] for b in blocks],
+                    "csize": [b[1] for b in blocks],
+                    "usize": [b[2] for b in blocks],
+                }
+            )
+
+
+def _zstd_decode(it):
+    import json
+
+    import pandas as pd
+
+    from ocdb_server_spark.sources.zstd_seekable import read_frame
+
+    for pdf in it:
+        for p, o, c, u in zip(
+            pdf["path"], pdf["offset"], pdf["csize"], pdf["usize"]
+        ):
+            recs = [
+                json.loads(x)
+                for x in read_frame(p, int(o), int(c), int(u))
+                .decode("utf-8")
+                .splitlines()
+            ]
+            if recs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in recs],
+                        "text": [r["text"] for r in recs],
+                        "lang": [r["lang"] for r in recs],
+                        "n_chars": [r["n_chars"] for r in recs],
+                    }
+                )
+
+
+def zstd_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """File-count-agnostic seekable-zstd split-read (op260's
+    bgzf_read_lang_agg shape): one seek-table read per file fans the
+    frame manifest out; each task range-reads and decompresses its
+    own frames; payload bytes never shuffle."""
+    blocks = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).mapInPandas(
+        _zstd_manifest, "path string, offset long, csize long, usize long"
+    )
+    back = blocks.repartition(8).mapInPandas(
+        _zstd_decode, "doc_id long, text string, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )
+
+
+@register("op261_zstd_seekable_ingest", oracle=_OP261_SQL)
+def op261_zstd_seekable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITTABLE ZSTD — op260's BGZF story for the codec large
+    corpora actually ship (round-9 verdict item 4): the documents
+    table exported as ONE seekable-zstd file (sources/
+    zstd_seekable.py — standard zstd frames + the public seekable
+    format's seek-table skippable frame), then split-read.
+
+    Same three-stage, all-executor split path as op260, with BETTER
+    metadata economics: (1) one task streams the corpus through
+    iter_seekable_zstd (one ≤48 KiB batch in memory, frames flushed
+    at record boundaries — a split can never tear a record) and
+    appends the seek table; (2) the manifest comes from ONE 9-byte
+    footer read + one table read per file (read_seek_table) — op260's
+    BGZF walk pays a header hop per 64 KiB member, the seek table is
+    a single parquet-footer-style read regardless of frame count;
+    (3) manifest ROWS (never payload bytes) shuffle to a
+    repartition(8) fan-out; each task range-reads and one-shot
+    decompresses its frames with libzstd, output size verified
+    against the table. At 100 TB the table is ~8 bytes/frame and the
+    frame reads fan out to maxPartitionBytes-sized task groups.
+
+    COMPATIBLE: skippable frames are core zstd (RFC 8878 §3.1.2) —
+    the file is a valid multi-frame zstd stream any stock decoder
+    reads end-to-end, table silently skipped (pinned against
+    pyarrow's libzstd one-shot decoder in tests/test_zstd_seekable.py,
+    the same interop discipline as test_bgzf's stdlib-gzip pin).
+
+    The per-lang aggregate over the re-read frame hash-matching the
+    original-parquet oracle certifies JSON→zstd→seek-table-split→
+    decompress loses nothing; the 1-row manifest collect() forces the
+    write before the read plan is returned (op252's rule)."""
+    import os
+
+    from ocdb_server_spark.scratch import scratch_dir
+
+    path = os.path.join(
+        scratch_dir("zstd_jsonl", sf_dir), "documents.jsonl.zst"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    manifest = (
+        d.coalesce(1)
+        .mapInPandas(_zstd_write_docs(path), "path string, n_frames long")
+        .collect()
+    )
+    assert len(manifest) == 1 and manifest[0].n_frames > 1
+    return zstd_read_lang_agg(spark, [path])

@@ -338,6 +338,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r6,
         pipeline_r7,
         pipeline_r8,
+        pipeline_r10,
         multimodal_codecs,
         udfs,
         northstar,

@@ -26,8 +26,36 @@ quantiles of the heaviest stage in each run's window): an unsalted
 hot key shows up as max >> median task duration; salting flattens it.
 
 Usage: python scripts/skew_stress.py [REP] [--hot=0.4] [--salt=16]
+                                     [--mode=join|agg|bucket] [--hotn=4000]
 Requires the /tmp/ocdb_stress_sf1_rep{REP} dataset (run
 scripts/stress_scale.py REP --keep first).
+
+Round-10 enrollment (round-9 verdict item 6 — op75/op79's variants):
+
+--mode=agg  (op75's shape): the SAME 40%-hot key under a DECOMPOSABLE
+  aggregate (count + min per digest). skew.py's docstring claims
+  map-side partial aggregation already collapses the hot key before
+  the shuffle and salting would only add a shuffle; this mode prints
+  the number behind that claim (expect: unsalted ≤ salted).
+
+--mode=bucket (op79's shape): a hot LSH band BUCKET under the
+  candidate-pair self-join — one band_hash owning hot_share of the
+  docs means that bucket's |B|² pairs all materialize in ONE task of
+  the unsalted join (the key IS the bucket id; AQE can't split a
+  shuffled-hash self-join either). The salted variant is the blocked
+  TRIANGLE self-join: slice each bucket by pmod(xxhash64(doc_id), S),
+  replicate each row to its (i≤j) slice-pair cells (left role: j ∈
+  [s, S); right role: i ∈ [0, s]), join on (bucket, i, j) — the hot
+  bucket's pairs spread over S(S+1)/2 reducer cells at a ~S/2-row
+  replication cost. Pair sets asserted identical (each cross-slice
+  pair lands in exactly one cell; same-slice duplicates removed by
+  the doc_a < doc_b filter). --hotn sets the hot bucket's size: the
+  trade has a measured crossover (REP=10: at 4k docs / 8M pairs the
+  one-task sort is only ~180 ms and replication loses; at 20k docs /
+  200M pairs the unsalted straggler is 3.1 s and the triangle wins
+  −50% wall, spread 21×→2×). op79's production guard stays the
+  op192-style fanout CAP first; the triangle is the answer when the
+  big bucket's pairs are genuinely all wanted.
 """
 
 from __future__ import annotations
@@ -120,6 +148,13 @@ def _straggler_spread(
     return best
 
 
+def _mode_flag(argv: list[str]) -> str:
+    for a in argv:
+        if a.startswith("--mode="):
+            return a.split("=", 1)[1]
+    return "join"
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -130,6 +165,7 @@ def main() -> None:
     rep = int(positional[0]) if positional else 10
     hot = _flag(argv, "hot", 0.4)
     salt = int(_flag(argv, "salt", 16))
+    mode = _mode_flag(argv)
     data = os.path.join("/tmp", f"ocdb_stress_sf1_rep{rep}")
     if not os.path.isdir(data):
         raise SystemExit(
@@ -174,7 +210,7 @@ def main() -> None:
         ),
     ).select("jk", "o_orderkey", "o_totalprice")
 
-    def unsalted():
+    def join_unsalted():
         return (
             fact.join(c.hint("shuffle_hash"), fact.jk == c.c_custkey)
             .groupBy("c_mktsegment")
@@ -184,7 +220,7 @@ def main() -> None:
             )
         )
 
-    def salted():
+    def join_salted():
         # salt is per-ROW (op167's rule: hash of the unique orderkey,
         # NOT of the join key — a key-derived salt would send the hot
         # key's rows to one reducer again)
@@ -209,13 +245,142 @@ def main() -> None:
             )
         )
 
+    # --- mode=agg: op75's shape — decomposable agg under the hot key ---
+    # The per-key aggregate (1 row per key, ~n_cust of them) is folded
+    # to ONE summary row so timing measures the aggregation, not a
+    # megarow Arrow transfer; the fold is identical in both variants.
+    def _agg_summary(per_key):
+        return per_key.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(xxhash64(jk, n, mn))").alias("sig"),
+        )
+
+    def agg_unsalted():
+        per_key = fact.groupBy("jk").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_orderkey").alias("mn"),
+        )
+        return _agg_summary(per_key)
+
+    def agg_salted():
+        # the two-phase form skew.py's docstring says NOT to write:
+        # partial per (key, salt), then re-aggregate per key
+        per_salt = (
+            fact.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("o_orderkey", F.lit(13)), F.lit(salt)).cast(
+                    "int"
+                ),
+            )
+            .groupBy("jk", "salt")
+            .agg(
+                F.count("*").cast("bigint").alias("pn"),
+                F.min("o_orderkey").alias("pmn"),
+            )
+        )
+        per_key = per_salt.groupBy("jk").agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.min("pmn").alias("mn"),
+        )
+        return _agg_summary(per_key)
+
+    # --- mode=bucket: op79's shape — hot LSH band bucket self-join ---
+    # Docs = the orders keyspace; ONE bucket holds ~hot_n docs (the
+    # replicated-corpus regime op79 meets at stress scale: every band
+    # of a duplicated doc collides), the rest sit in ~4-doc buckets.
+    hot_n = int(_flag(argv, "hotn", 4000))
+    n_docs_bucket = None
+
+    def _bucket_docs():
+        docs = o.select(F.col("o_orderkey").alias("doc_id"))
+        return docs.withColumn(
+            "bucket",
+            F.when(
+                F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(10**6))
+                < F.lit(int(hot_n * 10**6 / max(n_docs_bucket, 1))),
+                F.lit(0),
+            ).otherwise(
+                F.pmod(F.xxhash64("doc_id", F.lit(5)), F.lit(n_docs_bucket // 4))
+                + 1
+            ),
+        )
+
+    def _pair_summary(pairs):
+        return pairs.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("sig"),
+        )
+
+    def bucket_unsalted():
+        d = _bucket_docs()
+        pairs = (
+            d.alias("l")
+            .join(
+                d.alias("r").hint("shuffle_hash"),
+                F.expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"),
+            )
+            .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b")
+        )
+        return _pair_summary(pairs)
+
+    def bucket_salted():
+        # blocked TRIANGLE self-join: slice s = hash(doc_id) % S; a row
+        # serves as LEFT of cells (s, j≥s) and RIGHT of cells (i≤s, s);
+        # each unordered slice pair is ONE reducer cell. Cross-slice
+        # cells (i<j) hold each pair exactly once (orientation forced
+        # by slice order — emit least/greatest); diagonal cells (i=j)
+        # hold both orientations — keep doc_l < doc_r.
+        S = salt
+        d = _bucket_docs().withColumn(
+            "s", F.pmod(F.xxhash64("doc_id", F.lit(17)), F.lit(S)).cast("int")
+        )
+        lrep = d.select(
+            "doc_id",
+            "bucket",
+            F.col("s").alias("i"),
+            F.explode(F.expr(f"sequence(s, {S - 1})")).alias("j"),
+        )
+        rrep = d.select(
+            "doc_id",
+            "bucket",
+            F.explode(F.expr("sequence(0, s)")).alias("i"),
+            F.col("s").alias("j"),
+        )
+        pairs = (
+            lrep.alias("l")
+            .join(
+                rrep.alias("r").hint("shuffle_hash"),
+                F.expr(
+                    "l.bucket = r.bucket AND l.i = r.i AND l.j = r.j"
+                    " AND (l.i < l.j OR l.doc_id < r.doc_id)"
+                    " AND l.doc_id != r.doc_id"
+                ),
+            )
+            .selectExpr(
+                "least(l.doc_id, r.doc_id) AS doc_a",
+                "greatest(l.doc_id, r.doc_id) AS doc_b",
+            )
+        )
+        return _pair_summary(pairs)
+
+    if mode == "join":
+        variants = (("unsalted", join_unsalted), ("salted", join_salted))
+    elif mode == "agg":
+        variants = (("unsalted", agg_unsalted), ("salted", agg_salted))
+    elif mode == "bucket":
+        n_docs_bucket = o.count()
+        variants = (("unsalted", bucket_unsalted), ("salted", bucket_salted))
+    else:
+        raise SystemExit(f"unknown --mode={mode}")
+
     # warm both shapes once (codegen/JIT), then measure fresh builds
-    ua = sorted(map(tuple, unsalted().collect()))
-    sa = sorted(map(tuple, salted().collect()))
-    assert ua == sa, "salting changed the RESULT — broken variant"
+    ua = sorted(map(tuple, variants[0][1]().collect()))
+    sa = sorted(map(tuple, variants[1][1]().collect()))
+    assert ua == sa, f"{mode}: salting changed the RESULT — broken variant"
 
     rows = []
-    for name, build in (("unsalted", unsalted), ("salted", salted)):
+    for name, build in variants:
         best = float("inf")
         w0 = time.time()
         for _ in range(3):
@@ -228,7 +393,7 @@ def main() -> None:
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
     print(
-        f"\nREP={rep} hot_share={hot} salt={salt} "
+        f"\nmode={mode} REP={rep} hot_share={hot} salt={salt} "
         f"(fact {fact.count():,} rows, dim {n_cust:,} rows)"
     )
     print("| variant | wall ms (best of 3) | task median ms | task max ms "
