@@ -317,7 +317,12 @@ def main() -> None:
         pairs = (
             d.alias("l")
             .join(
-                d.alias("r").hint("shuffle_hash"),
+                # NO shuffle_hash hint here (unlike mode=join): at
+                # REP=100 the per-reducer build side is ~500k rows x 32
+                # concurrent tasks and the SHJ hash map OOMs — op79's
+                # real plan at this scale is the sort-merge join, so
+                # that is what both variants measure.
+                d.alias("r").hint("merge"),
                 F.expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"),
             )
             .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b")
@@ -350,7 +355,7 @@ def main() -> None:
         pairs = (
             lrep.alias("l")
             .join(
-                rrep.alias("r").hint("shuffle_hash"),
+                rrep.alias("r").hint("merge"),
                 F.expr(
                     "l.bucket = r.bucket AND l.i = r.i AND l.j = r.j"
                     " AND (l.i < l.j OR l.doc_id < r.doc_id)"
@@ -364,20 +369,83 @@ def main() -> None:
         )
         return _pair_summary(pairs)
 
+    def bucket_hybrid():
+        # the PRODUCTION shape (round-10 finding): blanket triangling
+        # loses at REP=100 because the uniform small-bucket mass pays
+        # the ~S/2 replication for nothing — so route ONLY oversized
+        # buckets through the triangle (one count agg + broadcast
+        # semi/anti split; AQE's skew-split logic, hand-rolled for the
+        # self-join AQE cannot split). Threshold 1000 docs ~ 0.5M pairs
+        # per bucket, the point where one task's quadratic work starts
+        # to dominate its peers.
+        d = _bucket_docs()
+        big = (
+            d.groupBy("bucket").count().filter(F.col("count") > 1000)
+            .select("bucket")
+        )
+        d_big = d.join(F.broadcast(big), "bucket", "left_semi")
+        d_small = d.join(F.broadcast(big), "bucket", "left_anti")
+        small_pairs = (
+            d_small.alias("l")
+            .join(
+                d_small.alias("r").hint("merge"),
+                F.expr("l.bucket = r.bucket AND l.doc_id < r.doc_id"),
+            )
+            .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b")
+        )
+        S = salt
+        db = d_big.withColumn(
+            "s", F.pmod(F.xxhash64("doc_id", F.lit(17)), F.lit(S)).cast("int")
+        )
+        lrep = db.select(
+            "doc_id",
+            "bucket",
+            F.col("s").alias("i"),
+            F.explode(F.expr(f"sequence(s, {S - 1})")).alias("j"),
+        )
+        rrep = db.select(
+            "doc_id",
+            "bucket",
+            F.explode(F.expr("sequence(0, s)")).alias("i"),
+            F.col("s").alias("j"),
+        )
+        big_pairs = (
+            lrep.alias("l")
+            .join(
+                rrep.alias("r").hint("merge"),
+                F.expr(
+                    "l.bucket = r.bucket AND l.i = r.i AND l.j = r.j"
+                    " AND (l.i < l.j OR l.doc_id < r.doc_id)"
+                    " AND l.doc_id != r.doc_id"
+                ),
+            )
+            .selectExpr(
+                "least(l.doc_id, r.doc_id) AS doc_a",
+                "greatest(l.doc_id, r.doc_id) AS doc_b",
+            )
+        )
+        return _pair_summary(small_pairs.unionAll(big_pairs))
+
     if mode == "join":
         variants = (("unsalted", join_unsalted), ("salted", join_salted))
     elif mode == "agg":
         variants = (("unsalted", agg_unsalted), ("salted", agg_salted))
     elif mode == "bucket":
         n_docs_bucket = o.count()
-        variants = (("unsalted", bucket_unsalted), ("salted", bucket_salted))
+        variants = (
+            ("unsalted", bucket_unsalted),
+            ("salted", bucket_salted),
+            ("hybrid", bucket_hybrid),
+        )
     else:
         raise SystemExit(f"unknown --mode={mode}")
 
-    # warm both shapes once (codegen/JIT), then measure fresh builds
-    ua = sorted(map(tuple, variants[0][1]().collect()))
-    sa = sorted(map(tuple, variants[1][1]().collect()))
-    assert ua == sa, f"{mode}: salting changed the RESULT — broken variant"
+    # warm every shape once (codegen/JIT), then measure fresh builds;
+    # all variants must produce the identical result
+    ref = sorted(map(tuple, variants[0][1]().collect()))
+    for name, build in variants[1:]:
+        got = sorted(map(tuple, build().collect()))
+        assert got == ref, f"{mode}/{name}: variant changed the RESULT"
 
     rows = []
     for name, build in variants:
