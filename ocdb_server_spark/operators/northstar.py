@@ -218,7 +218,17 @@ def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs over the documents table (see
     minhash_neardup_pairs). At sf0.01 the corpus has no near-dups, so
     an empty result is the correct output; sf0.1 plants 8 duplicate
-    texts (FIXTURES.md) which must all surface."""
+    texts (FIXTURES.md) which must all surface.
+
+    Hot-bucket scale rule (MEASURED, round 10 — skew_stress.py
+    --mode=bucket, BASELINE.md): buckets under ~10k docs need no
+    mitigation (the one-task pair scan is cheaper than any spreading);
+    above it, route ONLY the oversized buckets through the blocked
+    triangle self-join (hybrid: −25% wall at 100× data, straggler
+    spread 28.4×→1.4×) — blanket triangling inverts at scale because
+    the uniform mass pays replication for nothing. op192's fanout cap
+    stays the first guard when the oversized bucket's pairs are not
+    all wanted."""
     return minhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 

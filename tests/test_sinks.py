@@ -331,7 +331,16 @@ def test_scratch_dir_age_gates_recycled_pid_orphans(tmp_path, monkeypatch):
     assert fresh_live.exists(), "fresh live-PID dir must not be reaped"
 
     old = time.time() - scratch._REAP_AGE_S - 60
+    # round-9 ADVICE: the gate is the NEWEST mtime over the root AND
+    # its direct children (ops write into subdirs without touching the
+    # root's own mtime) — an old root with a fresh child is a LIVE
+    # long-running session's working set, not an orphan
     os.utime(fresh_live, (old, old))
+    scratch.scratch_dir("demo", "/data/sf0.001")
+    assert fresh_live.exists(), (
+        "old root with a FRESH child is in use — must not be reaped"
+    )
+    os.utime(fresh_live / "f", (old, old))
     scratch.scratch_dir("demo", "/data/sf0.001")
     assert not fresh_live.exists(), (
         "age-gated live-PID orphan (recycled PID) not reaped"
