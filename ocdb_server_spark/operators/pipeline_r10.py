@@ -164,48 +164,106 @@ GROUP BY lang
 """
 
 
+def _write_docs_zstd_file(path: str, it) -> int:
+    """ONE writer kernel for the single-file demo AND the parallel
+    exporter (op260's _write_docs_bgzf_file rule: record
+    serialization — field set + sort_keys — and the tmp + os.replace
+    atomic-publish protocol live in exactly one place): stream the
+    pandas batches as JSONL through iter_seekable_zstd into `path`,
+    append the seek-table skippable frame, return the frame count.
+    An empty partition writes a valid 0-frame file (bare seek table)
+    that read_seek_table accepts as an empty manifest."""
+    import json
+    import os
+
+    from ocdb_server_spark.sources.zstd_seekable import (
+        iter_seekable_zstd,
+        seek_table_frame,
+    )
+
+    def lines():
+        for pdf in it:
+            for r in pdf.to_dict("records"):
+                yield json.dumps(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "text": r["text"],
+                        "lang": r["lang"],
+                        "n_chars": int(r["n_chars"]),
+                    },
+                    sort_keys=True,
+                )
+
+    sizes = []
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        for frame, usize in iter_seekable_zstd(lines()):
+            f.write(frame)
+            sizes.append((len(frame), usize))
+        f.write(seek_table_frame(sizes))
+    os.replace(tmp, path)
+    return len(sizes)
+
+
 def _zstd_write_docs(path: str):
-    """Writer task: stream the pandas batches as JSONL through
-    iter_seekable_zstd into `path` (record serialization identical to
-    _write_docs_bgzf_file's — sort_keys json of the four fields),
-    append the seek-table skippable frame, atomic-publish via tmp +
-    os.replace (op03's rule). Yields (path, n_frames)."""
+    """Single-file writer task over _write_docs_zstd_file; yields
+    (path, n_frames)."""
 
     def write(it):
-        import json
+        import pandas as pd
+
+        n = _write_docs_zstd_file(path, it)
+        yield pd.DataFrame({"path": [path], "n_frames": [n]})
+
+    return write
+
+
+def _zstd_write_docs_part(out_dir: str):
+    """Per-PARTITION variant (op260's bgzf_export_docs_parallel
+    shape): each task streams ITS partition through the same kernel
+    into its own seekable-zstd file named by TaskContext partition
+    id. N tasks write N files concurrently; the same seek-table
+    manifest split-read consumes the whole corpus across files."""
+
+    def write(it):
         import os
 
         import pandas as pd
+        from pyspark import TaskContext
 
-        from ocdb_server_spark.sources.zstd_seekable import (
-            iter_seekable_zstd,
-            seek_table_frame,
-        )
-
-        def lines():
-            for pdf in it:
-                for r in pdf.to_dict("records"):
-                    yield json.dumps(
-                        {
-                            "doc_id": int(r["doc_id"]),
-                            "text": r["text"],
-                            "lang": r["lang"],
-                            "n_chars": int(r["n_chars"]),
-                        },
-                        sort_keys=True,
-                    )
-
-        sizes = []
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as f:
-            for frame, usize in iter_seekable_zstd(lines()):
-                f.write(frame)
-                sizes.append((len(frame), usize))
-            f.write(seek_table_frame(sizes))
-        os.replace(tmp, path)
-        yield pd.DataFrame({"path": [path], "n_frames": [len(sizes)]})
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.jsonl.zst")
+        n = _write_docs_zstd_file(path, it)
+        yield pd.DataFrame({"path": [path], "n_frames": [n]})
 
     return write
+
+
+def zstd_export_docs_parallel(
+    spark: SparkSession, sf_dir: str, out_dir: str, partitions: int = 8
+) -> list[str]:
+    """Export the documents table as `partitions` seekable-zstd files
+    in parallel and return their paths (write forced). The read side
+    is file-count-agnostic: _zstd_manifest seek-tables every file, so
+    the same split-read plan consumes 1 or N files — op260's
+    production writer story, same economics (BASELINE.md measured the
+    BGZF variant at −88% writer wall at 100× corpus; this writer is
+    the identical shape over the zstd kernel)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)  # tasks die opaquely otherwise
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    manifest = (
+        d.repartition(partitions)
+        .mapInPandas(_zstd_write_docs_part(out_dir), "path string, n_frames long")
+        .collect()
+    )
+    # every task yields exactly one row; an empty partition still
+    # writes a valid 0-frame seek-table file the manifest accepts
+    assert len(manifest) == partitions
+    return sorted(r.path for r in manifest)
 
 
 def _zstd_manifest(it):

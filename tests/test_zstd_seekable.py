@@ -180,3 +180,78 @@ def test_op261_splits_across_tasks_and_matches_table(spark, sf_dir):
     with open(path, "rb") as f:
         whole = f.read()
     assert _stock_decompress(whole, len(frame_wise)) == frame_wise
+
+
+def test_parallel_writer_multi_file_roundtrip(spark, sf_dir, tmp_path):
+    """The PARALLEL writer shape (op260's production story on the
+    zstd kernel): N tasks write N seekable-zstd files through the
+    same _write_docs_zstd_file kernel, every file is independently a
+    valid stock multi-frame zstd stream + seekable file, and the SAME
+    seek-table-manifest split-read consumes the multi-file corpus to
+    the identical per-lang aggregate as op261's single-file demo."""
+    from ocdb_server_spark.operators.pipeline_r10 import (
+        op261_zstd_seekable_ingest,
+        zstd_export_docs_parallel,
+        zstd_read_lang_agg,
+    )
+
+    parts = 4
+    paths = zstd_export_docs_parallel(spark, sf_dir, str(tmp_path), parts)
+    assert len(paths) == parts and len(set(paths)) == parts
+    total_frames = 0
+    for p in paths:
+        blocks = read_seek_table(p)
+        total_frames += len(blocks)
+        raw = b"".join(read_frame(p, o, c, u) for o, c, u in blocks)
+        with open(p, "rb") as f:
+            whole = f.read()
+        assert _stock_decompress(whole, len(raw)) == raw
+    assert total_frames >= parts  # real data spread across files
+
+    multi = {
+        r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+        for r in zstd_read_lang_agg(spark, paths).collect()
+    }
+    single = {
+        r.lang: (r.n_docs, r.sum_doc_id, r.sum_text_chars, r.sum_n_chars)
+        for r in op261_zstd_seekable_ingest(spark, sf_dir).collect()
+    }
+    assert multi == single and multi
+
+
+def test_parallel_writer_empty_partitions_write_valid_tables(
+    spark, tmp_path
+):
+    """zstd_export_docs_parallel's `len(manifest) == partitions`
+    contract: every task yields a manifest row, empty partitions write
+    a valid 0-frame file (bare seek table — read_seek_table returns an
+    empty manifest, a stock decoder reads it as 0 bytes), and the
+    split-read over the mixed file set reassembles the corpus."""
+    from ocdb_server_spark.operators.pipeline_r10 import (
+        zstd_export_docs_parallel,
+        zstd_read_lang_agg,
+    )
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "alpha beta", "en", 10), (2, "gamma", "fr", 5),
+         (3, "delta words", "en", 11)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = tmp_path / "out"
+    paths = zstd_export_docs_parallel(spark, sf, str(out), 8)
+    assert len(paths) == 8
+    n_empty = 0
+    for p in paths:
+        blocks = read_seek_table(p)
+        if not blocks:
+            n_empty += 1
+            with open(p, "rb") as f:
+                whole = f.read()
+            assert _stock_decompress(whole, 0) == b""
+    assert n_empty >= 5  # 3 rows cannot fill 8 partitions
+    got = {
+        r.lang: (r.n_docs, r.sum_doc_id)
+        for r in zstd_read_lang_agg(spark, paths).collect()
+    }
+    assert got == {"en": (2, 4), "fr": (1, 2)}
