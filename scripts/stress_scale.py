@@ -140,6 +140,12 @@ QUERIES = (
     # 10× members; the whole pipeline is data-proportional)
     "op259_croston_sba",
     "op260_bgzf_splittable_gzip",
+    # round-10 additions: the seekable-zstd write→seek-table→split-
+    # read round-trip (10× documents → 10× frames, one footer read
+    # per file) and the ADI/CV² classifier (counts agg sees 10× rows;
+    # series count fixed at 128 — pure-agg slope)
+    "op261_zstd_seekable_ingest",
+    "op262_demand_classification",
 )
 
 
