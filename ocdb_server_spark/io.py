@@ -132,19 +132,21 @@ def warm_cache(
     The auto sizing was RE-DERIVED round 9 under the fresh-instance
     protocol (the old 10k-rows/slice [8, cores] clamp was tuned with
     repeat-mode timings, which hide the map-stage wave each fresh
-    execution actually pays):
+    execution actually pays), then SMOOTHED round 10 (round-9 ADVICE —
+    the 20k-row special case was a 1→4 step at an unmeasured boundary):
 
-    - tables ≤ 20k rows (and not compute-heavy) cache as ONE slice —
-      their dominant consumption is the build side of a
-      BroadcastExchange, and each broadcast build is a JOB over the
-      cached slices; an 8-slice 25-row nation makes that job an
-      8-task wave of nothing (interleaved at sf0.1: op39's five
-      broadcast builds, 150 → 136 ms);
-    - everything else: ~18k rows/slice clamped to [4, 4×cores].
-      Interleaved ABAB sweeps at sf0.1 found the per-table optima
-      (lineitem 600k: 24 ≈ 32-33 > 16; orders 150k: 8 > 6 > 15;
-      events 100k: 4-5 > 10), and the formula lands each inside its
-      measured plateau. Old vs new formula, 3 interleaved rounds,
+    - one curve: ~18k rows/slice clamped to [1, 4×cores]. Tiny dims
+      (<18k rows) land on ONE slice — their dominant consumption is
+      the build side of a BroadcastExchange, and each broadcast build
+      is a JOB over the cached slices; an 8-slice 25-row nation makes
+      that job an 8-task wave of nothing (interleaved at sf0.1: op39's
+      five broadcast builds, 150 → 136 ms). Bigger tables grow
+      smoothly: interleaved ABAB sweeps at sf0.1 found the per-table
+      optima (lineitem 600k: 24 ≈ 32-33 > 16; orders 150k: 8 > 6 >
+      15; events 100k: 4-5 > 10), and the formula lands each inside
+      its measured plateau — identical values at every measured size;
+      only the never-measured 20k-72k gap changed (e.g. 30k rows:
+      1 slice, was 4). Old vs new r9 formula, 3 interleaved rounds,
       best-of-7 per query: comparable-5 532 → 464 ms, 7-query total
       803 → 722 ms, NO query regressed. The cap scales with cores,
       not a constant: an absolute cap tuned at sf0.1 would throttle

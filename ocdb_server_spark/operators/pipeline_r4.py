@@ -337,7 +337,13 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch ROOT is (kind, sf, pid)-keyed but the Spark catalog is
     # per-SESSION — pid-only names let two interleaved sf runs sharing
     # one session DROP/recreate each other's registration mid-flight.
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # The tag goes into a SQL identifier, so strip EVERY non-word char
+    # (round-10 review: a basename like "tpch-sf01" would otherwise
+    # break the DROP TABLE parse; scratch_path's '.'-only rule is fine
+    # for filesystem names, not identifiers).
+    import re
+
+    tag = re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
     li_name = f"ocdb_li_bucketed_{tag}_{pid}"
     o_name = f"ocdb_o_bucketed_{tag}_{pid}"
     for name, df, key in (

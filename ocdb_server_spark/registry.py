@@ -158,11 +158,13 @@ def _load_fp_book(root: str) -> dict[str, dict]:
         return {}
 
 
-def refresh_oracle_fps(root: str) -> dict[str, dict]:
+def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
     """Maintain oracle_fp.json: {op: {"fp", "since_round"}} where
     since_round is the round at which the CURRENT oracle text first
-    became live (= latest recorded CORRECTNESS round + 1 when the
-    change is detected, i.e. "certifiable from the next sweep on").
+    became live (= `latest` recorded CORRECTNESS round + 1 when the
+    change is detected, i.e. "certifiable from the next sweep on";
+    the caller passes latest from its own fold — round-10 review:
+    re-folding every CORRECTNESS file here doubled the per-call I/O).
     Called from certified_rounds so the book can never silently lag
     an oracle edit; the write is atomic and best-effort (a read-only
     checkout just keeps the on-disk book)."""
@@ -171,16 +173,21 @@ def refresh_oracle_fps(root: str) -> dict[str, dict]:
     import tempfile
 
     book = _load_fp_book(root)
-    latest = 0
-    for rnd, _rows in iter_correctness_rounds(root):
-        latest = max(latest, rnd)
     changed = False
     for key, op in REGISTRY.items():
         if op.oracle is None:
             continue
         fp = _oracle_fp(op.oracle)
         ent = book.get(key)
-        if not isinstance(ent, dict) or ent.get("fp") != fp:
+        # Heal BOTH divergence shapes (round-10 review): a changed fp,
+        # and a malformed entry (non-dict, or a since_round that isn't
+        # an int — a hand-edit/merge-mangle must demote-and-heal, never
+        # crash the registry; same rule iter_correctness_rounds states).
+        if (
+            not isinstance(ent, dict)
+            or ent.get("fp") != fp
+            or not isinstance(ent.get("since_round"), int)
+        ):
             book[key] = {"fp": fp, "since_round": latest + 1}
             changed = True
     if changed:
@@ -231,7 +238,9 @@ def certified_rounds(root: str) -> dict[str, int]:
         load_all()
     certified: dict[str, int] = {}
     green_kind: dict[str, str] = {}
+    latest = 0
     for rnd, rows in iter_correctness_rounds(root):
+        latest = max(latest, rnd)
         for key, row in rows.items():
             if _row_is_green(row):
                 certified[key] = rnd
@@ -241,7 +250,7 @@ def certified_rounds(root: str) -> dict[str, int]:
             else:
                 certified.pop(key, None)
                 green_kind.pop(key, None)
-    fp_book = refresh_oracle_fps(root)
+    fp_book = refresh_oracle_fps(root, latest)
     for key in list(certified):
         op = REGISTRY.get(key)
         if op is None or op.oracle is None:
@@ -250,9 +259,11 @@ def certified_rounds(root: str) -> dict[str, int]:
             certified.pop(key, None)  # rule 1: oracle upgrade
             continue
         ent = fp_book.get(key)
-        if isinstance(ent, dict) and certified[key] < int(
-            ent.get("since_round", 0)
-        ):
+        # refresh_oracle_fps guarantees every registered SQL op has a
+        # well-formed entry (malformed ones are healed in-memory even
+        # when the disk write fails), so since_round is always an int
+        since = ent.get("since_round", 0) if isinstance(ent, dict) else 0
+        if isinstance(since, int) and certified[key] < since:
             certified.pop(key, None)  # rule 2: oracle rewrite
     return certified
 

@@ -329,15 +329,16 @@ def main() -> None:
         )
         return _pair_summary(pairs)
 
-    def bucket_salted():
+    def _triangle_pairs(d, S):
         # blocked TRIANGLE self-join: slice s = hash(doc_id) % S; a row
         # serves as LEFT of cells (s, j≥s) and RIGHT of cells (i≤s, s);
         # each unordered slice pair is ONE reducer cell. Cross-slice
         # cells (i<j) hold each pair exactly once (orientation forced
         # by slice order — emit least/greatest); diagonal cells (i=j)
-        # hold both orientations — keep doc_l < doc_r.
-        S = salt
-        d = _bucket_docs().withColumn(
+        # hold both orientations — keep doc_l < doc_r. ONE copy of the
+        # coverage-invariant logic, shared by bucket_salted and
+        # bucket_hybrid (round-10 review).
+        d = d.withColumn(
             "s", F.pmod(F.xxhash64("doc_id", F.lit(17)), F.lit(S)).cast("int")
         )
         lrep = d.select(
@@ -352,7 +353,7 @@ def main() -> None:
             F.explode(F.expr("sequence(0, s)")).alias("i"),
             F.col("s").alias("j"),
         )
-        pairs = (
+        return (
             lrep.alias("l")
             .join(
                 rrep.alias("r").hint("merge"),
@@ -367,7 +368,9 @@ def main() -> None:
                 "greatest(l.doc_id, r.doc_id) AS doc_b",
             )
         )
-        return _pair_summary(pairs)
+
+    def bucket_salted():
+        return _pair_summary(_triangle_pairs(_bucket_docs(), salt))
 
     def bucket_hybrid():
         # the PRODUCTION shape (round-10 finding): blanket triangling
@@ -393,37 +396,7 @@ def main() -> None:
             )
             .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b")
         )
-        S = salt
-        db = d_big.withColumn(
-            "s", F.pmod(F.xxhash64("doc_id", F.lit(17)), F.lit(S)).cast("int")
-        )
-        lrep = db.select(
-            "doc_id",
-            "bucket",
-            F.col("s").alias("i"),
-            F.explode(F.expr(f"sequence(s, {S - 1})")).alias("j"),
-        )
-        rrep = db.select(
-            "doc_id",
-            "bucket",
-            F.explode(F.expr("sequence(0, s)")).alias("i"),
-            F.col("s").alias("j"),
-        )
-        big_pairs = (
-            lrep.alias("l")
-            .join(
-                rrep.alias("r").hint("merge"),
-                F.expr(
-                    "l.bucket = r.bucket AND l.i = r.i AND l.j = r.j"
-                    " AND (l.i < l.j OR l.doc_id < r.doc_id)"
-                    " AND l.doc_id != r.doc_id"
-                ),
-            )
-            .selectExpr(
-                "least(l.doc_id, r.doc_id) AS doc_a",
-                "greatest(l.doc_id, r.doc_id) AS doc_b",
-            )
-        )
+        big_pairs = _triangle_pairs(d_big, salt)
         return _pair_summary(small_pairs.unionAll(big_pairs))
 
     if mode == "join":

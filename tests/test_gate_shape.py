@@ -218,6 +218,17 @@ def test_sweep_order_demotes_rewritten_oracles(tmp_path):
     assert healed[sql_op]["fp"] == cur_fp
     assert healed[sql_op]["since_round"] == 4
 
+    # Case 4 (round-10 review): a MALFORMED entry — fp correct but
+    # since_round null (hand-edit / merge mangle) — must be healed,
+    # never crash the registry (iter_correctness_rounds' own rule).
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({sql_op: {"fp": cur_fp, "since_round": None}})
+    )
+    ordered = _sweep_order(["op_other", sql_op], root=str(tmp_path))
+    assert ordered[0] == sql_op, f"healed op must re-certify first: {ordered}"
+    healed = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert healed[sql_op]["since_round"] == 4
+
 
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
