@@ -255,3 +255,71 @@ def test_parallel_writer_empty_partitions_write_valid_tables(
         for r in zstd_read_lang_agg(spark, paths).collect()
     }
     assert got == {"en": (2, 4), "fr": (1, 2)}
+
+
+# ------------------------------------------------- property tests
+# (test_properties.py's rule: hypothesis on the pure-Python surface —
+# thousands of examples are free; no Spark in the loop)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_lines = st.lists(
+    st.text(
+        alphabet=st.characters(exclude_characters="\n", exclude_categories=("Cs",)),
+        max_size=200,
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_lines)
+def test_property_roundtrip_any_unicode_corpus(lines):
+    """write → seek table → frame-wise decode reassembles ANY corpus
+    of newline-free unicode lines exactly, and the stock one-shot
+    decoder agrees on the same bytes (frames flushed at line
+    boundaries, so per-frame payloads always end in a newline)."""
+    import struct as _struct
+    import tempfile
+
+    from ocdb_server_spark.sources.zstd_seekable import (
+        read_frame as rf,
+        read_seek_table as rst,
+        write_seekable_zstd as wsz,
+    )
+
+    blob = wsz(lines)
+    raw = "".join(x + "\n" for x in lines).encode()
+    with tempfile.NamedTemporaryFile(suffix=".zst") as f:
+        f.write(blob)
+        f.flush()
+        blocks = rst(f.name)
+        out = b"".join(rf(f.name, o, c, u) for o, c, u in blocks)
+    assert out == raw
+    assert _stock_decompress(blob, len(raw)) == raw
+    # the table tiles the data region and the footer magic is last
+    assert sum(c for _, c, _ in blocks) + 8 + 8 * len(blocks) + 9 == len(blob)
+    assert _struct.unpack("<I", blob[-4:])[0] == 0x8F92EAB1
+
+
+@settings(max_examples=120, deadline=None)
+@given(_lines, st.integers(min_value=1, max_value=10**9))
+def test_property_any_truncation_raises(lines, seed):
+    """For ANY corpus and ANY cut position strictly inside the blob,
+    the catalog step raises ValueError — never a silent shorter
+    manifest and never a foreign exception type."""
+    import tempfile
+
+    from ocdb_server_spark.sources.zstd_seekable import (
+        read_seek_table as rst,
+        write_seekable_zstd as wsz,
+    )
+
+    blob = wsz(lines)
+    cut = seed % (len(blob) - 1) + 1  # 1 .. len-1
+    with tempfile.NamedTemporaryFile(suffix=".zst") as f:
+        f.write(blob[:cut])
+        f.flush()
+        with pytest.raises(ValueError):
+            rst(f.name)
