@@ -132,6 +132,12 @@ FULL_TABLE_OPS = [
     # or shuffle width either
     "op259_croston_sba",
     "op260_bgzf_splittable_gzip",
+    # round-10: the seekable-zstd export re-frames by writer batch —
+    # the re-read aggregate must not care about scan layout or
+    # shuffle width; the ADI/CV² classifier is two keyed aggregations
+    # whose integer-exact thresholds must never flip with either
+    "op261_zstd_seekable_ingest",
+    "op262_demand_classification",
 ]
 
 _ALL_TABLES = (
