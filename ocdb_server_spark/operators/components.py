@@ -41,6 +41,15 @@ def connected_components(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        # Materialize ONCE (round-10 review): the edge frame is joined
+        # every iteration AND feeds the initial labels — without this,
+        # each iteration's localCheckpoint action re-derives the whole
+        # upstream pair pipeline (for op96/op221 that is the 5-shuffle
+        # ngram-Jaccard plan), so 2-3 iterations ran it 3-4 times. Same
+        # "self-join would evaluate the aggregation twice" economics
+        # op88 solves with a persist; localCheckpoint keeps the helper
+        # self-contained (no cache pool needed, blocks GC with the df).
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -48,6 +57,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         # each vertex adopts the min component among itself + neighbors
         neighbor_min = (
@@ -75,6 +85,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exiting on range exhaustion means the labels are NOT a
+        # fixpoint — op96/op221 would emit split clusters with
+        # non-canonical ids. At certification scale the recursive
+        # oracle would catch it loudly, but at no-oracle bench scales
+        # the wrong answer would ship silently (round-10 review). A
+        # graph of diameter > max_iter is a real possibility on chain-
+        # shaped near-dup corpora; fail loudly and let the caller
+        # raise max_iter.
+        raise ValueError(
+            f"connected_components: no fixpoint after {max_iter} "
+            "iterations (graph diameter exceeds max_iter) — labels "
+            "would be silently wrong; raise max_iter"
+        )
     return labels
 
 

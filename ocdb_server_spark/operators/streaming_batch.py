@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.operators._helpers import dsum, sql_dsum
 from ocdb_server_spark.registry import register
+from ocdb_server_spark.streaming.jobs import (
+    SESS_GAP_MS,
+    SESS_WM_DELAY_MS,
+    SQL_QUANT_VALUE,
+)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,12 +289,12 @@ def op146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op206_stream_tws_user_stats",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           CAST(SUM({SQL_QUANT_VALUE})
                 AS BIGINT) AS sum_q,
-           CAST(MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           CAST(MAX({SQL_QUANT_VALUE})
                 AS BIGINT) AS max_q
     FROM events GROUP BY user_id
     """,
@@ -351,10 +356,10 @@ def op208_stream_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "op218_stream_tws_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT user_id, event_id,
-             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q
+             {SQL_QUANT_VALUE} AS q
       FROM events),
     r AS (
       SELECT user_id, event_id, q,
@@ -384,10 +389,10 @@ def op218_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op219_stream_tws_mapstate",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           CAST(SUM({SQL_QUANT_VALUE})
                 AS BIGINT) AS sum_q
     FROM events GROUP BY user_id, event_type
     """,
@@ -406,7 +411,7 @@ def op219_stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tws_mapstate_type_stats(spark, sf_dir)
 
 
-_OP226_GAP_US = 1_800_000 * 1000
+_OP226_GAP_US = SESS_GAP_MS * 1000
 
 
 def _op226_sql() -> str:
@@ -419,7 +424,7 @@ def _op226_sql() -> str:
     return f"""
 WITH q AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q
+         {SQL_QUANT_VALUE} AS q
   FROM events),
 o AS (
   SELECT user_id, us, event_id, q,
@@ -437,12 +442,12 @@ sess AS (
          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sum_q
   FROM g GROUP BY user_id, grp),
 lastg AS (SELECT user_id, MAX(grp) AS lg FROM sess GROUP BY user_id),
-wm AS (SELECT MAX(us) // 1000 - 1000 AS wm_ms FROM q)
+wm AS (SELECT MAX(us) // 1000 - {SESS_WM_DELAY_MS} AS wm_ms FROM q)
 SELECT s.user_id,
        CASE WHEN s.grp < l.lg THEN 'batch' ELSE 'timer' END AS kind,
        s.start_us, s.end_us, s.n, s.sum_q
 FROM sess s JOIN lastg l ON s.user_id = l.user_id CROSS JOIN wm
-WHERE s.grp < l.lg OR (s.end_us // 1000 + 1800000) <= wm.wm_ms
+WHERE s.grp < l.lg OR (s.end_us // 1000 + {SESS_GAP_MS}) <= wm.wm_ms
 """
 
 
@@ -465,10 +470,10 @@ def op226_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op234_stream_exactly_once_sink",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           CAST(SUM({SQL_QUANT_VALUE})
                 AS BIGINT) AS sum_q,
            CAST(MAX(event_id) AS BIGINT) AS max_event_id
     FROM events GROUP BY event_type

@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import table_path
 
+# Single-fold contract constants (round-10 review): the op226 session
+# gap + watermark delay and the value-quantization expression are
+# certified on BOTH engines — operators/streaming_batch.py's oracle
+# SQL interpolates THESE same constants (the op96/op221 one-template
+# lesson applied here; never re-encode them by hand in an oracle).
+SESS_GAP_MS = 1_800_000   # 30-minute inactivity gap (op226)
+SESS_WM_DELAY_MS = 1_000  # op226's watermark delay
+SQL_QUANT_VALUE = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
@@ -542,7 +551,7 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _stream_events(spark, sf_dir).select(
             "user_id",
             F.expr(
-                "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+                SQL_QUANT_VALUE
             ).alias("q"),
         )
         out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -754,7 +763,7 @@ def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             F.expr(
-                "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+                SQL_QUANT_VALUE
             ).alias("q"),
         )
         out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -859,7 +868,7 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
             "user_id",
             "event_type",
             F.expr(
-                "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+                SQL_QUANT_VALUE
             ).alias("q"),
         )
         out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -886,7 +895,6 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_SESS_GAP_MS = 1_800_000  # 30-minute inactivity gap
 _SESS_WM_DELAY_MS = 1_000  # watermark delay ("1 second")
 
 
@@ -917,7 +925,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    gap_us = _SESS_GAP_MS * 1000
+    gap_us = SESS_GAP_MS * 1000
 
     class Sessionizer(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -952,7 +960,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # one live deadline per key: re-arm to the new last event
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer(cur[1] // 1000 + _SESS_GAP_MS)
+            self._handle.registerTimer(cur[1] // 1000 + SESS_GAP_MS)
             if closed:
                 yield pd.DataFrame(
                     {
@@ -996,13 +1004,13 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = (
             _stream_events(spark, sf_dir)
-            .withWatermark("ts", "1 second")
+            .withWatermark("ts", f"{SESS_WM_DELAY_MS} milliseconds")
             .select(
                 "user_id",
                 "event_id",
                 F.expr("unix_micros(ts)").alias("us"),
                 F.expr(
-                    "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
+                    SQL_QUANT_VALUE
                 ).alias("q"),
                 "ts",
             )
@@ -1080,7 +1088,7 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
         "event_id",
         "user_id",
         "event_type",
-        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").alias("q"),
+        F.expr(SQL_QUANT_VALUE).alias("q"),
     )
     q = (
         ev.writeStream.foreachBatch(commit_batch)

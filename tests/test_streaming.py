@@ -315,7 +315,7 @@ def test_stream_tws_session_timers_fire_and_leave_open(spark, sf_dir):
     )
     from ocdb_server_spark.io import load_table
     from ocdb_server_spark.streaming.jobs import (
-        _SESS_GAP_MS,
+        SESS_GAP_MS,
         stream_tws_session_timers,
     )
 
@@ -328,7 +328,7 @@ def test_stream_tws_session_timers_fire_and_leave_open(spark, sf_dir):
         "unix_micros(ts) as us",
         "cast(cast(value as decimal(18,6)) * 1000000 as bigint) as q",
     ).collect()
-    gap_us = _SESS_GAP_MS * 1000
+    gap_us = SESS_GAP_MS * 1000
     by_user: dict[int, list] = {}
     for r in ev:
         by_user.setdefault(r.user_id, []).append((r.us, r.event_id, r.q))
@@ -350,7 +350,7 @@ def test_stream_tws_session_timers_fire_and_leave_open(spark, sf_dir):
         for i, s in enumerate(sessions):
             if i < len(sessions) - 1:
                 expect.add((u, "batch", *s))
-            elif s[1] // 1000 + _SESS_GAP_MS <= wm_ms:
+            elif s[1] // 1000 + SESS_GAP_MS <= wm_ms:
                 expect.add((u, "timer", *s))
             else:
                 n_open += 1
