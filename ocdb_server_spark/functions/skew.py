@@ -70,3 +70,92 @@ def explode_salt_broadcast(dim: DataFrame, n_salts: int) -> DataFrame:
     on; kept for static plans and stream-static joins."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     return dim.select("*", salts)
+
+
+def hybrid_selfjoin_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    threshold: int = 10_000,
+    n_slices: int = 8,
+) -> DataFrame:
+    """Within-bucket unordered candidate pairs (id_a < id_b), with
+    ONLY oversized buckets routed through a blocked triangle self-join
+    — the graduated production form of scripts/skew_stress.py
+    --mode=bucket's `bucket_hybrid` (round-10 measurements, BASELINE.md
+    "bucket-self-join skew" table):
+
+    - a bucket self-join's hot key CANNOT be AQE-split (the key IS the
+      bucket id; splitting one side misses pairs), so a ~100k-doc
+      bucket means ~10^10 pairs materializing in ONE task;
+    - blanket triangling INVERTS at scale (uniform small-bucket mass
+      pays the ~S/2 replication for nothing — measured slower at 100×);
+    - the HYBRID wins past ~10k-doc buckets: −25% wall at 100× data
+      with straggler spread 28.4×→1.4×; below that the one-task pair
+      scan is cheaper than any spreading. Hence threshold=10_000.
+
+    Shape: one count-agg over (bucket_cols) finds oversized buckets —
+    by definition the skew TAIL, so the `big` set is small and
+    broadcast-able; a semi/anti split routes rows. Small buckets take
+    the direct merge self-join. Big buckets take the triangle: slice
+    s = xxhash64(id) % S; a row serves as LEFT of cells (s, j >= s)
+    and RIGHT of cells (i <= s, s); each unordered slice pair is ONE
+    reducer cell, so the hot bucket's pairs spread over S(S+1)/2 cells
+    at ~|B|/S rows per side instead of |B| rows in one task.
+    Cross-slice cells hold each pair exactly once (orientation forced
+    by emitting least/greatest); diagonal cells dedup via id order.
+    Coverage-invariance is pinned in tests/test_northstar.py (set
+    equality vs the direct join, oversized + small buckets, plus a
+    threshold=0 all-triangle sweep).
+
+    Callers that tolerate duplicate candidates across DIFFERENT
+    buckets (op79's 4 LSH bands) keep their own .distinct() after."""
+    on_bucket = " AND ".join(f"l.{c} = r.{c}" for c in bucket_cols)
+    big = (
+        df.groupBy(*bucket_cols)
+        .count()
+        .filter(F.col("count") > threshold)
+        .drop("count")
+    )
+    d_big = df.join(F.broadcast(big), bucket_cols, "left_semi")
+    d_small = df.join(F.broadcast(big), bucket_cols, "left_anti")
+    small = (
+        d_small.alias("l")
+        .join(
+            d_small.alias("r").hint("merge"),
+            F.expr(f"{on_bucket} AND l.{id_col} < r.{id_col}"),
+        )
+        .selectExpr(f"l.{id_col} AS id_a", f"r.{id_col} AS id_b")
+    )
+    S = int(n_slices)
+    d2 = d_big.withColumn(
+        "_s", F.pmod(F.xxhash64(id_col, F.lit(17)), F.lit(S)).cast("int")
+    )
+    lrep = d2.select(
+        id_col,
+        *bucket_cols,
+        F.col("_s").alias("_i"),
+        F.explode(F.expr(f"sequence(_s, {S - 1})")).alias("_j"),
+    )
+    rrep = d2.select(
+        id_col,
+        *bucket_cols,
+        F.explode(F.expr("sequence(0, _s)")).alias("_i"),
+        F.col("_s").alias("_j"),
+    )
+    tri = (
+        lrep.alias("l")
+        .join(
+            rrep.alias("r").hint("merge"),
+            F.expr(
+                f"{on_bucket} AND l._i = r._i AND l._j = r._j"
+                f" AND (l._i < l._j OR l.{id_col} < r.{id_col})"
+                f" AND l.{id_col} != r.{id_col}"
+            ),
+        )
+        .selectExpr(
+            f"least(l.{id_col}, r.{id_col}) AS id_a",
+            f"greatest(l.{id_col}, r.{id_col}) AS id_b",
+        )
+    )
+    return small.unionAll(tri)

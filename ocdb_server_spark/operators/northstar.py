@@ -138,7 +138,10 @@ def op78_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_neardup_pairs(
-    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_bucket_threshold: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (Broder '97; cf.
     Spark MLlib MinHashLSH — reimplemented here as pure JVM column ops,
@@ -149,7 +152,19 @@ def minhash_neardup_pairs(
     explode bands → groupBy (band_idx, band_hash) → within-bucket pairs
     (a < b) → distinct. The shuffle carries (doc_id, band) rows — n·4
     rows — never the O(n²) pair space. Verified against planted
-    near-dups in tests/test_northstar.py."""
+    near-dups in tests/test_northstar.py.
+
+    hot_bucket_threshold: None (default) keeps the direct banding
+    self-join — the MEASURED right plan when no band bucket exceeds
+    ~10k docs (skew_stress --mode=bucket: below that, any spreading
+    loses; this data's largest bucket is the 8-doc planted-dup set).
+    An int routes buckets above it through
+    functions.skew.hybrid_selfjoin_pairs' blocked triangle (−25% wall
+    at 100× with a planted 40%-hot bucket, straggler spread
+    28.4×→1.4×) — the production switch for corpora whose template
+    pages / boilerplate collapse millions of docs into one band
+    bucket. Output is pair-for-pair identical either way (pinned in
+    tests/test_northstar.py)."""
     # Every multi-term expression below is built as ONE SQL string
     # parsed JVM-side in a single F.expr/selectExpr round trip — the
     # Column-object formulation cost ~1600 py4j round trips (~0.3 s of
@@ -198,6 +213,19 @@ def minhash_neardup_pairs(
     # otherwise run the shingle explode + 16-min aggregation twice. At
     # cluster scale this is the signature table every pass reuses.
     exploded = pool_persist(exploded)
+    if hot_bucket_threshold is not None:
+        from ocdb_server_spark.functions.skew import hybrid_selfjoin_pairs
+
+        return (
+            hybrid_selfjoin_pairs(
+                exploded,
+                ["band_idx", "band_hash"],
+                "doc_id",
+                threshold=hot_bucket_threshold,
+            )
+            .selectExpr("id_a AS doc_a", "id_b AS doc_b")
+            .distinct()
+        )
     pairs = (
         exploded.alias("l")
         .join(

@@ -140,3 +140,63 @@ def test_op81_pairs_match_brute_force(spark, sf_dir):
         for r in OPS["op81_sim_pairwise_threshold"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# --- hybrid oversized-bucket routing (functions/skew.py graduation) ------
+
+
+def _direct_bucket_pairs(df):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in (
+            df.alias("l")
+            .join(
+                df.alias("r"),
+                F.expr("l.b = r.b AND l.doc_id < r.doc_id"),
+            )
+            .selectExpr("l.doc_id AS id_a", "r.doc_id AS id_b")
+            .collect()
+        )
+    }
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    """One oversized bucket (120 ids) + 40 small buckets (3 ids each)
+    + a singleton — the shape the hybrid router splits."""
+    rows = [(i, "HOT") for i in range(120)]
+    rows += [(1000 + 10 * b + i, f"s{b}") for b in range(40) for i in range(3)]
+    rows += [(99999, "lonely")]
+    return spark.createDataFrame(rows, "doc_id long, b string")
+
+
+def test_hybrid_selfjoin_pairs_matches_direct(bucketed):
+    """Coverage invariance: the routed plan (semi/anti split + blocked
+    triangle for the oversized bucket) yields the exact pair set of the
+    direct self-join, at every routing regime."""
+    from ocdb_server_spark.functions.skew import hybrid_selfjoin_pairs
+
+    expected = _direct_bucket_pairs(bucketed)
+    assert len(expected) == 120 * 119 // 2 + 40 * 3
+    for threshold, n_slices in ((100, 4), (0, 3), (10_000, 8)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in hybrid_selfjoin_pairs(
+                bucketed, ["b"], "doc_id", threshold=threshold, n_slices=n_slices
+            ).collect()
+        }
+        assert got == expected, f"threshold={threshold} S={n_slices}"
+
+
+def test_minhash_hybrid_routing_identical(crafted):
+    """op79's opt-in hot-bucket routing must be pair-for-pair identical
+    to the default direct banding join on the same corpus."""
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(crafted).collect()
+    }
+    routed = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(crafted, hot_bucket_threshold=1).collect()
+    }
+    assert routed == base and base  # non-empty: the planted dups pair
