@@ -146,6 +146,35 @@ def _oracle_fp(sql: str) -> str:
     return hashlib.sha256(sql.encode()).hexdigest()[:16]
 
 
+def _rows_snapshot_fps(root: str) -> dict[str, str] | None:
+    """{op: fingerprint of its golden-snapshot entry} for ROWS-only ops
+    (round-10 verdict item 4). A ROWS op's "oracle" is its entry in
+    tests/rows_snapshot_sf0.001.json — {n_rows, columns, hash} — so a
+    rewritten snapshot must demote the op exactly as a rewritten SQL
+    oracle does: the new checker has never gated a driver row. Returns
+    None when the snapshot file is absent (a tests-less deploy), in
+    which case the book keeps its on-disk entries and no ROWS demotion
+    fires — same degrade-gracefully rule as the rest of the fold."""
+    import hashlib
+    import json
+    import os
+
+    path = os.path.join(root, "tests", "rows_snapshot_sf0.001.json")
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+    except Exception:
+        return None
+    if not isinstance(snap, dict):
+        return None
+    return {
+        key: hashlib.sha256(
+            json.dumps(ent, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        for key, ent in snap.items()
+    }
+
+
 def _load_fp_book(root: str) -> dict[str, dict]:
     import json
     import os
@@ -173,11 +202,21 @@ def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
     import tempfile
 
     book = _load_fp_book(root)
+    rows_fps = _rows_snapshot_fps(root)
     changed = False
     for key, op in REGISTRY.items():
-        if op.oracle is None:
+        if op.oracle is not None:
+            fp = _oracle_fp(op.oracle)
+        elif rows_fps is not None and key in rows_fps:
+            # ROWS-only op: fingerprint its golden-snapshot entry
+            # (round-10 verdict item 4 — a snapshot rewrite re-fronts
+            # the sweep like an oracle rewrite).
+            fp = rows_fps[key]
+        else:
+            # ROWS op with no snapshot entry yet (brand-new — it has
+            # no green row to protect) or no snapshot file on disk:
+            # nothing to fingerprint, keep any on-disk entry as-is.
             continue
-        fp = _oracle_fp(op.oracle)
         ent = book.get(key)
         # Heal BOTH divergence shapes (round-10 review): a changed fp,
         # and a malformed entry (non-dict, or a since_round that isn't
@@ -253,11 +292,17 @@ def certified_rounds(root: str) -> dict[str, int]:
     fp_book = refresh_oracle_fps(root, latest)
     for key in list(certified):
         op = REGISTRY.get(key)
-        if op is None or op.oracle is None:
+        if op is None:
             continue
-        if green_kind.get(key) == "rows":
+        if op.oracle is not None and green_kind.get(key) == "rows":
             certified.pop(key, None)  # rule 1: oracle upgrade
             continue
+        # Rule 2 applies to BOTH oracle kinds (round-10 verdict item 4):
+        # for SQL ops the book fingerprints the oracle text; for ROWS
+        # ops it fingerprints the golden-snapshot entry. Either way a
+        # green row older than since_round certified a different
+        # checker. ROWS ops without a book entry (no snapshot file on
+        # disk) fall through with since=0 → never demoted here.
         ent = fp_book.get(key)
         # refresh_oracle_fps guarantees every registered SQL op has a
         # well-formed entry (malformed ones are healed in-memory even

@@ -230,6 +230,82 @@ def test_sweep_order_demotes_rewritten_oracles(tmp_path):
     assert healed[sql_op]["since_round"] == 4
 
 
+def test_sweep_order_demotes_rewritten_rows_snapshots(tmp_path):
+    """Round-10 verdict item 4: a ROWS-only op's checker is its golden
+    snapshot entry (tests/rows_snapshot_sf0.001.json). Rewriting that
+    entry must re-front the op exactly as a rewritten SQL oracle does
+    — its old rows-green gated a DIFFERENT snapshot. Mirrors
+    test_sweep_order_demotes_rewritten_oracles with the snapshot file
+    as the fingerprinted text."""
+    import json
+
+    from ocdb_server_spark.registry import (
+        _sweep_order,
+        certified_rounds,
+        load_all,
+    )
+
+    ops = load_all()
+    rows_op = "op194_minhash_rollup"
+    assert ops[rows_op].oracle is None  # stays ROWS-only by design
+    green_rows = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
+    }
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({rows_op: green_rows, "op_other": green_sql})
+    )
+    fpdir = tmp_path / "ocdb_server_spark"
+    fpdir.mkdir()
+    tdir = tmp_path / "tests"
+    tdir.mkdir()
+    snap_entry = {"n_rows": 7, "columns": ["a", "b"], "hash": "c0ffee"}
+    (tdir / "rows_snapshot_sf0.001.json").write_text(
+        json.dumps({rows_op: snap_entry})
+    )
+    import hashlib
+
+    cur_fp = hashlib.sha256(
+        json.dumps(snap_entry, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+    # Case 1: book fp matches the snapshot, green postdates since_round
+    # → stays certified.
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({rows_op: {"fp": cur_fp, "since_round": 2}})
+    )
+    assert rows_op in certified_rounds(str(tmp_path))
+
+    # Case 2: the snapshot entry is REWRITTEN (regenerated after a
+    # semantics change) — refresh must heal the book (since_round =
+    # latest recorded round + 1 = 4) and the demotion fires.
+    (tdir / "rows_snapshot_sf0.001.json").write_text(
+        json.dumps({rows_op: {**snap_entry, "hash": "deadbeef"}})
+    )
+    ordered = _sweep_order(["op_other", rows_op], root=str(tmp_path))
+    assert ordered[0] == rows_op, (
+        f"rewritten-snapshot op must re-certify first: {ordered}"
+    )
+    healed = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert healed[rows_op]["since_round"] == 4
+    assert healed[rows_op]["fp"] != cur_fp
+
+    # Case 3: no snapshot file on disk (tests-less deploy) — nothing to
+    # fingerprint: the on-disk book is kept as-is and no ROWS demotion
+    # fires (degrade-gracefully, never crash or spuriously demote).
+    (tdir / "rows_snapshot_sf0.001.json").unlink()
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({rows_op: {"fp": cur_fp, "since_round": 2}})
+    )
+    assert rows_op in certified_rounds(str(tmp_path))
+    kept = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert kept[rows_op] == {"fp": cur_fp, "since_round": 2}
+
+
 @pytest.mark.parametrize("name", ALL_OPS)
 def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
     df = OPS[name].fn(spark, sf_dir)
