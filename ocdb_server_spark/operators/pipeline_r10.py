@@ -333,38 +333,14 @@ def zstd_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
-@register("op261_zstd_seekable_ingest", oracle=_OP261_SQL)
-def op261_zstd_seekable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPLITTABLE ZSTD — op260's BGZF story for the codec large
-    corpora actually ship (round-9 verdict item 4): the documents
-    table exported as ONE seekable-zstd file (sources/
-    zstd_seekable.py — standard zstd frames + the public seekable
-    format's seek-table skippable frame), then split-read.
-
-    Same three-stage, all-executor split path as op260, with BETTER
-    metadata economics: (1) one task streams the corpus through
-    iter_seekable_zstd (one ≤48 KiB batch in memory, frames flushed
-    at record boundaries — a split can never tear a record) and
-    appends the seek table; (2) the manifest comes from ONE 9-byte
-    footer read + one table read per file (read_seek_table) — op260's
-    BGZF walk pays a header hop per 64 KiB member, the seek table is
-    a single parquet-footer-style read regardless of frame count;
-    (3) manifest ROWS (never payload bytes) shuffle to a
-    repartition(8) fan-out; each task range-reads and one-shot
-    decompresses its frames with libzstd, output size verified
-    against the table. At 100 TB the table is ~8 bytes/frame and the
-    frame reads fan out to maxPartitionBytes-sized task groups.
-
-    COMPATIBLE: skippable frames are core zstd (RFC 8878 §3.1.2) —
-    the file is a valid multi-frame zstd stream any stock decoder
-    reads end-to-end, table silently skipped (pinned against
-    pyarrow's libzstd one-shot decoder in tests/test_zstd_seekable.py,
-    the same interop discipline as test_bgzf's stdlib-gzip pin).
-
-    The per-lang aggregate over the re-read frame hash-matching the
-    original-parquet oracle certifies JSON→zstd→seek-table-split→
-    decompress loses nothing; the 1-row manifest collect() forces the
-    write before the read plan is returned (op252's rule)."""
+def zstd_single_file_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-FILE seekable-zstd demo (op261's original registered
+    shape, kept as a test fixture per the round-10 verdict item 3):
+    ONE coalesce(1) task streams the corpus into one archive, then the
+    split-read fans ITS frames across >1 task — the proof that a
+    single seekable-zstd file is splittable. Not the production write
+    path (that's op261's registered zstd_export_docs_parallel plan);
+    pinned in tests/test_zstd_seekable.py."""
     import os
 
     from ocdb_server_spark.scratch import scratch_dir
@@ -382,3 +358,52 @@ def op261_zstd_seekable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert len(manifest) == 1 and manifest[0].n_frames > 1
     return zstd_read_lang_agg(spark, [path])
+
+
+@register("op261_zstd_seekable_ingest", oracle=_OP261_SQL)
+def op261_zstd_seekable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITTABLE ZSTD — op260's BGZF story for the codec large
+    corpora actually ship (round-9 verdict item 4): the documents
+    table exported as seekable-zstd (sources/zstd_seekable.py —
+    standard zstd frames + the public seekable format's seek-table
+    skippable frame), then split-read.
+
+    WRITE (round-10 verdict item 3 — the parallel writer IS the
+    registered plan): zstd_export_docs_parallel fans the corpus over
+    8 concurrent tasks, each streaming ITS partition through
+    iter_seekable_zstd (one ≤48 KiB batch in memory, frames flushed
+    at record boundaries — a split can never tear a record) into its
+    own archive + seek table. Measured −79% writer wall at 100×
+    corpus vs the single-task form (BASELINE.md round 10); the
+    single-file demo survives as zstd_single_file_demo, certified
+    equal in tests/test_zstd_seekable.py.
+
+    READ — same three-stage, all-executor split path as op260, with
+    BETTER metadata economics: (1) the manifest costs ONE 9-byte
+    footer read + one table read per file (read_seek_table) — op260's
+    BGZF walk pays a header hop per 64 KiB member, the seek table is
+    a single parquet-footer-style read regardless of frame count;
+    (2) manifest ROWS (never payload bytes) shuffle to a
+    repartition(8) fan-out; (3) each task range-reads and one-shot
+    decompresses its frames with libzstd, output size verified
+    against the table. The read is file-count-agnostic: the same plan
+    consumes 1 or N archives. At 100 TB the table is ~8 bytes/frame
+    and the frame reads fan out to maxPartitionBytes-sized task
+    groups.
+
+    COMPATIBLE: skippable frames are core zstd (RFC 8878 §3.1.2) —
+    every file is a valid multi-frame zstd stream any stock decoder
+    reads end-to-end, table silently skipped (pinned against
+    pyarrow's libzstd one-shot decoder in tests/test_zstd_seekable.py,
+    the same interop discipline as test_bgzf's stdlib-gzip pin).
+
+    The per-lang aggregate over the re-read frames hash-matching the
+    original-parquet oracle certifies JSON→zstd→seek-table-split→
+    decompress loses nothing; zstd_export_docs_parallel's manifest
+    collect() forces the write before the read plan is returned
+    (op252's rule)."""
+    from ocdb_server_spark.scratch import scratch_dir
+
+    out_dir = scratch_dir("zstd_jsonl_par", sf_dir)
+    paths = zstd_export_docs_parallel(spark, sf_dir, out_dir, partitions=8)
+    return zstd_read_lang_agg(spark, paths)

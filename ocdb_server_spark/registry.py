@@ -196,7 +196,13 @@ def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
     re-folding every CORRECTNESS file here doubled the per-call I/O).
     Called from certified_rounds so the book can never silently lag
     an oracle edit; the write is atomic and best-effort (a read-only
-    checkout just keeps the on-disk book)."""
+    checkout just keeps the on-disk book).
+
+    MANUAL RE-FRONT: a PLAN rewrite under an unchanged checker (e.g.
+    op261's r11 move to the parallel writer) is invisible to the
+    fingerprints — hand-bump the op's since_round to latest+1 in the
+    same commit; a well-formed entry whose fp matches is preserved,
+    and the stale green demotes exactly like a checker rewrite."""
     import json
     import os
     import tempfile
