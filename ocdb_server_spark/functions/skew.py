@@ -78,6 +78,7 @@ def hybrid_selfjoin_pairs(
     id_col: str,
     threshold: int = 10_000,
     n_slices: int = 8,
+    max_broadcast_buckets: int = 100_000,
 ) -> DataFrame:
     """Within-bucket unordered candidate pairs (id_a < id_b), with
     ONLY oversized buckets routed through a blocked triangle self-join
@@ -109,23 +110,42 @@ def hybrid_selfjoin_pairs(
     threshold=0 all-triangle sweep).
 
     Callers that tolerate duplicate candidates across DIFFERENT
-    buckets (op79's 4 LSH bands) keep their own .distinct() after."""
-    on_bucket = " AND ".join(f"l.{c} = r.{c}" for c in bucket_cols)
-    big = (
+    buckets (op79's 4 LSH bands) keep their own .distinct() after.
+
+    INPUT REUSE: df is consumed three times (the bucket-size agg, the
+    semi and the anti route) — if the caller hasn't already persisted
+    it (op79 does), it is pool_persist'ed here so the routing doesn't
+    recompute the upstream lineage thrice.
+
+    BROADCAST GUARD: `big` is the skew TAIL by construction, but a
+    pathological threshold (tests use 0) or a heavy-tailed corpus can
+    make it large, and F.broadcast bypasses autoBroadcastJoinThreshold.
+    The oversized-bucket list is therefore counted first (one job over
+    the persisted agg) and the routing falls back to shuffle semi/anti
+    joins past max_broadcast_buckets rows — correctness identical,
+    just a shuffle instead of a driver-held build side."""
+    from ocdb_server_spark.registry import pool_persist
+
+    q = lambda c: f"`{c}`"  # noqa: E731 — identifiers may need quoting
+    on_bucket = " AND ".join(f"l.{q(c)} = r.{q(c)}" for c in bucket_cols)
+    if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+        df = pool_persist(df)
+    big = pool_persist(
         df.groupBy(*bucket_cols)
         .count()
         .filter(F.col("count") > threshold)
         .drop("count")
     )
-    d_big = df.join(F.broadcast(big), bucket_cols, "left_semi")
-    d_small = df.join(F.broadcast(big), bucket_cols, "left_anti")
+    big_side = big if big.count() > max_broadcast_buckets else F.broadcast(big)
+    d_big = df.join(big_side, bucket_cols, "left_semi")
+    d_small = df.join(big_side, bucket_cols, "left_anti")
     small = (
         d_small.alias("l")
         .join(
             d_small.alias("r").hint("merge"),
-            F.expr(f"{on_bucket} AND l.{id_col} < r.{id_col}"),
+            F.expr(f"{on_bucket} AND l.{q(id_col)} < r.{q(id_col)}"),
         )
-        .selectExpr(f"l.{id_col} AS id_a", f"r.{id_col} AS id_b")
+        .selectExpr(f"l.{q(id_col)} AS id_a", f"r.{q(id_col)} AS id_b")
     )
     S = int(n_slices)
     d2 = d_big.withColumn(
@@ -149,13 +169,13 @@ def hybrid_selfjoin_pairs(
             rrep.alias("r").hint("merge"),
             F.expr(
                 f"{on_bucket} AND l._i = r._i AND l._j = r._j"
-                f" AND (l._i < l._j OR l.{id_col} < r.{id_col})"
-                f" AND l.{id_col} != r.{id_col}"
+                f" AND (l._i < l._j OR l.{q(id_col)} < r.{q(id_col)})"
+                f" AND l.{q(id_col)} != r.{q(id_col)}"
             ),
         )
         .selectExpr(
-            f"least(l.{id_col}, r.{id_col}) AS id_a",
-            f"greatest(l.{id_col}, r.{id_col}) AS id_b",
+            f"least(l.{q(id_col)}, r.{q(id_col)}) AS id_a",
+            f"greatest(l.{q(id_col)}, r.{q(id_col)}) AS id_b",
         )
     )
     return small.unionAll(tri)

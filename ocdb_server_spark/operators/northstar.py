@@ -142,6 +142,7 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_bucket_threshold: int | None = None,
+    n_slices: int = 8,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs (Broder '97; cf.
     Spark MLlib MinHashLSH — reimplemented here as pure JVM column ops,
@@ -164,7 +165,13 @@ def minhash_neardup_pairs(
     28.4×→1.4×) — the production switch for corpora whose template
     pages / boilerplate collapse millions of docs into one band
     bucket. Output is pair-for-pair identical either way (pinned in
-    tests/test_northstar.py)."""
+    tests/test_northstar.py).
+
+    n_slices: triangle slice count passed through to
+    hybrid_selfjoin_pairs when hot-bucket routing is on (round-10
+    ADVICE — callers sizing for very large buckets want ~|B|/S rows
+    per reducer cell, so S should grow with the expected bucket
+    size). Ignored under the default direct self-join."""
     # Every multi-term expression below is built as ONE SQL string
     # parsed JVM-side in a single F.expr/selectExpr round trip — the
     # Column-object formulation cost ~1600 py4j round trips (~0.3 s of
@@ -222,6 +229,7 @@ def minhash_neardup_pairs(
                 ["band_idx", "band_hash"],
                 "doc_id",
                 threshold=hot_bucket_threshold,
+                n_slices=n_slices,
             )
             .selectExpr("id_a AS doc_a", "id_b AS doc_b")
             .distinct()

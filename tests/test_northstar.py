@@ -188,9 +188,40 @@ def test_hybrid_selfjoin_pairs_matches_direct(bucketed):
         assert got == expected, f"threshold={threshold} S={n_slices}"
 
 
+def test_hybrid_selfjoin_shuffle_fallback_and_quoting(spark, bucketed):
+    """Round-10 ADVICE hardening: (1) when the oversized-bucket list
+    exceeds max_broadcast_buckets the routing falls back to shuffle
+    semi/anti joins — same pair set, no F.broadcast of an unbounded
+    list; (2) bucket/id identifiers needing backticks (space, hyphen)
+    are quoted in every interpolated SQL fragment."""
+    from ocdb_server_spark.functions.skew import hybrid_selfjoin_pairs
+
+    expected = _direct_bucket_pairs(bucketed)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hybrid_selfjoin_pairs(
+            bucketed, ["b"], "doc_id", threshold=0, n_slices=3,
+            max_broadcast_buckets=0,  # force the shuffle route
+        ).collect()
+    }
+    assert got == expected
+
+    awkward = bucketed.withColumnRenamed("b", "bucket key").withColumnRenamed(
+        "doc_id", "doc-id"
+    )
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in hybrid_selfjoin_pairs(
+            awkward, ["bucket key"], "doc-id", threshold=100, n_slices=4
+        ).collect()
+    }
+    assert got2 == expected
+
+
 def test_minhash_hybrid_routing_identical(crafted):
     """op79's opt-in hot-bucket routing must be pair-for-pair identical
-    to the default direct banding join on the same corpus."""
+    to the default direct banding join on the same corpus — including
+    under a non-default n_slices (the round-10 ADVICE plumb)."""
     base = {
         (r["doc_a"], r["doc_b"])
         for r in minhash_neardup_pairs(crafted).collect()
@@ -200,3 +231,10 @@ def test_minhash_hybrid_routing_identical(crafted):
         for r in minhash_neardup_pairs(crafted, hot_bucket_threshold=1).collect()
     }
     assert routed == base and base  # non-empty: the planted dups pair
+    sliced = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_neardup_pairs(
+            crafted, hot_bucket_threshold=1, n_slices=3
+        ).collect()
+    }
+    assert sliced == base
