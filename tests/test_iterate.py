@@ -1,0 +1,89 @@
+"""functions/iterate.py — the general unbounded-recursion surface
+(round-10 verdict "what's missing" item 2). Pins: default any-diff
+probe convergence, telemetry shape, loud exhaustion, and that
+connected_components through the helper still produces the exact
+min-label fixpoint (with telemetry exposed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocdb_server_spark.functions.iterate import (
+    any_row_differs,
+    iterate_to_fixpoint,
+)
+from ocdb_server_spark.operators.components import connected_components
+
+
+def _chain_edges(spark, n):
+    """0-1-2-...-n chain: min-label propagation needs ~n iterations —
+    the diameter-bound shape."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+
+
+def test_default_probe_converges_min_propagation(spark):
+    """Generic exceptAll probe on a toy min-propagation over a chain:
+    converges to all-zeros labels in ~diameter iterations."""
+    edges = _chain_edges(spark, 5).localCheckpoint()
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+
+    def step(labels):
+        nm = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nc"))
+        )
+        return labels.join(nm, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nc", "component")).alias(
+                "component"
+            ),
+        )
+
+    tele = []
+    out = iterate_to_fixpoint(labels0, step, telemetry=tele)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(6)}
+    # telemetry: one row per iteration, monotone iteration index,
+    # last probe result 0, every row carries the three keys
+    assert [t["iteration"] for t in tele] == list(range(1, len(tele) + 1))
+    assert tele[-1]["changed"] == 0 and all(
+        set(t) == {"iteration", "changed", "seconds"} for t in tele
+    )
+    assert len(tele) >= 3  # a 5-chain can't converge in fewer
+
+
+def test_exhaustion_raises_loudly(spark):
+    edges = _chain_edges(spark, 8)
+    with pytest.raises(ValueError, match="no fixpoint after 2"):
+        connected_components(edges, max_iter=2)
+
+
+def test_any_row_differs_probe(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+    assert any_row_differs(a, a.select("k", "v")) == 0
+    assert any_row_differs(a, b) == 1
+
+
+def test_connected_components_telemetry_and_fixpoint(spark):
+    """Two triangles + an isolated edge: exact components, and the
+    helper's telemetry shows the convergence trajectory (small-clique
+    graphs converge in 2-3 iterations — the docstring's claim)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long",
+    )
+    tele = []
+    out = connected_components(edges, telemetry=tele)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert 2 <= len(tele) <= 3 and tele[-1]["changed"] == 0
