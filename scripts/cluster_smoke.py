@@ -48,6 +48,14 @@ OPS = [
     "op75_dedup_exact",
     "op79_minhash_neardup",
     "op96_dedup_components",
+    # The risky executor-side paths beyond the headliners: IVF's
+    # broadcast codebook crossing a real process boundary, and the two
+    # transformWithStateInPandas shapes — RocksDB state provider +
+    # the (possibly vendored) protobuf Python state server running in
+    # executor-forked Python workers, not the driver's process tree.
+    "op95_sim_ivf_knn",
+    "op206_stream_tws_user_stats",
+    "op218_stream_tws_topk",
 ]
 
 
