@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Cluster-mode THROUGHPUT delta (round-11 handoff item 4): price the
+netty transport per shuffled byte.
+
+scripts/cluster_smoke.py proved the plans are transport-agnostic
+(row-identical results over a real standalone cluster); this script
+asks the throughput question the smoke deliberately didn't: what does
+crossing a process boundary COST per shuffled MiB, versus local[16]'s
+in-process byte copy? That number is the missing coefficient in the
+100 TB story — every stress slope so far (BASELINE.md 10x/30x/100x
+tables) was measured on a single-JVM transport that never serializes
+a shuffle block onto a socket.
+
+Protocol: build (or adopt) the REP-times replicated ≈sf1 dataset via
+scripts/stress_scale.py's ensure_dataset — the SAME bytes the slope
+study measures — then run each op under two same-shape sessions:
+
+- standalone cluster: master + 2 workers on this box, 2 executor JVMs
+  x 8 cores, every exchange crossing the netty shuffle service
+  between processes (cluster_smoke's daemons, reused);
+- local[16]: one JVM, same total cores, same shuffle partitions (16),
+  same batch profile (AQE on — the cluster-scale shape).
+
+Per op: warm once (codegen + op-internal persists), then best-of-3
+FRESH-instance executions (new shuffle deps per rep — the round-8
+corrected methodology, see bench.py), with per-stage shuffle
+read/write bytes scraped from the Spark UI REST API over the first
+timed execution's window (skew_stress's _stage_rows).
+
+The op set spans the shuffle-volume spectrum so the transport price
+can be separated from the fixed per-job cluster overhead:
+
+- op39  multiway star     — CONTROL: dims broadcast, ~zero shuffle
+                            rows; its delta is pure per-job overhead
+                            (remote scheduling + broadcast to a real
+                            second JVM).
+- op17  groupBy agg       — thin exchange (partial-agg output only).
+- op114 Q3 top-10 revenue — the byte mover: lineitem + orders both
+                            shuffle on the order key, 10-row result.
+- op75  exact dedup       — digest-only shuffle (16-byte md5 keys).
+- op79  MinHash banding   — signature self-join, the LSH shuffle.
+- op96  dedup components  — iterate_to_fixpoint: MANY small
+                            exchanges (per-iteration jobs), the
+                            round-trip-latency-sensitive shape.
+
+Output: a markdown table (for BASELINE.md) + one JSON summary line.
+The headline figure is ms per shuffled MiB after subtracting the
+control op's fixed delta from each shuffle-bearing op.
+
+Usage: python scripts/cluster_throughput.py [REP] [--only=opA,opB]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cluster_smoke import MASTER_URL, start_cluster, stop_cluster  # noqa: E402
+from stress_scale import ensure_dataset, parse_args  # noqa: E402
+
+CONTROL = "op39_join_multiway_star"
+OPS = (
+    CONTROL,
+    "op17_agg_groupby",
+    "op114_join_topk_revenue",
+    "op75_dedup_exact",
+    "op79_minhash_neardup",
+    "op96_dedup_components",
+)
+UI_PORT = {"standalone": 4055, "local": 4056}
+
+
+def _shuffle_totals(ui: str) -> tuple[int, int]:
+    """Cumulative (read, write) shuffle bytes across all executors
+    (driver included in local mode) from the UI REST API. Differenced
+    around one execution this is exact attribution — nothing else runs
+    concurrently — and immune to the stage-time-window misses a
+    per-stage scrape suffers (cluster stages can report their first
+    task launch from the executor clock side of a listener delay).
+    The status listener drains async; callers sleep before reading."""
+    with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+        app = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/executors"
+    ) as r:
+        ex = json.load(r)
+    return (
+        sum(e.get("totalShuffleRead", 0) for e in ex),
+        sum(e.get("totalShuffleWrite", 0) for e in ex),
+    )
+
+
+def run_suite(
+    master: str, data: str, label: str, queries: tuple[str, ...]
+) -> dict[str, dict]:
+    from ocdb_server_spark import io as eio
+    from ocdb_server_spark.registry import load_all, release_pool
+    from ocdb_server_spark.session import get_spark
+
+    extra = {
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT[label]),
+    }
+    if master.startswith("spark://"):
+        extra.update({
+            "spark.executor.memory": "6g",
+            "spark.executor.cores": "8",
+            "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+                [REPO, os.path.join(REPO, "vendor")]
+            ),
+        })
+    spark = get_spark(
+        app_name=f"cluster_tp_{label}",
+        master=master,
+        shuffle_partitions=16,
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = f"http://127.0.0.1:{UI_PORT[label]}"
+    ops = load_all()
+    # warm_cache auto-sizes slices from defaultParallelism, which on a
+    # standalone master is max(registered cores, 2) — executors take a
+    # few seconds to register, and warming before they do builds 8-slice
+    # caches where local[16] builds 64 (observed: same op17 plan then
+    # shuffles 8x fewer partial-agg rows on the cluster — not an
+    # apples-to-apples transport comparison). Wait for the full 16.
+    t0 = time.time()
+    while (
+        spark.sparkContext.defaultParallelism < 16
+        and time.time() - t0 < 60
+    ):
+        time.sleep(0.5)
+    par = spark.sparkContext.defaultParallelism
+    if par < 16:
+        raise SystemExit(f"{label}: only {par} cores registered after 60 s")
+    eio.clear_cache()
+    eio.warm_cache(spark, data)
+    out: dict[str, dict] = {}
+    for name in queries:
+        fn = ops[name].fn
+        fn(spark, data).toArrow()  # warm: codegen + op-internal persists
+        best, rd, wr = float("inf"), 0, 0
+        for i in range(3):
+            df = fn(spark, data)  # fresh instance: new shuffle deps
+            if i == 0:
+                time.sleep(0.6)  # listener drain before the baseline read
+                r0, w0 = _shuffle_totals(ui)
+            tp = time.perf_counter()
+            df.toArrow()
+            dt = time.perf_counter() - tp
+            if i == 0:
+                time.sleep(0.6)
+                r1, w1 = _shuffle_totals(ui)
+                rd, wr = r1 - r0, w1 - w0
+            best = min(best, dt)
+        out[name] = {"sec": round(best, 3), "shuf_read": rd, "shuf_write": wr}
+        print(f"  {label:10s} {name}: {best:.3f} s, "
+              f"shuffle r/w {rd/2**20:.1f}/{wr/2**20:.1f} MiB",
+              file=sys.stderr)
+    eio.clear_cache()
+    release_pool()
+    spark.stop()
+    time.sleep(2)  # let the gateway JVM settle before the next builder
+    return out
+
+
+def main() -> int:
+    from ocdb_server_spark.session import get_spark
+
+    rep, only = parse_args(sys.argv[1:])
+    queries = tuple(only) if only else OPS
+
+    # Build (or adopt) the shared REP-times dataset with a plain local
+    # builder session, then tear it down so each measured suite gets a
+    # clean session of its own shape.
+    spark = get_spark(app_name="cluster_tp_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    data = ensure_dataset(spark, rep)
+    spark.stop()
+    time.sleep(2)
+
+    procs, workdirs = start_cluster()
+    try:
+        cluster = run_suite(MASTER_URL, data, "standalone", queries)
+    finally:
+        stop_cluster(procs, workdirs)
+    local = run_suite("local[16]", data, "local", queries)
+
+    rows = []
+    fixed = (
+        cluster[CONTROL]["sec"] - local[CONTROL]["sec"]
+        if CONTROL in cluster else 0.0
+    )
+    priced_delta = priced_bytes = 0.0
+    for name in queries:
+        c, l = cluster[name], local[name]
+        delta = c["sec"] - l["sec"]
+        mib = c["shuf_read"] / 2**20
+        # Only byte-bearing ops price the transport: below ~1 MiB the
+        # delta is all fixed per-job overhead and dividing by near-zero
+        # bytes manufactures absurd per-MiB figures.
+        if name != CONTROL and mib >= 1.0:
+            priced_delta += max(0.0, delta - fixed)
+            priced_bytes += mib
+        raw = f"{delta*1000/mib:.0f}" if mib > 0.05 else "—"
+        rows.append(
+            f"| {name} | {l['sec']:.2f} | {c['sec']:.2f} | "
+            f"{c['sec']/l['sec']:.2f}x | {mib:.1f} | {raw} |"
+        )
+    price = priced_delta * 1000 / priced_bytes if priced_bytes else float("nan")
+    print("| op | local[16] s | cluster s | ratio | shuffle MiB | raw Δms/MiB |")
+    print("|---|---|---|---|---|---|")
+    print("\n".join(rows))
+    print(
+        f"fixed per-op cluster overhead (control {CONTROL}): "
+        f"{fixed*1000:+.0f} ms; netty price after subtracting it: "
+        f"{price:.1f} ms/shuffled-MiB over {priced_bytes:.0f} MiB",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "cluster_throughput",
+        "rep": rep,
+        "transport": "standalone 2 workers x 8 cores vs local[16], "
+                     "shuffle_partitions=16, batch profile",
+        "fixed_overhead_sec": round(fixed, 3),
+        "price_ms_per_shuffled_mib": round(price, 2),
+        "priced_mib": round(priced_bytes, 1),
+        "cluster": cluster,
+        "local": local,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -149,9 +149,57 @@ QUERIES = (
 )
 
 
-def main() -> None:
+def ensure_dataset(spark, rep: int) -> str:
+    """Build (or adopt) the REP× replicated dataset under the system
+    tmpdir and return its path. Shared by this script's slope study
+    and scripts/cluster_throughput.py's netty-transport pricing, so
+    both measure the exact same bytes.
+
+    Build goes into a temp name and is atomically renamed on
+    completion, so a run interrupted mid-build never leaves a partial
+    dataset that a later run silently measures against (round-7
+    ADVICE)."""
     from pyspark.sql import functions as F
 
+    from ocdb_server_spark import io as eio
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{rep}")
+    # reap .building litter from crashed/interrupted runs (the rename
+    # below cleans up the happy path; Ctrl-C mid-build does not) —
+    # only dirs whose owning PID is gone, never a concurrent builder's
+    reap_stale_builds(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{rep}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    build_dir = out_dir + f".building.{os.getpid()}"
+    os.makedirs(build_dir, exist_ok=True)
+    for name in SINGLE:
+        eio.load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(build_dir, f"{name}.parquet")
+        )
+    for name, keys in REPLICATED.items():
+        src = eio.load_table(spark, SRC, name)
+        parts = []
+        for i in range(rep):
+            df = src
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if name == "documents" and i > 0:
+                df = df.withColumn(
+                    "text", F.translate("text", _ALPHA, _rotated(i))
+                )
+            parts.append(df)
+        rep_df = parts[0]
+        for p in parts[1:]:
+            rep_df = rep_df.unionByName(p)
+        rep_df.write.mode("overwrite").parquet(
+            os.path.join(build_dir, f"{name}.parquet")
+        )
+    out = publish_build(build_dir, out_dir)
+    print(f"built or adopted {out} (REP={rep})", file=sys.stderr)
+    return out
+
+
+def main() -> None:
     from ocdb_server_spark import io as eio
     from ocdb_server_spark.registry import load_all
     from ocdb_server_spark.session import get_spark
@@ -165,41 +213,7 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"--only names unknown ops: {unknown}")
 
-    # Build into a temp name and atomically rename on completion, so a
-    # run interrupted mid-build never leaves a partial dataset that a
-    # later run silently measures against (round-7 ADVICE).
-    out_dir = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
-    # reap .building litter from crashed/interrupted runs (the rename
-    # below cleans up the happy path; Ctrl-C mid-build does not) —
-    # only dirs whose owning PID is gone, never a concurrent builder's
-    reap_stale_builds(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
-    if not os.path.isdir(out_dir):
-        build_dir = out_dir + f".building.{os.getpid()}"
-        os.makedirs(build_dir, exist_ok=True)
-        for name in SINGLE:
-            eio.load_table(spark, SRC, name).write.mode("overwrite").parquet(
-                os.path.join(build_dir, f"{name}.parquet")
-            )
-        for name, keys in REPLICATED.items():
-            src = eio.load_table(spark, SRC, name)
-            parts = []
-            for i in range(REP):
-                df = src
-                for k in keys:
-                    df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
-                if name == "documents" and i > 0:
-                    df = df.withColumn(
-                        "text", F.translate("text", _ALPHA, _rotated(i))
-                    )
-                parts.append(df)
-            rep = parts[0]
-            for p in parts[1:]:
-                rep = rep.unionByName(p)
-            rep.write.mode("overwrite").parquet(
-                os.path.join(build_dir, f"{name}.parquet")
-            )
-        publish_build(build_dir, out_dir)
-        print(f"built or adopted {out_dir} (REP={REP})", file=sys.stderr)
+    out_dir = ensure_dataset(spark, REP)
 
     def run(sf_dir: str) -> dict[str, float]:
         eio.clear_cache()
