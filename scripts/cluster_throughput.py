@@ -183,6 +183,56 @@ def run_suite(
     return out
 
 
+def summarize(
+    queries: tuple[str, ...],
+    cluster: dict[str, dict],
+    local: dict[str, dict],
+) -> dict:
+    """Derive the report from the two suites' raw measurements. Pure —
+    unit-tested in tests/test_scale_paths.py. Returns rows (markdown),
+    fixed (control delta, s), bound/bound_op (transport price upper
+    bound, ms per shuffled MiB over big movers), byte_parity_ok."""
+    rows = []
+    fixed = (
+        cluster[CONTROL]["sec"] - local[CONTROL]["sec"]
+        if CONTROL in cluster else 0.0
+    )
+    bound = float("inf")
+    bound_op = None
+    byte_parity_ok = True
+    for name in queries:
+        c, l = cluster[name], local[name]
+        delta = c["sec"] - l["sec"]
+        mib = c["shuf_read"] / 2**20
+        # Parity is checked on the WRITE side: map-output volume is
+        # plan-determined, while read bytes can legitimately exceed it
+        # on the cluster (fetch retries / multi-consumer re-reads —
+        # observed repeatedly on op79: read 6.8 vs write 5.75 MiB).
+        # Pricing still uses read bytes — that's what crosses the
+        # transport.
+        if l["shuf_write"] and abs(c["shuf_write"] - l["shuf_write"]) > max(
+            0.01 * l["shuf_write"], 1 << 16
+        ):
+            byte_parity_ok = False  # not the same plan — don't price it
+        # Only big byte-movers bound the transport price: below ~10 MiB
+        # the delta is dominated by fixed per-job overhead and dividing
+        # by small bytes manufactures absurd per-MiB figures.
+        if mib >= 10.0 and delta * 1000 / mib < bound:
+            bound, bound_op = delta * 1000 / mib, name
+        raw = f"{delta*1000/mib:.0f}" if mib > 0.05 else "—"
+        rows.append(
+            f"| {name} | {l['sec']:.2f} | {c['sec']:.2f} | "
+            f"{c['sec']/l['sec']:.2f}x | {mib:.1f} | {raw} |"
+        )
+    return {
+        "rows": rows,
+        "fixed": fixed,
+        "bound": bound,
+        "bound_op": bound_op,
+        "byte_parity_ok": byte_parity_ok,
+    }
+
+
 def main() -> int:
     from ocdb_server_spark.session import get_spark
 
@@ -205,45 +255,15 @@ def main() -> int:
         stop_cluster(procs, workdirs)
     local = run_suite("local[16]", data, "local", queries)
 
-    rows = []
-    fixed = (
-        cluster[CONTROL]["sec"] - local[CONTROL]["sec"]
-        if CONTROL in cluster else 0.0
-    )
-    bound = float("inf")
-    bound_op = None
-    byte_parity_ok = True
-    for name in queries:
-        c, l = cluster[name], local[name]
-        delta = c["sec"] - l["sec"]
-        mib = c["shuf_read"] / 2**20
-        # Parity is checked on the WRITE side: map-output volume is
-        # plan-determined, while read bytes can legitimately exceed it
-        # on the cluster (fetch retries / multi-consumer re-reads —
-        # observed once on op79: read 7.2 vs write 6.0 MiB). Pricing
-        # still uses read bytes — that's what crosses the transport.
-        if l["shuf_write"] and abs(c["shuf_write"] - l["shuf_write"]) > max(
-            0.01 * l["shuf_write"], 1 << 16
-        ):
-            byte_parity_ok = False  # not the same plan — don't price it
-        # Only big byte-movers bound the transport price: below ~10 MiB
-        # the delta is dominated by fixed per-job overhead and dividing
-        # by small bytes manufactures absurd per-MiB figures.
-        if mib >= 10.0 and delta * 1000 / mib < bound:
-            bound, bound_op = delta * 1000 / mib, name
-        raw = f"{delta*1000/mib:.0f}" if mib > 0.05 else "—"
-        rows.append(
-            f"| {name} | {l['sec']:.2f} | {c['sec']:.2f} | "
-            f"{c['sec']/l['sec']:.2f}x | {mib:.1f} | {raw} |"
-        )
+    s = summarize(queries, cluster, local)
     print("| op | local[16] s | cluster s | ratio | shuffle MiB | raw Δms/MiB |")
     print("|---|---|---|---|---|---|")
-    print("\n".join(rows))
+    print("\n".join(s["rows"]))
     print(
         f"fixed per-job cluster overhead (control {CONTROL}): "
-        f"{fixed*1000:+.0f} ms; transport price upper bound: "
-        f"{bound:.1f} ms/shuffled-MiB ({bound_op}); "
-        f"byte parity across transports: {byte_parity_ok}",
+        f"{s['fixed']*1000:+.0f} ms; transport price upper bound: "
+        f"{s['bound']:.1f} ms/shuffled-MiB ({s['bound_op']}); "
+        f"byte parity across transports: {s['byte_parity_ok']}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -251,10 +271,11 @@ def main() -> int:
         "rep": rep,
         "transport": "standalone 2 workers x 8 cores vs local[16], "
                      "shuffle_partitions=16, batch profile",
-        "fixed_overhead_sec": round(fixed, 3),
-        "price_bound_ms_per_mib": round(bound, 2) if bound_op else None,
-        "price_bound_op": bound_op,
-        "byte_parity_ok": byte_parity_ok,
+        "fixed_overhead_sec": round(s["fixed"], 3),
+        "price_bound_ms_per_mib":
+            round(s["bound"], 2) if s["bound_op"] else None,
+        "price_bound_op": s["bound_op"],
+        "byte_parity_ok": s["byte_parity_ok"],
         "cluster": cluster,
         "local": local,
     }))

@@ -170,3 +170,57 @@ def test_stress_build_reap_and_atomic_publish(tmp_path):
     got2 = publish_build(str(loser), str(out))
     assert got2 == str(out) and not loser.exists()
     assert (out / "partial.parquet").read_text() == "x"  # winner's data
+
+
+def test_cluster_throughput_summary_derivation():
+    """The throughput report's derivation is pure code over the two
+    suites' raw measurements — pin its edge rules: the control's delta
+    is the fixed overhead; only ops shuffling >=10 MiB bound the
+    per-MiB transport price (small movers divide a fixed-overhead
+    delta by near-zero bytes); parity is judged on plan-determined
+    WRITE bytes so a legitimate cluster-side re-read (op79's
+    reproducible read>write) doesn't fail it, while a real write
+    divergence (different plan) does."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from cluster_throughput import CONTROL, summarize
+
+    mib = 2**20
+
+    def m(sec, wr, rd=None):
+        return {"sec": sec, "shuf_read": rd if rd is not None else wr,
+                "shuf_write": wr}
+
+    queries = (CONTROL, "op_big", "op_small", "op_rereader")
+    local = {
+        CONTROL: m(0.50, 60_000),
+        "op_big": m(1.00, 100 * mib),
+        "op_small": m(0.20, 1 * mib),
+        "op_rereader": m(0.60, 6 * mib),
+    }
+    cluster = {
+        CONTROL: m(0.60, 60_000),
+        "op_big": m(1.20, 100 * mib),       # +200 ms over 100 MiB
+        "op_small": m(0.50, 1 * mib),       # +300 ms over 1 MiB: unpriced
+        # write parity holds; cluster re-reads an extra MiB (op79 shape)
+        "op_rereader": m(0.65, 6 * mib, rd=7 * mib),
+    }
+    s = summarize(queries, cluster, local)
+    assert s["fixed"] == pytest.approx(0.10)
+    # only op_big is >=10 MiB -> it sets the bound: 200 ms / 100 MiB
+    assert s["bound_op"] == "op_big"
+    assert s["bound"] == pytest.approx(2.0)
+    assert s["byte_parity_ok"] is True
+    assert len(s["rows"]) == 4 and all(r.startswith("| op") for r in s["rows"])
+
+    # a WRITE-side divergence >1% and >64 KiB means a different plan
+    cluster_bad = dict(cluster)
+    cluster_bad["op_big"] = m(1.20, 110 * mib)
+    assert summarize(queries, cluster_bad, local)["byte_parity_ok"] is False
+
+    # no big mover at all -> no bound op, bound stays inf
+    small_only = (CONTROL, "op_small")
+    s2 = summarize(small_only, cluster, local)
+    assert s2["bound_op"] is None and s2["bound"] == float("inf")
