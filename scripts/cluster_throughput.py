@@ -60,6 +60,11 @@ contains the op's own fixed overhead; clean-op deltas at or below
 the control's show the true per-byte term is smaller still).
 
 Usage: python scripts/cluster_throughput.py [REP] [--only=opA,opB]
+           [--execmem=6g]
+
+--execmem sizes the worker daemons and executor JVMs (default 6g) —
+the control knob that separates "two JVMs with less memory each"
+from "two JVMs, full stop" when a rep shows a cluster premium.
 """
 
 from __future__ import annotations
@@ -110,7 +115,11 @@ def _shuffle_totals(ui: str) -> tuple[int, int]:
 
 
 def run_suite(
-    master: str, data: str, label: str, queries: tuple[str, ...]
+    master: str,
+    data: str,
+    label: str,
+    queries: tuple[str, ...],
+    execmem: str = "6g",
 ) -> dict[str, dict]:
     from ocdb_server_spark import io as eio
     from ocdb_server_spark.registry import load_all, release_pool
@@ -122,7 +131,7 @@ def run_suite(
     }
     if master.startswith("spark://"):
         extra.update({
-            "spark.executor.memory": "6g",
+            "spark.executor.memory": execmem,
             "spark.executor.cores": "8",
             "spark.executorEnv.PYTHONPATH": os.pathsep.join(
                 [REPO, os.path.join(REPO, "vendor")]
@@ -238,6 +247,11 @@ def main() -> int:
 
     rep, only = parse_args(sys.argv[1:])
     queries = tuple(only) if only else OPS
+    execmem = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:]
+         if a.startswith("--execmem=")),
+        "6g",
+    )
 
     # Build (or adopt) the shared REP-times dataset with a plain local
     # builder session, then tear it down so each measured suite gets a
@@ -248,9 +262,11 @@ def main() -> int:
     spark.stop()
     time.sleep(2)
 
-    procs, workdirs = start_cluster()
+    procs, workdirs = start_cluster(mem=execmem)
     try:
-        cluster = run_suite(MASTER_URL, data, "standalone", queries)
+        cluster = run_suite(
+            MASTER_URL, data, "standalone", queries, execmem=execmem
+        )
     finally:
         stop_cluster(procs, workdirs)
     local = run_suite("local[16]", data, "local", queries)
@@ -269,6 +285,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "cluster_throughput",
         "rep": rep,
+        "execmem": execmem,
         "transport": "standalone 2 workers x 8 cores vs local[16], "
                      "shuffle_partitions=16, batch profile",
         "fixed_overhead_sec": round(s["fixed"], 3),
