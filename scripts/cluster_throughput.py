@@ -60,11 +60,15 @@ contains the op's own fixed overhead; clean-op deltas at or below
 the control's show the true per-byte term is smaller still).
 
 Usage: python scripts/cluster_throughput.py [REP] [--only=opA,opB]
-           [--execmem=6g]
+           [--execmem=6g] [--workers=2]
 
 --execmem sizes the worker daemons and executor JVMs (default 6g) —
 the control knob that separates "two JVMs with less memory each"
 from "two JVMs, full stop" when a rep shows a cluster premium.
+--workers splits the same 16 total cores across N executor JVMs
+(default 2x8) — the control knob for the fetch fan-in hypothesis:
+if a byte-mover's premium is serving-endpoint concentration, more
+endpoints at constant cores should shrink it.
 """
 
 from __future__ import annotations
@@ -120,6 +124,7 @@ def run_suite(
     label: str,
     queries: tuple[str, ...],
     execmem: str = "6g",
+    exec_cores: int = 8,
 ) -> dict[str, dict]:
     from ocdb_server_spark import io as eio
     from ocdb_server_spark.registry import load_all, release_pool
@@ -132,7 +137,7 @@ def run_suite(
     if master.startswith("spark://"):
         extra.update({
             "spark.executor.memory": execmem,
-            "spark.executor.cores": "8",
+            "spark.executor.cores": str(exec_cores),
             "spark.executorEnv.PYTHONPATH": os.pathsep.join(
                 [REPO, os.path.join(REPO, "vendor")]
             ),
@@ -252,6 +257,12 @@ def main() -> int:
          if a.startswith("--execmem=")),
         "6g",
     )
+    n_workers = int(next(
+        (a.split("=", 1)[1] for a in sys.argv[1:]
+         if a.startswith("--workers=")),
+        "2",
+    ))
+    exec_cores = 16 // n_workers
 
     # Build (or adopt) the shared REP-times dataset with a plain local
     # builder session, then tear it down so each measured suite gets a
@@ -262,10 +273,13 @@ def main() -> int:
     spark.stop()
     time.sleep(2)
 
-    procs, workdirs = start_cluster(mem=execmem)
+    procs, workdirs = start_cluster(
+        n_workers=n_workers, cores=exec_cores, mem=execmem
+    )
     try:
         cluster = run_suite(
-            MASTER_URL, data, "standalone", queries, execmem=execmem
+            MASTER_URL, data, "standalone", queries,
+            execmem=execmem, exec_cores=exec_cores,
         )
     finally:
         stop_cluster(procs, workdirs)
@@ -286,8 +300,10 @@ def main() -> int:
         "metric": "cluster_throughput",
         "rep": rep,
         "execmem": execmem,
-        "transport": "standalone 2 workers x 8 cores vs local[16], "
-                     "shuffle_partitions=16, batch profile",
+        "workers": n_workers,
+        "transport": f"standalone {n_workers} workers x {exec_cores} "
+                     "cores vs local[16], shuffle_partitions=16, "
+                     "batch profile",
         "fixed_overhead_sec": round(s["fixed"], 3),
         "price_bound_ms_per_mib":
             round(s["bound"], 2) if s["bound_op"] else None,
