@@ -17,6 +17,13 @@ nightly pipeline pays once per table, not per query.
 
 Usage: python scripts/stress_scale.py 10 --keep   # build the dataset
        python scripts/bucketed_stress.py [REP]    # then this (default 10)
+       python scripts/bucketed_stress.py [REP] --transports
+           # 2x2: (shuffle SMJ vs bucketed SMJ) x (standalone cluster
+           # vs local[16]). The round-11d law says the cluster premium
+           # is paid per REMOTE shuffled byte — so the bucketed layout
+           # (zero join-side exchanges) should show NO premium where
+           # the shuffle join pays one. This mode measures that claim
+           # directly on the real netty transport.
 
 At REP=100 (60M lineitem ⋈ 15M orders) the comparison hits exactly
 the regime BASELINE.md's corrected curve flags as op39's steepest
@@ -37,20 +44,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+REP = int(
+    next((a for a in sys.argv[1:] if not a.startswith("-")), "10")
+)
 DATA = os.path.join(tempfile.gettempdir(), f"ocdb_stress_sf1_rep{REP}")
 BUCKETS = 32 if REP <= 10 else 128
 
 
-def main() -> None:
+def run_transport(spark, suffix: str) -> dict:
+    """shuffle-vs-bucketed comparison on one session. Returns the two
+    best-of-3 fresh-exec times, the one-time layout write time, the
+    bucketed plan's Exchange count (asserted == the single pre-agg
+    one), and the results-identical check."""
     from pyspark.sql import functions as F
-
-    from ocdb_server_spark.session import get_spark
-
-    if not os.path.isdir(DATA):
-        sys.exit(f"{DATA} missing — run scripts/stress_scale.py {REP} --keep")
-    spark = get_spark(app_name="bucketed_stress", profile="interactive")
-    spark.sparkContext.setLogLevel("ERROR")
 
     li = spark.read.parquet(os.path.join(DATA, "lineitem.parquet")).select(
         "l_orderkey", "l_quantity"
@@ -88,8 +94,8 @@ def main() -> None:
     # one-time layout: both facts bucketed+sorted on the join key
     t0 = time.perf_counter()
     for name, df, key in (
-        (f"ocdb_stress_li_b_rep{REP}", li, "l_orderkey"),
-        (f"ocdb_stress_o_b_rep{REP}", o, "o_orderkey"),
+        (f"ocdb_stress_li_b_rep{REP}{suffix}", li, "l_orderkey"),
+        (f"ocdb_stress_o_b_rep{REP}{suffix}", o, "o_orderkey"),
     ):
         loc = os.path.join(tempfile.gettempdir(), f"ocdb_bucketed_{name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -105,8 +111,8 @@ def main() -> None:
         )
     layout_s = time.perf_counter() - t0
 
-    lib = spark.table(f"ocdb_stress_li_b_rep{REP}")
-    ob = spark.table(f"ocdb_stress_o_b_rep{REP}")
+    lib = spark.table(f"ocdb_stress_li_b_rep{REP}{suffix}")
+    ob = spark.table(f"ocdb_stress_o_b_rep{REP}{suffix}")
     bucketed_s = best_of(lambda: join_agg(lib, ob))
 
     plan = (
@@ -126,12 +132,90 @@ def main() -> None:
     a = join_agg(li, o).toPandas().sort_values("o_orderstatus")
     b = join_agg(lib, ob).toPandas().sort_values("o_orderstatus")
     same = a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    return {
+        "shuffle_s": shuffle_s,
+        "bucketed_s": bucketed_s,
+        "layout_s": layout_s,
+        "n_exch": n_exch,
+        "same": same,
+    }
 
-    print(f"| path | best-of-3 fresh exec | join-side exchanges |")
-    print(f"|---|---|---|")
-    print(f"| shuffle SMJ | {shuffle_s*1000:.0f} ms | (exchange+sort both sides) |")
-    print(f"| bucketed SMJ | {bucketed_s*1000:.0f} ms | {n_exch} pre-agg exchange(s) in plan |")
-    print(f"one-time bucketing write: {layout_s:.1f} s; results identical: {same}")
+
+def main() -> None:
+    from ocdb_server_spark.session import get_spark
+
+    if not os.path.isdir(DATA):
+        sys.exit(f"{DATA} missing — run scripts/stress_scale.py {REP} --keep")
+
+    if "--transports" not in sys.argv:
+        spark = get_spark(app_name="bucketed_stress", profile="interactive")
+        spark.sparkContext.setLogLevel("ERROR")
+        r = run_transport(spark, "")
+        print("| path | best-of-3 fresh exec | join-side exchanges |")
+        print("|---|---|---|")
+        print(f"| shuffle SMJ | {r['shuffle_s']*1000:.0f} ms "
+              "| (exchange+sort both sides) |")
+        print(f"| bucketed SMJ | {r['bucketed_s']*1000:.0f} ms "
+              f"| {r['n_exch']} pre-agg exchange(s) in plan |")
+        print(f"one-time bucketing write: {r['layout_s']:.1f} s; "
+              f"results identical: {r['same']}")
+        return
+
+    # --transports: the 2x2. Interactive profile (AQE off — the plan
+    # assert reads a deterministic executedPlan) at shuffle_partitions
+    # =16 on BOTH transports; the merge hint pins SMJ either way.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cluster_smoke import MASTER_URL, start_cluster, stop_cluster
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    procs, wds = start_cluster()
+    try:
+        spark = get_spark(
+            app_name="bucketed_tp_cluster",
+            master=MASTER_URL,
+            shuffle_partitions=16,
+            profile="interactive",
+            extra_conf={
+                "spark.executor.memory": "6g",
+                "spark.executor.cores": "8",
+                "spark.executorEnv.PYTHONPATH":
+                    f"{repo}{os.pathsep}{os.path.join(repo, 'vendor')}",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        while (
+            spark.sparkContext.defaultParallelism < 16
+            and time.time() - t0 < 60
+        ):
+            time.sleep(0.5)
+        results["cluster"] = run_transport(spark, "_c")
+        spark.stop()
+        time.sleep(2)
+    finally:
+        stop_cluster(procs, wds)
+    spark = get_spark(
+        app_name="bucketed_tp_local",
+        master="local[16]",
+        shuffle_partitions=16,
+        profile="interactive",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results["local"] = run_transport(spark, "_l")
+
+    c, l = results["cluster"], results["local"]
+    print("| join path | local[16] | cluster (2x8, netty) | cluster premium |")
+    print("|---|---|---|---|")
+    print(f"| shuffle SMJ (both facts exchange) | {l['shuffle_s']*1000:.0f} ms "
+          f"| {c['shuffle_s']*1000:.0f} ms "
+          f"| {(c['shuffle_s']-l['shuffle_s'])*1000:+.0f} ms |")
+    print(f"| bucketed SMJ (zero join-side exchange) "
+          f"| {l['bucketed_s']*1000:.0f} ms | {c['bucketed_s']*1000:.0f} ms "
+          f"| {(c['bucketed_s']-l['bucketed_s'])*1000:+.0f} ms |")
+    print(f"results identical on both transports: "
+          f"{c['same'] and l['same']}; one-time layout write "
+          f"cluster/local: {c['layout_s']:.1f}/{l['layout_s']:.1f} s")
 
 
 if __name__ == "__main__":
