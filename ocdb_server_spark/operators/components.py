@@ -165,7 +165,15 @@ def op96_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint hash-certifies the iterative min-label CC end to end.
     The LSH→CC composition (the approximate 100 TB candidate path)
     keeps its planted-cluster behavioral gates in
-    tests/test_components.py."""
+    tests/test_components.py.
+
+    Transport note: this op's many-tiny-exchanges fixpoint — the
+    shape naively expected to suffer most on a real shuffle service —
+    was FASTER on a 2-executor standalone cluster than local[16] in
+    every measured config at 10x and 30x data (0.70-0.95x; BASELINE
+    Round 11b-11e): its exchanges carry ~zero bytes and its stages
+    are few and coarse, so none of the measured cluster cost terms
+    apply, while two half-size JVMs GC better than one big one."""
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=_EXACT_NEARDUP_THRESHOLD,

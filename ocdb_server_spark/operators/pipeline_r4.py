@@ -313,6 +313,13 @@ def op159_bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly that. At 100 TB this is how nightly fact⋈fact joins skip
     their dominant shuffle; the bucket count scales to
     data-size/target-partition-size (8 here for the test corpus).
+    Transport-verified round 11 (bucketed_stress --transports,
+    BASELINE Round 11e): at 30x data the bucketed SMJ beats the
+    shuffle SMJ on BOTH local[16] (−39%) and a real 2-executor netty
+    cluster (−20%), results identical — with the caveat that bucket
+    count is a task-granularity knob too (small bucket-scan tasks
+    pay ~1 ms each in cluster RPC dispatch, so size buckets for
+    tens-of-MB files, not hundreds of tiny tasks).
 
     The aggregate after the join is the oracle-checked observable
     (join output itself is 60k rows of no analytic interest)."""

@@ -32,7 +32,12 @@ def get_spark(
       data, AQE's per-shuffle query-stage materialization adds ~0.2 s
       latency per query (measured at sf0.1) while its re-planning has
       nothing to improve — tiny exact stats are already known. Same
-      knob any Spark deployment tunes per workload.
+      knob any Spark deployment tunes per workload. The barrier cost
+      is LARGER on a real cluster: each stage materialization is a
+      full RPC round across processes, measured at ~0.1-0.15 s per
+      barrier on a 2-executor standalone cluster vs ~0.03 s in-JVM —
+      AQE-on was >half of the star join's cluster-vs-local premium
+      at 30x data (BASELINE.md Round 11e).
     extra_conf: overrides applied last (only effective at session
     creation — getOrCreate ignores confs on an existing session);
     used by scripts/skew_stress.py to re-enable the UI REST API for
