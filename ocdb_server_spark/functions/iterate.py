@@ -45,12 +45,42 @@ def any_row_differs(old: DataFrame, new: DataFrame) -> int:
     return new.exceptAll(old).limit(1).count()
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-iteration lineage truncation, two durabilities:
+
+    - local (default): `localCheckpoint` — blocks live in EXECUTOR
+      memory/disk with the lineage cut. Fastest, zero external
+      storage, the right call in one JVM — but an executor death
+      destroys blocks that, lineage gone, CANNOT be recomputed: the
+      job fails (measured, scripts/cluster_faultkill.py). Fine where
+      the retry story is "re-run the job".
+    - reliable: `checkpoint(eager=True)` — blocks are WRITTEN to the
+      SparkContext checkpoint directory (shared storage on a real
+      cluster: HDFS/S3), so losing any executor mid-loop recomputes
+      nothing and loses nothing. The production mode for long
+      fixpoints at 1000 executors, bought with one write+read of the
+      state per iteration. Requires `sc.setCheckpointDir(...)` —
+      checked here so the failure is a clear contract error, not a
+      mid-loop Py4J stack."""
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "iterate_to_fixpoint(reliable=True) needs a checkpoint "
+            "directory: call spark.sparkContext.setCheckpointDir(...) "
+            "with shared storage first (HDFS/S3 on a cluster)"
+        )
+    return df.checkpoint(eager=True)
+
+
 def iterate_to_fixpoint(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
     changed: Callable[[DataFrame, DataFrame], int] = any_row_differs,
     max_iter: int = 20,
     checkpoint: bool = True,
+    reliable: bool = False,
     telemetry: list[dict] | None = None,
     what: str = "iterate_to_fixpoint",
 ) -> DataFrame:
@@ -62,9 +92,18 @@ def iterate_to_fixpoint(
       lineage would otherwise re-run per iteration).
     - step: pure DataFrame→DataFrame iteration body. Loop-INVARIANT
       frames the body joins against (edge lists, dimension tables)
-      should be persisted/checkpointed by the caller ONCE, outside.
+      should be persisted/checkpointed by the caller ONCE, outside —
+      with the same durability as the loop: under reliable=True an
+      invariant held only in executor memory is still lost with the
+      executor.
     - changed: probe returning 0 iff converged; any-difference
       short-circuit by default.
+    - reliable: False (default) truncates lineage with
+      localCheckpoint (fast, executor-resident — an executor loss
+      mid-loop FAILS the job); True uses directory-backed
+      checkpoint() so the loop SURVIVES executor loss (see
+      _truncate_lineage; fault-injection-verified in
+      scripts/cluster_faultkill.py).
     - telemetry: optional list; one dict per iteration is appended:
       {"iteration", "changed", "seconds"} — "changed" is whatever the
       probe returned (0/1 for the default probe, a change count only
@@ -73,13 +112,13 @@ def iterate_to_fixpoint(
       must never ship silently.
     """
     if checkpoint:
-        state = state.localCheckpoint()
+        state = _truncate_lineage(state, reliable)
     n = -1
     for i in range(max_iter):
         t0 = time.time()
         new = step(state)
         if checkpoint:
-            new = new.localCheckpoint()  # O(1) plan per iteration
+            new = _truncate_lineage(new, reliable)  # O(1) plan per iter
         n = changed(state, new)
         state = new
         if telemetry is not None:

@@ -34,7 +34,10 @@ from ocdb_server_spark.registry import register
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, telemetry: list[dict] | None = None
+    edges: DataFrame,
+    max_iter: int = 20,
+    telemetry: list[dict] | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """(src, dst) edge frame → (id, component) with component = min id
     reachable. Vertices only appear if they occur in an edge.
@@ -46,20 +49,36 @@ def connected_components(
     than the generic exceptAll probe because the id column prunes),
     loud ValueError on max_iter exhaustion, and optional per-iteration
     telemetry ({iteration, changed, seconds}) for convergence
-    observability at scale."""
-    sym = (
+    observability at scale.
+
+    reliable=True switches BOTH the loop state and the loop-invariant
+    edge frame to directory-backed checkpoint() (requires
+    sc.setCheckpointDir on shared storage): an executor death
+    mid-loop then recomputes nothing and the job completes with the
+    identical result, where the default executor-resident
+    localCheckpoint blocks would be unrecoverable (both behaviors
+    fault-injection-measured — scripts/cluster_faultkill.py /
+    BASELINE.md Round 11f). Default stays local: op96's driver-gate
+    runs are single-JVM, where reliable's per-iteration write+read
+    buys nothing."""
+    from ocdb_server_spark.functions.iterate import _truncate_lineage
+
+    sym = _truncate_lineage(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
+        .distinct(),
         # Materialize ONCE (round-10 review): the edge frame is joined
         # every iteration AND feeds the initial labels — without this,
-        # each iteration's localCheckpoint action re-derives the whole
+        # each iteration's checkpoint action re-derives the whole
         # upstream pair pipeline (for op96/op221 that is the 5-shuffle
         # ngram-Jaccard plan), so 2-3 iterations ran it 3-4 times. Same
         # "self-join would evaluate the aggregation twice" economics
-        # op88 solves with a persist; localCheckpoint keeps the helper
+        # op88 solves with a persist; checkpointing keeps the helper
         # self-contained (no cache pool needed, blocks GC with the df).
-        .localCheckpoint()
+        # Durability must MATCH the loop's: a localCheckpointed
+        # invariant dies with its executor no matter how the loop
+        # state is protected.
+        reliable,
     )
     labels0 = (
         sym.select(F.col("a").alias("id"))
@@ -101,6 +120,7 @@ def connected_components(
         step,
         changed=label_changed,
         max_iter=max_iter,
+        reliable=reliable,
         telemetry=telemetry,
         what="connected_components",
     )

@@ -87,3 +87,31 @@ def test_connected_components_telemetry_and_fixpoint(spark):
     got = {r.id: r.component for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert 2 <= len(tele) <= 3 and tele[-1]["changed"] == 0
+
+
+def test_reliable_mode_needs_checkpoint_dir_and_matches_local(spark, tmp_path):
+    """reliable=True is the executor-loss-survivable durability
+    (directory-backed checkpoint instead of executor-resident
+    localCheckpoint blocks). Pins: (1) a missing checkpoint dir is a
+    clear contract error BEFORE the loop runs, not a mid-loop Py4J
+    stack; (2) with a dir set, the fixpoint is identical to the
+    default mode — durability is a storage decision, never a result
+    decision."""
+    sc = spark.sparkContext
+    edges = _chain_edges(spark, 6)
+
+    had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(edges, reliable=True).collect()
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    local_fix = {
+        (r.id, r.component)
+        for r in connected_components(edges, reliable=False).collect()
+    }
+    reliable_fix = {
+        (r.id, r.component)
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert reliable_fix == local_fix == {(i, 0) for i in range(7)}
