@@ -51,7 +51,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cluster_smoke import MASTER_URL, start_cluster, stop_cluster  # noqa: E402
+from cluster_smoke import (  # noqa: E402
+    MASTER_URL,
+    SHUFFLE_SERVICE_PORT,
+    start_cluster,
+    stop_cluster,
+)
 from stress_scale import ensure_dataset, parse_args  # noqa: E402
 
 CHAIN_GROUPS = 200_000  # parallel chains of length 8 → ~8 iterations
@@ -92,20 +97,26 @@ def _fingerprint(df) -> tuple:
     )
 
 
-def cluster_session(name: str):
+def cluster_session(name: str, cores: int = 8, shuffle_service: bool = False):
     from ocdb_server_spark.session import get_spark
 
+    extra = {
+        "spark.executor.memory": "6g",
+        "spark.executor.cores": str(cores),
+        "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+            [REPO, os.path.join(REPO, "vendor")]
+        ),
+    }
+    if shuffle_service:
+        extra.update({
+            "spark.shuffle.service.enabled": "true",
+            "spark.shuffle.service.port": str(SHUFFLE_SERVICE_PORT),
+        })
     spark = get_spark(
         app_name=name,
         master=MASTER_URL,
         shuffle_partitions=16,
-        extra_conf={
-            "spark.executor.memory": "6g",
-            "spark.executor.cores": "8",
-            "spark.executorEnv.PYTHONPATH": os.pathsep.join(
-                [REPO, os.path.join(REPO, "vendor")]
-            ),
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
@@ -117,15 +128,35 @@ def cluster_session(name: str):
     return spark
 
 
-def run_query_case(op_name: str, data: str) -> dict:
-    """Cases A/B: healthy run for wall + fingerprint, then a fresh
-    execution with an executor killed at ~40% of the healthy wall."""
+def run_query_case(
+    op_name: str,
+    data: str,
+    n_workers: int = 2,
+    shuffle_service: bool = False,
+    label: str | None = None,
+) -> dict:
+    """Cases A/B (and the phase-2 shuffle-service A/B pair): healthy
+    run for wall + fingerprint, then a fresh execution with an
+    executor killed at ~40% of the healthy wall.
+
+    Phase 2 runs 1 worker × 16 cores so exactly one external shuffle
+    service owns the host's port (the service is per-HOST in real
+    deployments): killing the ONLY executor then separates the two
+    recovery paths cleanly — without the service every map output
+    dies with the executor JVM that serves them; with it the worker
+    keeps serving the files and only the in-flight tasks reschedule."""
     from ocdb_server_spark import io as eio
     from ocdb_server_spark.registry import load_all, release_pool
 
-    procs, wds = start_cluster()
+    label = label or op_name
+    cores = 16 // n_workers
+    procs, wds = start_cluster(
+        n_workers=n_workers, cores=cores, shuffle_service=shuffle_service
+    )
     try:
-        spark = cluster_session(f"faultkill_{op_name}")
+        spark = cluster_session(
+            f"faultkill_{label}", cores=cores, shuffle_service=shuffle_service
+        )
         ops = load_all()
         eio.clear_cache()
         eio.warm_cache(spark, data)
@@ -137,7 +168,7 @@ def run_query_case(op_name: str, data: str) -> dict:
 
         df = fn(spark, data)
         timer = threading.Timer(
-            max(0.2, 0.4 * wall), kill_one_executor, args=(op_name,)
+            max(0.2, 0.4 * wall), kill_one_executor, args=(label,)
         )
         timer.start()
         t0 = time.perf_counter()
@@ -158,7 +189,7 @@ def run_query_case(op_name: str, data: str) -> dict:
     finally:
         stop_cluster(procs, wds)
     return {
-        "case": op_name,
+        "case": label,
         "healthy_sec": round(wall, 2),
         "fault_sec": round(fault_wall, 2),
         "outcome": outcome,
@@ -292,12 +323,27 @@ def main() -> int:
     ref = chain_reference()
     results.append(run_fixpoint_case(reliable=False, reference=ref))
     results.append(run_fixpoint_case(reliable=True, reference=ref))
+    # Phase 2: the executor-churn mitigation. Same kill, 1 worker x
+    # 16 cores (one shuffle service per host), with vs without the
+    # external shuffle service — both must recover identically; the
+    # service run should recover cheaper (map outputs survive, no
+    # map-stage recompute).
+    results.append(run_query_case(
+        "op39_join_multiway_star", data, n_workers=1,
+        shuffle_service=False, label="op39-1w-noservice",
+    ))
+    results.append(run_query_case(
+        "op39_join_multiway_star", data, n_workers=1,
+        shuffle_service=True, label="op39-1w-service",
+    ))
 
     expected = {
         "op39_join_multiway_star": "recovered-identical",
         "op114_join_topk_revenue": "recovered-identical",
         "cc-local": "FAILED",      # prefix match: designed unrecoverability
         "cc-reliable": "recovered-identical",
+        "op39-1w-noservice": "recovered-identical",
+        "op39-1w-service": "recovered-identical",
     }
     print("| case | outcome | expected | verdict |")
     print("|---|---|---|---|")

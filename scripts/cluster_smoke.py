@@ -89,10 +89,31 @@ def _wait_port(port: int, timeout: float = 60.0) -> None:
     raise TimeoutError(f"port {port} never opened")
 
 
-def start_cluster(n_workers: int = 2, cores: int = 8, mem: str = "6g"):
+SHUFFLE_SERVICE_PORT = int(os.environ.get("SMOKE_SHUFFLE_PORT", "7437"))
+
+
+def start_cluster(
+    n_workers: int = 2,
+    cores: int = 8,
+    mem: str = "6g",
+    shuffle_service: bool = False,
+):
     """Start master + workers as foreground child processes; return
-    (procs, workdirs) for cleanup."""
+    (procs, workdirs) for cleanup.
+
+    shuffle_service=True runs the EXTERNAL shuffle service inside each
+    worker (the standard executor-churn mitigation: map outputs are
+    files the WORKER serves, so they survive executor death — and the
+    prerequisite for dynamic allocation). Apps must set the matching
+    spark.shuffle.service.enabled/port confs; see
+    cluster_faultkill.py's --shuffle-service cases."""
     spark_class, env = _spark_class()
+    if shuffle_service:
+        env["SPARK_WORKER_OPTS"] = (
+            f"-Dspark.shuffle.service.enabled=true "
+            f"-Dspark.shuffle.service.port={SHUFFLE_SERVICE_PORT} "
+            + env.get("SPARK_WORKER_OPTS", "")
+        )
     procs, workdirs = [], []
     log_dir = tempfile.mkdtemp(prefix="smoke_logs_")
     workdirs.append(log_dir)
