@@ -111,6 +111,14 @@ def iterate_to_fixpoint(
     - raises ValueError on max_iter exhaustion: a non-fixpoint result
       must never ship silently.
     """
+    if reliable and not checkpoint:
+        # reliable IS a checkpointing strategy: accepting this combo
+        # would run with no lineage truncation at all — neither the
+        # promised durability nor bounded plans (review finding).
+        raise ValueError(
+            f"{what}: reliable=True requires checkpoint=True — reliable "
+            "durability IS directory-backed checkpointing"
+        )
     if checkpoint:
         state = _truncate_lineage(state, reliable)
     n = -1

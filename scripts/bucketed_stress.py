@@ -165,7 +165,12 @@ def main() -> None:
     # assert reads a deterministic executedPlan) at shuffle_partitions
     # =16 on BOTH transports; the merge hint pins SMJ either way.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from cluster_smoke import MASTER_URL, start_cluster, stop_cluster
+    from cluster_smoke import (
+        MASTER_URL,
+        start_cluster,
+        stop_cluster,
+        wait_for_cores,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results = {}
@@ -184,12 +189,7 @@ def main() -> None:
             },
         )
         spark.sparkContext.setLogLevel("ERROR")
-        t0 = time.time()
-        while (
-            spark.sparkContext.defaultParallelism < 16
-            and time.time() - t0 < 60
-        ):
-            time.sleep(0.5)
+        wait_for_cores(spark, 16)
         results["cluster"] = run_transport(spark, "_c")
         spark.stop()
         time.sleep(2)

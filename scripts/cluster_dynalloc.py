@@ -27,7 +27,6 @@ Usage: python scripts/cluster_dynalloc.py [REP]   (default 30)
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -38,30 +37,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# No wait_for_cores here: under dynamicAllocation min=0 the session
+# legitimately starts with ZERO executors — the allocator acquires
+# them when the first job queues.
 from cluster_smoke import (  # noqa: E402
     MASTER_URL,
     SHUFFLE_SERVICE_PORT,
+    fingerprint_tuple,
     start_cluster,
     stop_cluster,
 )
-from stress_scale import ensure_dataset, parse_args  # noqa: E402
+from stress_scale import ensure_dataset  # noqa: E402
 
 OPS = ("op17_agg_groupby", "op39_join_multiway_star", "op75_dedup_exact")
 UI_PORT = 4071
 IDLE_TIMEOUT_S = 4
-
-
-def _fingerprint(df) -> tuple:
-    cols = sorted(df.columns)
-    rows = df.select(*cols).collect()
-    canon = sorted(
-        "|".join("\x00" if r[c] is None else repr(r[c]) for c in cols)
-        for r in rows
-    )
-    return (
-        len(rows),
-        hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16],
-    )
 
 
 def _live_executors() -> int:
@@ -80,7 +70,8 @@ def main() -> int:
     from ocdb_server_spark.registry import load_all, release_pool
     from ocdb_server_spark.session import get_spark
 
-    rep, _ = parse_args(sys.argv[1:])
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    rep = int(positional[0]) if positional else 30
     spark = get_spark(app_name="dynalloc_build")
     spark.sparkContext.setLogLevel("ERROR")
     data = ensure_dataset(spark, rep)
@@ -93,7 +84,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ops = load_all()
-    ref = {name: _fingerprint(ops[name].fn(spark, data)) for name in OPS}
+    ref = {name: fingerprint_tuple(ops[name].fn(spark, data)) for name in OPS}
     release_pool()
     spark.stop()
     time.sleep(2)
@@ -128,7 +119,7 @@ def main() -> int:
         ops = load_all()
         for name in OPS:
             t0 = time.perf_counter()
-            fp = _fingerprint(ops[name].fn(spark, data))
+            fp = fingerprint_tuple(ops[name].fn(spark, data))
             sec = round(time.perf_counter() - t0, 2)
             counts.append(_live_executors())
             results[name] = {

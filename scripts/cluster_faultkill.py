@@ -36,7 +36,6 @@ Emits a markdown table + one JSON line.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -54,47 +53,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cluster_smoke import (  # noqa: E402
     MASTER_URL,
     SHUFFLE_SERVICE_PORT,
+    fingerprint_tuple,
     start_cluster,
     stop_cluster,
+    wait_for_cores,
 )
-from stress_scale import ensure_dataset, parse_args  # noqa: E402
+from stress_scale import ensure_dataset  # noqa: E402
 
 CHAIN_GROUPS = 200_000  # parallel chains of length 8 → ~8 iterations
 CHAIN_LEN = 8
 KILL_AT_ITER = 3
 
 
-def executor_pids() -> list[int]:
+def executor_pids() -> set[int]:
     out = subprocess.run(
         ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
         capture_output=True, text=True,
     )
-    return [int(p) for p in out.stdout.split()]
+    return {int(p) for p in out.stdout.split()}
 
 
-def kill_one_executor(tag: str) -> int | None:
-    pids = executor_pids()
+def kill_one_executor(
+    tag: str, candidates: set[int], holder: dict
+) -> None:
+    """SIGKILL one executor FROM THE GIVEN SET (the pids observed on
+    THIS cluster after session start — a global pgrep could murder an
+    unrelated app's executor, review finding) and record the victim in
+    `holder`. Recording is what keeps the verdict honest: a case whose
+    kill never landed must read NO-KILL, not pass vacuously."""
+    pids = executor_pids() & candidates
     if not pids:
-        print(f"  [{tag}] no executor to kill!", file=sys.stderr)
-        return None
-    victim = pids[0]
+        print(f"  [{tag}] no candidate executor to kill!", file=sys.stderr)
+        return
+    victim = min(pids)
     os.kill(victim, signal.SIGKILL)
+    holder["pid"] = victim
     print(f"  [{tag}] SIGKILLed executor pid {victim} "
-          f"({len(pids)} were alive)", file=sys.stderr)
-    return victim
-
-
-def _fingerprint(df) -> tuple:
-    cols = sorted(df.columns)
-    rows = df.select(*cols).collect()
-    canon = sorted(
-        "|".join("\x00" if r[c] is None else repr(r[c]) for c in cols)
-        for r in rows
-    )
-    return (
-        len(rows),
-        hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16],
-    )
+          f"({len(pids)} candidates alive)", file=sys.stderr)
 
 
 def cluster_session(name: str, cores: int = 8, shuffle_service: bool = False):
@@ -119,12 +114,7 @@ def cluster_session(name: str, cores: int = 8, shuffle_service: bool = False):
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    while (
-        spark.sparkContext.defaultParallelism < 16
-        and time.time() - t0 < 60
-    ):
-        time.sleep(0.5)
+    wait_for_cores(spark, 16)
     return spark
 
 
@@ -163,21 +153,34 @@ def run_query_case(
         fn = ops[op_name].fn
         fn(spark, data).toArrow()  # codegen warm
         t0 = time.perf_counter()
-        healthy_fp = _fingerprint(fn(spark, data))
+        healthy_fp = fingerprint_tuple(fn(spark, data))
         wall = time.perf_counter() - t0
 
+        # Candidates recorded NOW: only this cluster's executors are
+        # eligible victims (review finding — a global pgrep could hit
+        # an unrelated app), and the holder makes the verdict require
+        # that a kill actually LANDED before the result came back.
+        candidates = executor_pids()
+        holder: dict = {}
         df = fn(spark, data)
         timer = threading.Timer(
-            max(0.2, 0.4 * wall), kill_one_executor, args=(label,)
+            max(0.2, 0.4 * wall),
+            kill_one_executor,
+            args=(label, candidates, holder),
         )
         timer.start()
         t0 = time.perf_counter()
         try:
-            fault_fp = _fingerprint(df)
-            outcome = (
-                "recovered-identical" if fault_fp == healthy_fp
-                else f"WRONG RESULT {fault_fp} vs {healthy_fp}"
-            )
+            fault_fp = fingerprint_tuple(df)
+            if "pid" not in holder:
+                outcome = (
+                    "NO-KILL (query finished before the timer / no "
+                    "candidate executor) — protocol failure, not a pass"
+                )
+            elif fault_fp == healthy_fp:
+                outcome = "recovered-identical"
+            else:
+                outcome = f"WRONG RESULT {fault_fp} vs {healthy_fp}"
         except Exception as e:  # noqa: BLE001 — record, don't crash the suite
             outcome = f"FAILED: {type(e).__name__}"
         fault_wall = time.perf_counter() - t0
@@ -244,12 +247,14 @@ def run_fixpoint_case(reliable: bool, reference: tuple) -> dict:
         labels0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
             "component", F.col("id")
         )
+        candidates = executor_pids()
+        holder: dict = {}
         it = {"n": 0}
 
         def step(labels):
             it["n"] += 1
             if it["n"] == KILL_AT_ITER:
-                kill_one_executor(tag)
+                kill_one_executor(tag, candidates, holder)
             nm = (
                 sym.join(labels, sym["dst"] == labels["id"])
                 .groupBy(F.col("src").alias("id"))
@@ -269,10 +274,12 @@ def run_fixpoint_case(reliable: bool, reference: tuple) -> dict:
                 what=tag,
             )
             fp = _cc_agg_fingerprint(fix)
-            outcome = (
-                "recovered-identical" if fp == reference
-                else f"WRONG RESULT {fp} vs {reference}"
-            )
+            if "pid" not in holder:
+                outcome = "NO-KILL — protocol failure, not a pass"
+            elif fp == reference:
+                outcome = "recovered-identical"
+            else:
+                outcome = f"WRONG RESULT {fp} vs {reference}"
         except Exception as e:  # noqa: BLE001
             outcome = f"FAILED: {type(e).__name__}"
         wall = time.perf_counter() - t0
@@ -306,10 +313,19 @@ def chain_reference() -> tuple:
     return ref
 
 
+def _rep_arg(default: int = 30) -> int:
+    """Positional REP, defaulting to 30 — the regime BASELINE's fault
+    rounds document (stress_scale's parse_args defaults to 10, which
+    silently measured the wrong regime for a bare invocation —
+    review finding)."""
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    return int(positional[0]) if positional else default
+
+
 def main() -> int:
     from ocdb_server_spark.session import get_spark
 
-    rep, _ = parse_args(sys.argv[1:])
+    rep = _rep_arg()
     spark = get_spark(app_name="faultkill_build")
     spark.sparkContext.setLogLevel("ERROR")
     data = ensure_dataset(spark, rep)

@@ -162,7 +162,10 @@ def stop_cluster(procs, workdirs):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _fingerprint(df) -> dict:
+def fingerprint_tuple(df) -> tuple[int, str]:
+    """Order-insensitive (n_rows, sha256-prefix) value fingerprint of a
+    full result — THE canonicalization every cluster-vs-local script
+    compares with (shared so a future repr/None fix lands once)."""
     cols = sorted(df.columns)
     rows = df.select(*cols).collect()
     canon = sorted(
@@ -170,7 +173,32 @@ def _fingerprint(df) -> dict:
         for row in rows
     )
     digest = hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
-    return {"n_rows": len(rows), "hash": digest}
+    return len(rows), digest
+
+
+def wait_for_cores(spark, n: int = 16, timeout: float = 60.0) -> None:
+    """Block until `n` cores are registered, then return — or raise.
+    defaultParallelism on a standalone master is max(registered
+    cores, 2) until executors come up; proceeding early builds
+    wrong-shaped caches (cluster_throughput's round-11 trap) or hangs
+    forever on a zero-executor cluster. One shared policy: loud."""
+    t0 = time.time()
+    while (
+        spark.sparkContext.defaultParallelism < n
+        and time.time() - t0 < timeout
+    ):
+        time.sleep(0.5)
+    par = spark.sparkContext.defaultParallelism
+    if par < n:
+        raise SystemExit(
+            f"only {par}/{n} cores registered after {timeout:.0f}s — "
+            "executors failed to start (check worker memory/logs)"
+        )
+
+
+def _fingerprint(df) -> dict:
+    n, digest = fingerprint_tuple(df)
+    return {"n_rows": n, "hash": digest}
 
 
 def run_suite(master: str, sf_dir: str, label: str) -> dict[str, dict]:

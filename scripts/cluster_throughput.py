@@ -83,7 +83,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cluster_smoke import MASTER_URL, start_cluster, stop_cluster  # noqa: E402
+from cluster_smoke import (  # noqa: E402
+    MASTER_URL,
+    start_cluster,
+    stop_cluster,
+    wait_for_cores,
+)
 from stress_scale import ensure_dataset, parse_args  # noqa: E402
 
 CONTROL = "op17_agg_groupby"
@@ -157,15 +162,7 @@ def run_suite(
     # caches where local[16] builds 64 (observed: same op17 plan then
     # shuffles 8x fewer partial-agg rows on the cluster — not an
     # apples-to-apples transport comparison). Wait for the full 16.
-    t0 = time.time()
-    while (
-        spark.sparkContext.defaultParallelism < 16
-        and time.time() - t0 < 60
-    ):
-        time.sleep(0.5)
-    par = spark.sparkContext.defaultParallelism
-    if par < 16:
-        raise SystemExit(f"{label}: only {par} cores registered after 60 s")
+    wait_for_cores(spark, 16)
     eio.clear_cache()
     eio.warm_cache(spark, data)
     out: dict[str, dict] = {}
@@ -223,8 +220,10 @@ def summarize(
         # on the cluster (fetch retries / multi-consumer re-reads —
         # observed repeatedly on op79: read 6.8 vs write 5.75 MiB).
         # Pricing still uses read bytes — that's what crosses the
-        # transport.
-        if l["shuf_write"] and abs(c["shuf_write"] - l["shuf_write"]) > max(
+        # transport. No local-side truthiness guard (review finding):
+        # local shuffling 0 bytes while the cluster shuffles many is
+        # the STRONGEST divergence signal, not a skip condition.
+        if abs(c["shuf_write"] - l["shuf_write"]) > max(
             0.01 * l["shuf_write"], 1 << 16
         ):
             byte_parity_ok = False  # not the same plan — don't price it
@@ -262,7 +261,22 @@ def main() -> int:
          if a.startswith("--workers=")),
         "2",
     ))
+    if n_workers < 1 or 16 % n_workers:
+        raise SystemExit(
+            f"--workers={n_workers} must divide the 16 total cores "
+            "(1, 2, 4, 8, 16) — otherwise the cluster registers fewer "
+            "than 16 and the core-parity wait aborts after a wasted "
+            "dataset build"
+        )
     exec_cores = 16 // n_workers
+    # Validate --only against the registry BEFORE the dataset build /
+    # cluster spin (review finding: a typo otherwise costs minutes
+    # and surfaces as a raw KeyError mid-suite).
+    from ocdb_server_spark.registry import load_all
+
+    unknown = [q for q in queries if q not in load_all()]
+    if unknown:
+        raise SystemExit(f"--only names unknown ops: {unknown}")
 
     # Build (or adopt) the shared REP-times dataset with a plain local
     # builder session, then tear it down so each measured suite gets a

@@ -115,3 +115,14 @@ def test_reliable_mode_needs_checkpoint_dir_and_matches_local(spark, tmp_path):
         for r in connected_components(edges, reliable=True).collect()
     }
     assert reliable_fix == local_fix == {(i, 0) for i in range(7)}
+
+
+def test_reliable_without_checkpoint_is_a_contract_error(spark):
+    """reliable=True with checkpoint=False would silently run with no
+    lineage truncation at all — neither the promised durability nor
+    bounded plans. It must refuse up front."""
+    edges = _chain_edges(spark, 3)
+    with pytest.raises(ValueError, match="requires checkpoint=True"):
+        iterate_to_fixpoint(
+            edges, lambda df: df, checkpoint=False, reliable=True
+        )
