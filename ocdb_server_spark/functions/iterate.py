@@ -65,13 +65,80 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     if not reliable:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
+    if sc.getCheckpointDir() is None:
         raise ValueError(
             "iterate_to_fixpoint(reliable=True) needs a checkpoint "
             "directory: call spark.sparkContext.setCheckpointDir(...) "
             "with shared storage first (HDFS/S3 on a cluster)"
         )
     return df.checkpoint(eager=True)
+
+
+class _ReliableCkptGC:
+    """Deletes superseded reliable-checkpoint directories as the loop
+    advances. Spark itself removes reliable checkpoints only on
+    context GC of the RDD and only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    FALSE) — so without this, a long fixpoint grows shared storage by
+    one full copy of the loop state PER ITERATION for the lifetime of
+    the application: exactly the 1000-executor use case reliable=True
+    exists for. (Round-11 ADVICE; same shape as the periodic
+    checkpointer Spark's own iterative algorithms use.)
+
+    Tracking: ``df.checkpoint()``'s file location is not observable
+    from the returned frame (its ``.rdd`` wraps a fresh
+    deserialization RDD whose ``getCheckpointFile()`` is None —
+    verified on Spark 4.1), so we diff the checkpoint directory's
+    ``rdd-*`` listing across each of OUR OWN checkpoint calls via the
+    Hadoop FileSystem API (works for file:// and HDFS/S3 alike). The
+    loop is a sequential driver loop, so the only misattribution risk
+    is a concurrent thread checkpointing in the same window — callers
+    running fixpoints concurrently with other reliable checkpoints
+    should disable GC by pointing them at different checkpoint dirs.
+    All FS operations are best-effort: a listing/delete failure
+    degrades to Spark's default keep-everything behavior, never to a
+    loop failure."""
+
+    def __init__(self, df: DataFrame) -> None:
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        self._path = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+        self._fs = self._path.getFileSystem(sc._jsc.hadoopConfiguration())
+        self._jvm = jvm
+        # dirs backing the frame the loop currently holds (≤1 generation)
+        self._live: set[str] = set()
+
+    def _ls(self) -> set[str]:
+        try:
+            if not self._fs.exists(self._path):
+                return set()
+            return {
+                st.getPath().toString()
+                for st in self._fs.listStatus(self._path)
+            }
+        except Exception:
+            return set()
+
+    def snapshot(self) -> set[str]:
+        """Call immediately BEFORE a checkpoint materializes."""
+        return self._ls()
+
+    def record(self, before: set[str]) -> None:
+        """Call immediately AFTER: the dirs that appeared across the
+        checkpoint call are the new generation's backing files."""
+        self._pending = self._ls() - before
+
+    def advance(self) -> None:
+        """The new generation is now the loop state and the previous
+        one is no longer referenced (the convergence probe — the last
+        reader of the OLD frame — has run): delete the old files."""
+        for d in self._live:
+            try:
+                self._fs.delete(self._jvm.org.apache.hadoop.fs.Path(d), True)
+            except Exception:
+                pass  # best-effort: worst case is Spark's default growth
+        self._live = getattr(self, "_pending", set())
+        self._pending = set()
 
 
 def iterate_to_fixpoint(
@@ -119,15 +186,40 @@ def iterate_to_fixpoint(
             f"{what}: reliable=True requires checkpoint=True — reliable "
             "durability IS directory-backed checkpointing"
         )
+    # Reliable mode garbage-collects each superseded generation's
+    # checkpoint files once its last reader (the convergence probe) has
+    # run — without this the loop grows shared storage by state-size
+    # per iteration for the app's lifetime (see _ReliableCkptGC).
+    # Constructed only after the dir-set contract is known to hold.
+    gc: _ReliableCkptGC | None = None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if gc is None:
+            return _truncate_lineage(df, reliable)
+        before = gc.snapshot()
+        out = _truncate_lineage(df, reliable)
+        gc.record(before)
+        return out
+
     if checkpoint:
-        state = _truncate_lineage(state, reliable)
+        if reliable:
+            if state.sparkSession.sparkContext.getCheckpointDir() is None:
+                _truncate_lineage(state, True)  # raises the contract error
+            gc = _ReliableCkptGC(state)
+        state = _truncate(state)
+        if gc is not None:
+            gc.advance()  # gen0 becomes live (nothing older to delete)
     n = -1
     for i in range(max_iter):
         t0 = time.time()
         new = step(state)
         if checkpoint:
-            new = _truncate_lineage(new, reliable)  # O(1) plan per iter
+            new = _truncate(new)  # O(1) plan per iter
         n = changed(state, new)
+        if gc is not None:
+            # The probe was the old generation's last read — its
+            # checkpoint files are now garbage.
+            gc.advance()
         state = new
         if telemetry is not None:
             telemetry.append(

@@ -193,7 +193,22 @@ def op96_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     every measured config at 10x and 30x data (0.70-0.95x; BASELINE
     Round 11b-11e): its exchanges carry ~zero bytes and its stages
     are few and coarse, so none of the measured cluster cost terms
-    apply, while two half-size JVMs GC better than one big one."""
+    apply, while two half-size JVMs GC better than one big one.
+
+    DURABILITY AT EXECUTOR SCALE: the registered plan keeps the FAST
+    default (`reliable=False` → localCheckpoint), which is correct in
+    one JVM — but localCheckpoint blocks die with their executor and,
+    lineage truncated, CANNOT be recomputed: an executor loss mid-loop
+    FAILS the job loudly (measured: scripts/cluster_faultkill.py; it
+    never ships a wrong fixpoint). Production fixpoints on a real
+    multi-executor cluster should call
+    ``connected_components(edges, reliable=True)`` after
+    ``sc.setCheckpointDir(<HDFS/S3 path>)`` — directory-backed
+    checkpoints survive executor loss with byte-identical results
+    (fault-injection-verified, BASELINE.md Round 11f), superseded
+    generations are GC'd per iteration (functions/iterate.py
+    _ReliableCkptGC), at the cost of one state write+read per
+    iteration."""
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=_EXACT_NEARDUP_THRESHOLD,

@@ -141,9 +141,13 @@ def main() -> int:
 
     all_match = all(r["match"] for r in results.values())
     # churn proof: at least one idle reading below a busy reading, and
-    # a later busy reading back above it (re-acquisition)
+    # a later busy reading back above it (re-acquisition). A scale-down
+    # only counts when the busy-side reading was >= 1 — 0 -> 0 (a fast
+    # op whose executors were already released before the busy-side
+    # REST read) is a no-op, not evidence (round-11 ADVICE).
     scaled_down = any(
-        counts[2 * i + 1] < max(1, counts[2 * i]) for i in range(len(OPS))
+        counts[2 * i] >= 1 and counts[2 * i + 1] < counts[2 * i]
+        for i in range(len(OPS))
     )
     scaled_up = any(
         counts[2 * i] > counts[2 * i - 1] for i in range(1, len(OPS))

@@ -201,12 +201,14 @@ def summarize(
 ) -> dict:
     """Derive the report from the two suites' raw measurements. Pure —
     unit-tested in tests/test_scale_paths.py. Returns rows (markdown),
-    fixed (control delta, s), bound/bound_op (transport price upper
-    bound, ms per shuffled MiB over big movers), byte_parity_ok."""
+    fixed (control delta, s — None when --only excluded the control op,
+    so an unmeasured overhead is never printed as a measured +0 ms;
+    round-11 ADVICE), bound/bound_op (transport price upper bound, ms
+    per shuffled MiB over big movers), byte_parity_ok."""
     rows = []
     fixed = (
         cluster[CONTROL]["sec"] - local[CONTROL]["sec"]
-        if CONTROL in cluster else 0.0
+        if CONTROL in queries and CONTROL in cluster else None
     )
     bound = float("inf")
     bound_op = None
@@ -303,14 +305,18 @@ def main() -> int:
     print("| op | local[16] s | cluster s | ratio | shuffle MiB | raw Δms/MiB |")
     print("|---|---|---|---|---|---|")
     print("\n".join(s["rows"]))
+    fixed_txt = (
+        f"{s['fixed']*1000:+.0f} ms" if s["fixed"] is not None
+        else "not measured (--only excluded the control op)"
+    )
     print(
         f"fixed per-job cluster overhead (control {CONTROL}): "
-        f"{s['fixed']*1000:+.0f} ms; transport price upper bound: "
+        f"{fixed_txt}; transport price upper bound: "
         f"{s['bound']:.1f} ms/shuffled-MiB ({s['bound_op']}); "
         f"byte parity across transports: {s['byte_parity_ok']}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    report = {
         "metric": "cluster_throughput",
         "rep": rep,
         "execmem": execmem,
@@ -318,14 +324,16 @@ def main() -> int:
         "transport": f"standalone {n_workers} workers x {exec_cores} "
                      "cores vs local[16], shuffle_partitions=16, "
                      "batch profile",
-        "fixed_overhead_sec": round(s["fixed"], 3),
         "price_bound_ms_per_mib":
             round(s["bound"], 2) if s["bound_op"] else None,
         "price_bound_op": s["bound_op"],
         "byte_parity_ok": s["byte_parity_ok"],
         "cluster": cluster,
         "local": local,
-    }))
+    }
+    if s["fixed"] is not None:  # omit, don't fabricate, when unmeasured
+        report["fixed_overhead_sec"] = round(s["fixed"], 3)
+    print(json.dumps(report))
     return 0
 
 

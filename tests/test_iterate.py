@@ -100,7 +100,7 @@ def test_reliable_mode_needs_checkpoint_dir_and_matches_local(spark, tmp_path):
     sc = spark.sparkContext
     edges = _chain_edges(spark, 6)
 
-    had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    had_dir = sc.getCheckpointDir() is not None
     if not had_dir:
         with pytest.raises(ValueError, match="setCheckpointDir"):
             connected_components(edges, reliable=True).collect()
@@ -126,3 +126,37 @@ def test_reliable_without_checkpoint_is_a_contract_error(spark):
         iterate_to_fixpoint(
             edges, lambda df: df, checkpoint=False, reliable=True
         )
+
+
+def test_reliable_mode_gcs_superseded_checkpoints(spark, tmp_path):
+    """Round-11 ADVICE: reliable=True used to leave every iteration's
+    checkpoint on shared storage for the app's lifetime (Spark only
+    deletes them on context GC with cleanCheckpoints=true, default
+    false) — state-size × iterations growth at exactly the
+    1000-executor scale the mode exists for. Pins: after a multi-
+    iteration reliable fixpoint, the checkpoint dir holds only the
+    LIVE generation (+ the caller's loop-invariant checkpoint), and
+    the returned frame is still readable — GC never deletes a
+    generation before its last reader (the convergence probe) ran."""
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "gc_ckpt"))
+    edges = _chain_edges(spark, 6)  # diameter 6 → ≥4 iterations
+    tele = []
+    out = connected_components(edges, reliable=True, telemetry=tele)
+    got = {r.id: r.component for r in out.collect()}  # read AFTER gc
+    assert got == {i: 0 for i in range(7)}
+    assert len(tele) >= 4
+    # getCheckpointDir() is the UUID-suffixed app dir; rdd-* dirs live
+    # directly inside. Survivors: the final state generation + the one
+    # loop-invariant (symmetrized edges) connected_components
+    # checkpoints outside the loop — NOT one per iteration.
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    rdd_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("rdd-")
+    ]
+    # 1 + iterations+1 generations were written; ≤2 survive
+    assert len(rdd_dirs) <= 2, rdd_dirs

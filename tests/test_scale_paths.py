@@ -224,3 +224,10 @@ def test_cluster_throughput_summary_derivation():
     small_only = (CONTROL, "op_small")
     s2 = summarize(small_only, cluster, local)
     assert s2["bound_op"] is None and s2["bound"] == float("inf")
+
+    # --only without the control op: fixed is None ("not measured"),
+    # never a fabricated 0.0 printed as a measured +0 ms (r11 ADVICE)
+    no_control = ("op_big",)
+    s3 = summarize(no_control, cluster, local)
+    assert s3["fixed"] is None
+    assert s3["bound_op"] == "op_big"  # pricing still works without it
