@@ -26,6 +26,15 @@ class Op:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None → rows-only check
     doc: str = ""
+    # sha256[:16] of inspect.getsource(fn) at registration — the
+    # REGISTERED PLAN's fingerprint. Closes the round-11 verdict's
+    # "invisible demotion" case: a plan rewrite under an unchanged
+    # oracle/snapshot (op261's r11 parallel-writer move) used to reach
+    # the driver only via a hand-bumped since_round; now ANY edit to
+    # the op function's source re-fronts the sweep automatically
+    # (refresh_oracle_fps). "" when the source is unavailable
+    # (REPL-defined fn) — such ops simply keep checker-only tracking.
+    src_fp: str = ""
 
 
 REGISTRY: dict[str, Op] = {}
@@ -72,13 +81,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             raise ValueError(f"duplicate operator key: {name}")
 
         import functools
+        import hashlib
+        import inspect
+
+        try:
+            # The UNWRAPPED fn: its source segment (decorator line
+            # included) IS the registered plan. linecache makes the 262
+            # getsource calls one file read per module.
+            src_fp = hashlib.sha256(
+                inspect.getsource(fn).encode()
+            ).hexdigest()[:16]
+        except (OSError, TypeError):
+            src_fp = ""  # source unavailable — checker-only tracking
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_pool()
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = Op(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Op(
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            src_fp=src_fp,
+        )
         return wrapped
 
     return deco
@@ -198,11 +225,17 @@ def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
     an oracle edit; the write is atomic and best-effort (a read-only
     checkout just keeps the on-disk book).
 
-    MANUAL RE-FRONT: a PLAN rewrite under an unchanged checker (e.g.
-    op261's r11 move to the parallel writer) is invisible to the
-    fingerprints — hand-bump the op's since_round to latest+1 in the
-    same commit; a well-formed entry whose fp matches is preserved,
-    and the stale green demotes exactly like a checker rewrite."""
+    PLAN FINGERPRINT (round-11 verdict item 3): each entry also
+    carries "src_fp" — the hash of the op FUNCTION's source at
+    registration (Op.src_fp). A plan rewrite under an unchanged
+    checker (op261's r11 parallel-writer move) used to be invisible
+    here and relied on a hand-bumped since_round; now any edit to the
+    op's body bumps since_round automatically and the stale green
+    demotes exactly like a checker rewrite. Migration: an entry
+    without "src_fp" (pre-r12 book) ADOPTS the current source without
+    a bump — the grandfathered state is the r11-certified one, and
+    only edits made after adoption re-front. Comment/docstring-only
+    edits bump too: one safe-side re-check beats parsing intent."""
     import json
     import os
     import tempfile
@@ -233,7 +266,25 @@ def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
             or ent.get("fp") != fp
             or not isinstance(ent.get("since_round"), int)
         ):
-            book[key] = {"fp": fp, "since_round": latest + 1}
+            book[key] = {
+                "fp": fp,
+                "since_round": latest + 1,
+                "src_fp": op.src_fp,
+            }
+            changed = True
+        elif op.src_fp and "src_fp" not in ent:
+            # one-time migration: adopt the current plan source
+            # WITHOUT a bump — grandfathering, not a rewrite.
+            book[key] = {**ent, "src_fp": op.src_fp}
+            changed = True
+        elif op.src_fp and ent.get("src_fp") != op.src_fp:
+            # registered plan rewritten under an unchanged checker —
+            # the green row certified a DIFFERENT plan; re-front it.
+            book[key] = {
+                "fp": fp,
+                "since_round": latest + 1,
+                "src_fp": op.src_fp,
+            }
             changed = True
     if changed:
         try:

@@ -324,3 +324,73 @@ def test_output_schema_is_canonicalizer_safe(name, spark, sf_dir):
             "hashes ambiguously across pandas (round-1 op06); cast to "
             "double or canonical varchar on BOTH engine and oracle sides"
         )
+
+
+def test_sweep_order_demotes_rewritten_plan_source(tmp_path):
+    """Round-11 verdict item 3: a PLAN rewrite under an unchanged
+    checker (op261's r11 parallel-writer precedent) used to be
+    invisible to the book and relied on a hand-bumped since_round.
+    Each entry now carries src_fp = hash of the op function's source
+    at registration. Pins: (1) a pre-r12 entry without src_fp ADOPTS
+    the current source with no bump (grandfathering — certification
+    survives the migration); (2) an entry whose src_fp no longer
+    matches the registered plan demotes to the front and heals with
+    since_round = latest+1, no hand-bump; (3) a matching src_fp is a
+    no-op."""
+    import json
+
+    from ocdb_server_spark.registry import (
+        REGISTRY,
+        _oracle_fp,
+        _sweep_order,
+        certified_rounds,
+        load_all,
+    )
+
+    load_all()
+    sql_op = "op17_agg_groupby"
+    assert REGISTRY[sql_op].src_fp, "registration must fingerprint the source"
+    green_sql = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({sql_op: green_sql, "op_other": green_sql})
+    )
+    fpdir = tmp_path / "ocdb_server_spark"
+    fpdir.mkdir()
+    cur_fp = _oracle_fp(REGISTRY[sql_op].oracle)
+    cur_src = REGISTRY[sql_op].src_fp
+
+    # Case 1: legacy entry (no src_fp) — adopted in place, NOT demoted.
+    (fpdir / "oracle_fp.json").write_text(
+        json.dumps({sql_op: {"fp": cur_fp, "since_round": 2}})
+    )
+    assert sql_op in certified_rounds(str(tmp_path))
+    migrated = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert migrated[sql_op] == {
+        "fp": cur_fp, "since_round": 2, "src_fp": cur_src,
+    }
+
+    # Case 2: the registered plan was rewritten (src_fp differs) under
+    # an UNCHANGED oracle — the green row certified a different plan:
+    # demote to the front, heal since_round to latest+1 = 4.
+    (fpdir / "oracle_fp.json").write_text(json.dumps(
+        {sql_op: {"fp": cur_fp, "since_round": 2, "src_fp": "0" * 16}}
+    ))
+    ordered = _sweep_order(["op_other", sql_op], root=str(tmp_path))
+    assert ordered[0] == sql_op, (
+        f"plan-rewritten op must re-certify first: {ordered}"
+    )
+    healed = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert healed[sql_op] == {
+        "fp": cur_fp, "since_round": 4, "src_fp": cur_src,
+    }
+
+    # Case 3: everything matches — entry untouched, still certified.
+    (fpdir / "oracle_fp.json").write_text(json.dumps(
+        {sql_op: {"fp": cur_fp, "since_round": 2, "src_fp": cur_src}}
+    ))
+    assert sql_op in certified_rounds(str(tmp_path))
+    kept = json.loads((fpdir / "oracle_fp.json").read_text())
+    assert kept[sql_op]["since_round"] == 2
