@@ -60,9 +60,13 @@ def scratch_path(kind: str, sf_dir: str) -> str:
     )
 
 
-def scratch_dir(kind: str, sf_dir: str) -> str:
-    """Return a fresh, empty scratch dir private to this process for
-    (kind, sf_dir), reaping same-prefix dirs left by dead processes."""
+def scratch_dir(kind: str, sf_dir: str, fresh: bool = True) -> str:
+    """Return a scratch dir private to this process for (kind, sf_dir),
+    reaping same-prefix dirs left by dead processes. fresh=True (the
+    sink-op default) empties the dir; fresh=False KEEPS existing
+    content — the persisted-artifact mode (ANN index cache): callers
+    that build-once-reuse-many need the previous call's files to
+    still be there."""
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     base = tempfile.gettempdir()
     prefix = f"ocdb_spark_{kind}_{tag}_"
@@ -116,6 +120,7 @@ def scratch_dir(kind: str, sf_dir: str) -> str:
     except OSError:
         pass  # an unreadable tempdir must not fail the operator
     mine = scratch_path(kind, sf_dir)  # one copy of the naming scheme
-    shutil.rmtree(mine, ignore_errors=True)
+    if fresh:
+        shutil.rmtree(mine, ignore_errors=True)
     os.makedirs(mine, exist_ok=True)
     return mine
