@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Combined chaos soak (round-11 verdict item 6): the three resilience
+mechanisms rounds 11f/11g proved SEPARATELY — external shuffle
+service, dynamic allocation, executor-loss recovery — composed in ONE
+run, which is how production actually fails: an elastic session is
+mid-query when an executor dies, the shuffle service keeps serving
+the dead executor's map outputs, and the allocator replaces it while
+the query finishes.
+
+Protocol (one cluster, one session, the bench headliner set at REP×):
+
+  1 worker × 16 cores, external shuffle service ON;
+  session with dynamicAllocation min=0 / max=2 (8 cores each) and a
+  4 s idle timeout — COLD ops (no warm_cache: cached blocks pin
+  executors) with idle gaps between them so release/re-acquire churn
+  genuinely happens (REST-verified, busy-side ≥ 1 required).
+
+  Every headliner runs twice: a HEALTHY elastic pass (fingerprint +
+  wall), then a FAULT pass with one executor SIGKILLed at ~40% of the
+  healthy wall (kill must LAND — a too-fast query records no-kill and
+  the op is reported unkilled, not passed). Both passes must
+  fingerprint-identical to a plain local[16] cold reference.
+
+Pass = all fingerprints identical (healthy AND fault) + ≥1 genuine
+scale-down and ≥1 re-acquisition observed + every slow-enough op's
+kill landed. Emits a markdown table + one JSON line (recovery premium
+per op = fault_sec / healthy_sec).
+
+Usage: python scripts/cluster_chaos.py [REP]   (default 30)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cluster_smoke import (  # noqa: E402
+    MASTER_URL,
+    SHUFFLE_SERVICE_PORT,
+    fingerprint_tuple,
+    start_cluster,
+    stop_cluster,
+)
+from stress_scale import ensure_dataset  # noqa: E402
+
+OPS = (
+    "op17_agg_groupby",
+    "op42_win_row_number_topk_group",
+    "op39_join_multiway_star",
+    "op69_stream_tumbling",
+    "op80_sim_cosine_knn",
+    "op75_dedup_exact",
+    "op79_minhash_neardup",
+)
+UI_PORT = 4072
+IDLE_TIMEOUT_S = 4
+# below this healthy wall the 40% kill timer can't reliably land
+# mid-query; such ops run fault-pass anyway but report "unkilled"
+MIN_KILLABLE_SEC = 1.0
+
+
+def _live_executors() -> int:
+    ui = f"http://127.0.0.1:{UI_PORT}"
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+            app = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/executors"
+        ) as r:
+            ex = json.load(r)
+        return sum(
+            1 for e in ex if e["id"] != "driver" and e.get("isActive")
+        )
+    except Exception:
+        return -1  # REST hiccup: recorded, never crashes the soak
+
+
+def _executor_pids() -> set[int]:
+    out = subprocess.run(
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        capture_output=True, text=True,
+    )
+    return {int(p) for p in out.stdout.split()}
+
+
+def _kill_one(tag: str, candidates: set[int], holder: dict) -> None:
+    """SIGKILL one executor from this cluster's candidate set (a global
+    pgrep could murder an unrelated app's executor) and record the
+    victim so a pass can't be claimed for a kill that never landed."""
+    pids = _executor_pids() & candidates
+    # under dynalloc the replacement executor is a NEW pid — widen to
+    # any executor alive NOW that wasn't the driver's build session
+    if not pids:
+        pids = _executor_pids()
+    if not pids:
+        print(f"  [{tag}] no executor alive to kill", file=sys.stderr)
+        return
+    victim = min(pids)
+    os.kill(victim, signal.SIGKILL)
+    holder["pid"] = victim
+    print(f"  [{tag}] SIGKILLed executor pid {victim}", file=sys.stderr)
+
+
+def main() -> int:
+    from ocdb_server_spark.registry import load_all, release_pool
+    from ocdb_server_spark.session import get_spark
+
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    rep = int(positional[0]) if positional else 30
+
+    spark = get_spark(app_name="chaos_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    data = ensure_dataset(spark, rep)
+    spark.stop()
+    time.sleep(2)
+
+    # plain local[16] cold reference fingerprints
+    spark = get_spark(
+        app_name="chaos_ref", master="local[16]", shuffle_partitions=16
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = load_all()
+    ref = {name: fingerprint_tuple(ops[name].fn(spark, data)) for name in OPS}
+    release_pool()
+    spark.stop()
+    time.sleep(2)
+
+    procs, wds = start_cluster(n_workers=1, cores=16, shuffle_service=True)
+    counts: list[int] = []
+    results: dict[str, dict] = {}
+    try:
+        spark = get_spark(
+            app_name="chaos_soak",
+            master=MASTER_URL,
+            shuffle_partitions=16,
+            extra_conf={
+                "spark.ui.enabled": "true",
+                "spark.ui.port": str(UI_PORT),
+                "spark.executor.memory": "6g",
+                "spark.executor.cores": "8",
+                "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+                    [REPO, os.path.join(REPO, "vendor")]
+                ),
+                "spark.shuffle.service.enabled": "true",
+                "spark.shuffle.service.port": str(SHUFFLE_SERVICE_PORT),
+                "spark.dynamicAllocation.enabled": "true",
+                "spark.dynamicAllocation.minExecutors": "0",
+                "spark.dynamicAllocation.maxExecutors": "2",
+                "spark.dynamicAllocation.executorIdleTimeout":
+                    f"{IDLE_TIMEOUT_S}s",
+                "spark.dynamicAllocation.schedulerBacklogTimeout": "1s",
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        ops = load_all()
+        for name in OPS:
+            # healthy elastic pass (cold)
+            t0 = time.perf_counter()
+            healthy_fp = fingerprint_tuple(ops[name].fn(spark, data))
+            healthy = time.perf_counter() - t0
+            busy = _live_executors()
+
+            # fault pass: kill an executor mid-query
+            candidates = _executor_pids()
+            holder: dict = {}
+            timer = threading.Timer(
+                max(0.2, 0.4 * healthy), _kill_one, args=(name, candidates, holder)
+            )
+            df = ops[name].fn(spark, data)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                fault_fp = fingerprint_tuple(df)
+                if "pid" not in holder:
+                    outcome = (
+                        "unkilled" if healthy < MIN_KILLABLE_SEC
+                        else "NO-KILL (protocol failure)"
+                    )
+                elif fault_fp == ref[name] and healthy_fp == ref[name]:
+                    outcome = "recovered-identical"
+                else:
+                    outcome = f"WRONG RESULT {fault_fp} vs {ref[name]}"
+            except Exception as e:  # noqa: BLE001 — record, keep soaking
+                outcome = f"FAILED: {type(e).__name__}"
+            fault = time.perf_counter() - t0
+            timer.cancel()
+            results[name] = {
+                "healthy_sec": round(healthy, 2),
+                "fault_sec": round(fault, 2),
+                "healthy_match": healthy_fp == ref[name],
+                "outcome": outcome,
+                "executors_busy": busy,
+                "killed_pid": holder.get("pid"),
+            }
+            counts.append(busy)
+            # idle past the timeout so the allocator releases executors
+            time.sleep(IDLE_TIMEOUT_S + 4)
+            idle = _live_executors()
+            counts.append(idle)
+            results[name]["executors_after_idle"] = idle
+            print(
+                f"  {name}: healthy {healthy:.2f}s fault {fault:.2f}s "
+                f"{outcome} executors {busy}->{idle}", file=sys.stderr,
+            )
+        release_pool()
+        spark.stop()
+        time.sleep(2)
+    finally:
+        stop_cluster(procs, wds)
+
+    healthy_ok = all(r["healthy_match"] for r in results.values())
+    fault_ok = all(
+        r["outcome"] in ("recovered-identical", "unkilled")
+        for r in results.values()
+    )
+    kills_landed = sum(
+        1 for r in results.values() if r["killed_pid"] is not None
+    )
+    # genuine churn: a scale-down needs busy >= 1 (the dynalloc
+    # script's round-11-ADVICE rule), and some later busy reading must
+    # exceed an earlier idle one (re-acquisition)
+    scaled_down = any(
+        counts[2 * i] >= 1 and counts[2 * i + 1] < counts[2 * i]
+        for i in range(len(OPS))
+    )
+    scaled_up = any(
+        counts[2 * i] > counts[2 * i - 1] for i in range(1, len(OPS))
+    )
+    ok = healthy_ok and fault_ok and scaled_down and scaled_up and kills_landed >= 1
+
+    print("| op | healthy s | fault s | premium | outcome | execs busy/idle |")
+    print("|---|---|---|---|---|---|")
+    for i, name in enumerate(OPS):
+        r = results[name]
+        prem = (
+            f"{r['fault_sec'] / r['healthy_sec']:.1f}x"
+            if r["healthy_sec"] > 0 else "—"
+        )
+        print(
+            f"| {name} | {r['healthy_sec']} | {r['fault_sec']} | {prem} "
+            f"| {r['outcome']} | {counts[2 * i]} / {counts[2 * i + 1]} |"
+        )
+    print(json.dumps({
+        "metric": "cluster_chaos",
+        "rep": rep,
+        "all_healthy_identical": healthy_ok,
+        "all_fault_recovered_or_unkillable": fault_ok,
+        "kills_landed": kills_landed,
+        "scaled_down_observed": scaled_down,
+        "scaled_up_observed": scaled_up,
+        "executor_counts": counts,
+        "cases": results,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
