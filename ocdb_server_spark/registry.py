@@ -452,6 +452,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r7,
         pipeline_r8,
         pipeline_r10,
+        pipeline_r12,
         multimodal_codecs,
         udfs,
         northstar,
