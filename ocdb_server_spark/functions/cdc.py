@@ -1,0 +1,138 @@
+"""CDC apply-changes: merge a keyed change feed into a base snapshot.
+
+The library form of op264 (operators/pipeline_r12.py) — the MERGE INTO /
+APPLY CHANGES INTO semantics of a lakehouse upsert sink, exposed as a
+reusable DataFrame combinator so a pipeline can merge ANY feed into ANY
+snapshot, not just the registered op's tables:
+
+    out = apply_changes(
+        base,                       # snapshot: one row per key
+        changes,                    # feed: (key, seq..., op, payload...)
+        key="user_id",
+        seq=["ts", "event_id"],     # total order within a key
+        op_col="op",                # 'U' upsert / 'D' delete
+        payload=["balance"],        # columns an upsert overwrites
+    )
+
+Semantics (deterministic given a total (key, seq) order):
+- last-writer-wins: only each key's highest-seq change row acts;
+- terminal 'D' drops the key — including delete-of-nonexistent, the
+  MERGE no-op case (no row appears);
+- terminal 'U' upserts: payload columns replaced for an existing base
+  key (status 'updated'), the whole row inserted for a new key
+  (status 'inserted'; non-payload base columns stay NULL);
+- keys the feed never touches pass through byte-identical
+  ('unchanged', n_changes 0).
+
+100 TB shape (the reason this is a combinator and not a loop): the
+feed collapses to ≤1 row/key with ONE key-partitioned window — the
+shuffle carries only (key, seq, op, payload), and a real CDC feed is
+orders smaller than its base — then ONE full-outer sort-merge join on
+the key applies it. The base is shuffled at most once and never
+windowed; against a bucketed/z-ordered base (op159/op161) the join
+co-locates. Spark cannot broadcast a full-outer side, which is the
+correct default here anyway: at serving scale both sides are large,
+and AQE still locally prunes empty partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+#: status values emitted in the ``status`` column
+STATUS_INSERTED = "inserted"
+STATUS_UPDATED = "updated"
+STATUS_UNCHANGED = "unchanged"
+
+
+def collapse_feed(
+    changes: DataFrame,
+    key: str,
+    seq: Sequence[str],
+    op_col: str = "op",
+    payload: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Collapse a change feed to its last-writer row per key.
+
+    Returns one row per key: (key, op, *payload, n_changes). This is
+    the only shuffle the feed pays; everything downstream is join-side.
+    """
+    seq_desc = [F.col(c).desc() for c in seq]
+    w_seq = W.partitionBy(key).orderBy(*seq_desc)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w_seq))
+        .withColumn("__n_changes", F.count("*").over(W.partitionBy(key)))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key,
+            op_col,
+            *payload,
+            F.col("__n_changes").alias("n_changes"),
+        )
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: Sequence[str],
+    op_col: str = "op",
+    payload: Sequence[str] = ("value",),
+    base_key: str | None = None,
+    upsert_op: str = "U",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE a change feed into a base snapshot (last-writer-wins).
+
+    base: one row per ``base_key`` (defaults to ``key``); all its
+      columns survive. Each payload column must have a base column of
+      the SAME NAME to overwrite (align the feed with ``alias`` first
+      when names differ).
+    changes: the feed; ``op_col`` holds ``upsert_op``/``delete_op``,
+      ``seq`` columns give the total per-key order.
+
+    Output = base columns (payload columns merged) + ``status``
+    (inserted/updated/unchanged) + ``n_changes``. Deleted keys emit no
+    row. The op-facing instantiation (and the DuckDB-oracle
+    certification of these semantics) is op264_cdc_apply_changes.
+    """
+    bkey = base_key or key
+    last = collapse_feed(changes, key, seq, op_col, payload)
+    # Alias EVERY change-side column to a fresh name: aliasing mints
+    # new attribute ids, so the join stays resolvable even when base
+    # and feed share lineage (e.g. re-applying a feed to the output of
+    # a previous apply_changes — the at-least-once replay case pinned
+    # in tests), and a same-named key/payload can't collide either.
+    last = last.select(
+        *[F.col(c).alias(f"__chg_{c}") for c in last.columns]
+    )
+    chg = lambda c: F.col(f"__chg_{c}")  # noqa: E731
+    merged = base.join(
+        last, base[bkey] == chg(key), "full_outer"
+    ).filter(chg(op_col).isNull() | (chg(op_col) != delete_op))
+
+    is_insert = base[bkey].isNull()
+    is_unchanged = chg(key).isNull()
+
+    def merged_col(c: str) -> Column:
+        if c == bkey:
+            return F.coalesce(base[bkey], chg(key)).alias(bkey)
+        if c in payload:
+            return (
+                F.when(chg(op_col) == upsert_op, chg(c))
+                .otherwise(base[c])
+                .alias(c)
+            )
+        return base[c]
+
+    return merged.select(
+        *[merged_col(c) for c in base.columns],
+        F.when(is_insert, F.lit(STATUS_INSERTED))
+        .when(is_unchanged, F.lit(STATUS_UNCHANGED))
+        .otherwise(F.lit(STATUS_UPDATED))
+        .alias("status"),
+        F.coalesce(chg("n_changes"), F.lit(0)).cast("bigint").alias("n_changes"),
+    )

@@ -314,6 +314,12 @@ def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry status inserted/updated/unchanged and the key's change
     count.
 
+    The merge itself is the PUBLIC combinator
+    functions/cdc.py:apply_changes (generic over key/seq/op/payload
+    columns); this op is its registered instantiation over the
+    events→customer feed and the DuckDB-oracle certification of its
+    semantics.
+
     Float discipline: `balance` is only ever COPIED (events.value or
     customer.c_acctbal, both parquet doubles read identically by both
     engines) — never recomputed, so no float arithmetic crosses
@@ -329,40 +335,30 @@ def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side zip per bucket. AQE broadcasts the collapsed feed when
     a partition's slice is small enough — the classic big-base ×
     small-delta MERGE."""
-    ev = load_table(spark, sf_dir, "events").select(
+    from ocdb_server_spark.functions.cdc import apply_changes
+
+    changes = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.when(F.col("event_type") == "error", F.lit("D"))
         .otherwise(F.lit("U"))
         .alias("op"),
-        F.col("value").alias("new_balance"),
-    )
-    seq = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    last = (
-        ev.withColumn("rn", F.row_number().over(seq))
-        .withColumn("n_changes", F.count("*").over(W.partitionBy("user_id")))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "op", "new_balance", "n_changes")
+        F.col("value").alias("balance"),
     )
     base = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") >= _CDC_BASE_MIN_KEY)
-        .select("c_custkey", "c_acctbal")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
     )
-    merged = base.join(last, base["c_custkey"] == last["user_id"], "full_outer")
-    return merged.filter(
-        F.col("op").isNull() | (F.col("op") != "D")
-    ).select(
-        F.coalesce(base["c_custkey"], last["user_id"]).alias("user_id"),
-        F.when(F.col("op") == "U", F.col("new_balance"))
-        .otherwise(F.col("c_acctbal"))
-        .alias("balance"),
-        F.when(base["c_custkey"].isNull(), F.lit("inserted"))
-        .when(last["user_id"].isNull(), F.lit("unchanged"))
-        .otherwise(F.lit("updated"))
-        .alias("status"),
-        F.coalesce(F.col("n_changes"), F.lit(0)).cast("bigint").alias("n_changes"),
+    return apply_changes(
+        base,
+        changes,
+        key="user_id",
+        seq=["ts", "event_id"],
+        op_col="op",
+        payload=["balance"],
     )

@@ -86,8 +86,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         try:
             # The UNWRAPPED fn: its source segment (decorator line
-            # included) IS the registered plan. linecache makes the 262
-            # getsource calls one file read per module.
+            # included) IS the registered plan. linecache makes the
+            # per-op getsource calls one file read per module.
             src_fp = hashlib.sha256(
                 inspect.getsource(fn).encode()
             ).hexdigest()[:16]

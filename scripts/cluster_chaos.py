@@ -15,16 +15,23 @@ Protocol (one cluster, one session, the bench headliner set at REP×):
   executors) with idle gaps between them so release/re-acquire churn
   genuinely happens (REST-verified, busy-side ≥ 1 required).
 
-  Every headliner runs twice: a HEALTHY elastic pass (fingerprint +
-  wall), then a FAULT pass with one executor SIGKILLed at ~40% of the
-  healthy wall (kill must LAND — a too-fast query records no-kill and
-  the op is reported unkilled, not passed). Both passes must
+  Every headliner runs three times: a HEALTHY elastic pass (cold,
+  fingerprint + wall), a WARM elastic pass (fingerprint + wall — the
+  fault pass's honest twin: same JIT/codegen cache state), then a
+  FAULT pass with one executor SIGKILLed at ~40% of the WARM wall.
+  The kill timer must scale from the warm wall, not the cold one —
+  the fault pass runs warm, 2–3× faster than cold, and a timer set
+  at 0.4×cold fires after the query has already finished (the first
+  r12 soak recorded NO-KILL on every op exactly that way). A kill
+  must LAND — a too-fast query records no-kill and the op is
+  reported unkilled, not passed. All passes must be
   fingerprint-identical to a plain local[16] cold reference.
 
-Pass = all fingerprints identical (healthy AND fault) + ≥1 genuine
-scale-down and ≥1 re-acquisition observed + every slow-enough op's
-kill landed. Emits a markdown table + one JSON line (recovery premium
-per op = fault_sec / healthy_sec).
+Pass = all fingerprints identical (healthy, warm AND fault) + ≥1
+genuine scale-down and ≥1 re-acquisition observed + every
+slow-enough op's kill landed. Emits a markdown table + one JSON line
+(recovery premium per op = fault_sec / warm_sec — like-for-like,
+both warm).
 
 Usage: python scripts/cluster_chaos.py [REP]   (default 30)
 """
@@ -64,9 +71,11 @@ OPS = (
 )
 UI_PORT = 4072
 IDLE_TIMEOUT_S = 4
-# below this healthy wall the 40% kill timer can't reliably land
-# mid-query; such ops run fault-pass anyway but report "unkilled"
-MIN_KILLABLE_SEC = 1.0
+# below this WARM wall the 40% kill timer can't reliably land
+# mid-query (the fault pass often runs faster still — op80's third
+# pass came in at 0.24 s against a 1.03 s warm wall in the first r12
+# soak); such ops run fault-pass anyway but report "unkilled"
+MIN_KILLABLE_SEC = 2.0
 
 
 def _live_executors() -> int:
@@ -158,6 +167,13 @@ def main() -> int:
                 "spark.dynamicAllocation.maxExecutors": "2",
                 "spark.dynamicAllocation.executorIdleTimeout":
                     f"{IDLE_TIMEOUT_S}s",
+                # cached RDD blocks pin executors FOREVER by default
+                # (cachedExecutorIdleTimeout=infinity) — several soak
+                # ops enroll pool_persist caches that are only released
+                # at the NEXT op invocation, which lands inside the
+                # idle window; bound the pin so "idle" can mean idle
+                "spark.dynamicAllocation.cachedExecutorIdleTimeout":
+                    f"{IDLE_TIMEOUT_S}s",
                 "spark.dynamicAllocation.schedulerBacklogTimeout": "1s",
             },
         )
@@ -168,13 +184,22 @@ def main() -> int:
             t0 = time.perf_counter()
             healthy_fp = fingerprint_tuple(ops[name].fn(spark, data))
             healthy = time.perf_counter() - t0
+
+            # warm elastic pass: the fault pass's honest twin (same
+            # JIT/codegen state) — calibrates the kill timer AND is
+            # the denominator of the recovery premium
+            t0 = time.perf_counter()
+            warm_fp = fingerprint_tuple(ops[name].fn(spark, data))
+            warm = time.perf_counter() - t0
             busy = _live_executors()
 
-            # fault pass: kill an executor mid-query
+            # fault pass: kill an executor mid-query, timed off the
+            # WARM wall (0.4×cold fires after a warm query finishes —
+            # the first r12 soak's NO-KILL-everywhere failure mode)
             candidates = _executor_pids()
             holder: dict = {}
             timer = threading.Timer(
-                max(0.2, 0.4 * healthy), _kill_one, args=(name, candidates, holder)
+                max(0.2, 0.4 * warm), _kill_one, args=(name, candidates, holder)
             )
             df = ops[name].fn(spark, data)
             timer.start()
@@ -183,10 +208,14 @@ def main() -> int:
                 fault_fp = fingerprint_tuple(df)
                 if "pid" not in holder:
                     outcome = (
-                        "unkilled" if healthy < MIN_KILLABLE_SEC
+                        "unkilled" if warm < MIN_KILLABLE_SEC
                         else "NO-KILL (protocol failure)"
                     )
-                elif fault_fp == ref[name] and healthy_fp == ref[name]:
+                elif (
+                    fault_fp == ref[name]
+                    and healthy_fp == ref[name]
+                    and warm_fp == ref[name]
+                ):
                     outcome = "recovered-identical"
                 else:
                     outcome = f"WRONG RESULT {fault_fp} vs {ref[name]}"
@@ -196,20 +225,26 @@ def main() -> int:
             timer.cancel()
             results[name] = {
                 "healthy_sec": round(healthy, 2),
+                "warm_sec": round(warm, 2),
                 "fault_sec": round(fault, 2),
-                "healthy_match": healthy_fp == ref[name],
+                "healthy_match": healthy_fp == ref[name] and warm_fp == ref[name],
                 "outcome": outcome,
                 "executors_busy": busy,
                 "killed_pid": holder.get("pid"),
             }
             counts.append(busy)
-            # idle past the timeout so the allocator releases executors
-            time.sleep(IDLE_TIMEOUT_S + 4)
+            # idle past the timeout so the allocator releases executors;
+            # drop this op's pooled caches FIRST — a genuinely idle
+            # session holds no cache blocks, and release at next-op
+            # time would land inside the window we're measuring
+            release_pool()
+            time.sleep(IDLE_TIMEOUT_S + 6)
             idle = _live_executors()
             counts.append(idle)
             results[name]["executors_after_idle"] = idle
             print(
-                f"  {name}: healthy {healthy:.2f}s fault {fault:.2f}s "
+                f"  {name}: healthy {healthy:.2f}s warm {warm:.2f}s "
+                f"fault {fault:.2f}s "
                 f"{outcome} executors {busy}->{idle}", file=sys.stderr,
             )
         release_pool()
@@ -238,16 +273,20 @@ def main() -> int:
     )
     ok = healthy_ok and fault_ok and scaled_down and scaled_up and kills_landed >= 1
 
-    print("| op | healthy s | fault s | premium | outcome | execs busy/idle |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| op | healthy s | warm s | fault s | premium (fault/warm) "
+        "| outcome | execs busy/idle |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for i, name in enumerate(OPS):
         r = results[name]
         prem = (
-            f"{r['fault_sec'] / r['healthy_sec']:.1f}x"
-            if r["healthy_sec"] > 0 else "—"
+            f"{r['fault_sec'] / r['warm_sec']:.1f}x"
+            if r["warm_sec"] > 0 else "—"
         )
         print(
-            f"| {name} | {r['healthy_sec']} | {r['fault_sec']} | {prem} "
+            f"| {name} | {r['healthy_sec']} | {r['warm_sec']} "
+            f"| {r['fault_sec']} | {prem} "
             f"| {r['outcome']} | {counts[2 * i]} / {counts[2 * i + 1]} |"
         )
     print(json.dumps({

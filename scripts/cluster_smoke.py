@@ -56,6 +56,12 @@ OPS = [
     "op95_sim_ivf_knn",
     "op206_stream_tws_user_stats",
     "op218_stream_tws_topk",
+    # round-12 additions: RRF's two-leg fusion (bound-parameter capture
+    # + broadcast corpus stats + full-outer of two TakeOrdered legs)
+    # and the CDC merge's key-window + full-outer SMJ, both crossing
+    # real executor JVMs.
+    "op263_rrf_hybrid_topk",
+    "op264_cdc_apply_changes",
 ]
 
 

@@ -177,3 +177,82 @@ def test_op264_unchanged_rows_pass_base_through(cdc_pdf, cdc_feed, spark, sf_dir
         if ev.event_type != "error" and uid < _CDC_BASE_MIN_KEY
     ]
     assert len(out) == len(base) - len(deleted_base) + len(inserted)
+
+
+# --------------------------------------------------------------------------
+# functions/cdc.py: the generic combinator on a planted feed
+# --------------------------------------------------------------------------
+
+
+def test_apply_changes_planted_feed(spark):
+    """The library combinator on a hand-built base/feed covering every
+    path at once: multi-column payload, non-payload base columns
+    preserved through updates, delete-of-existing, delete-of-
+    nonexistent (no row), insert, unchanged, and a key whose EARLIER
+    delete is superseded by a later upsert (last-writer-wins on the
+    op itself, not just the payload)."""
+    from ocdb_server_spark.functions.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k bigint, bal double, tag string",
+    )
+    # (k, s, op, bal): key1 updated twice (last wins), key2 deleted,
+    # key3 delete-then-upsert (upsert wins), key5 inserted,
+    # key6 delete-of-nonexistent, key4 untouched
+    feed = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0),
+            (1, 2, "U", 12.0),
+            (2, 1, "U", 21.0),
+            (2, 2, "D", None),
+            (3, 1, "D", None),
+            (3, 2, "U", 33.0),
+            (5, 1, "U", 55.0),
+            (6, 1, "D", None),
+        ],
+        "k bigint, s bigint, op string, bal double",
+    )
+    out = {
+        r.k: r
+        for r in apply_changes(
+            base, feed, key="k", seq=["s"], op_col="op", payload=["bal"]
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4, 5}  # 2 deleted, 6 never existed
+    assert (out[1].bal, out[1].tag, out[1].status, out[1].n_changes) == (
+        12.0, "a", "updated", 2,
+    )
+    assert (out[3].bal, out[3].tag, out[3].status, out[3].n_changes) == (
+        33.0, "c", "updated", 2,
+    )
+    assert (out[4].bal, out[4].tag, out[4].status, out[4].n_changes) == (
+        40.0, "d", "unchanged", 0,
+    )
+    # inserted key: payload set, non-payload base columns NULL
+    assert (out[5].bal, out[5].tag, out[5].status, out[5].n_changes) == (
+        55.0, None, "inserted", 1,
+    )
+
+
+def test_apply_changes_idempotent_on_collapsed_feed(spark):
+    """Re-applying an already-applied upsert feed must be a no-op on
+    values (every key flips to 'updated'/'inserted' status but the
+    merged table is value-identical) — the MERGE property that makes
+    at-least-once CDC delivery safe when the feed is replayed."""
+    from ocdb_server_spark.functions.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, bal double"
+    )
+    feed = spark.createDataFrame(
+        [(1, 1, "U", 11.0), (3, 1, "U", 31.0)],
+        "k bigint, s bigint, op string, bal double",
+    )
+    once = apply_changes(base, feed, key="k", seq=["s"], payload=["bal"])
+    twice = apply_changes(
+        once.select("k", "bal"), feed, key="k", seq=["s"], payload=["bal"]
+    )
+    vals_once = sorted((r.k, r.bal) for r in once.collect())
+    vals_twice = sorted((r.k, r.bal) for r in twice.collect())
+    assert vals_once == vals_twice == [(1, 11.0), (2, 20.0), (3, 31.0)]
