@@ -747,3 +747,35 @@ def test_hw_damped_mult_single_keyed_shuffle_into_recurrence(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) >= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rrf_legs_cut_to_depth_before_rank_window(spark, sf_dir):
+    """op263: both retrieval legs must cut to depth with
+    TakeOrderedAndProject BEFORE any rank window — a global
+    row_number over the full scored set would put every scored doc
+    in ONE partition at 100 TB. The windows that remain may only see
+    the ≤DEPTH-row cuts, and the final top-20 is a third TakeOrdered."""
+    plan = _plan(OPS["op263_rrf_hybrid_topk"].fn(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:800]
+    # the two rank windows run over single-partition ≤50-row frames —
+    # exactly two, and no window may appear upstream of a TakeOrdered
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    # corpus stats / df broadcast back to the tf frame (op183's shape)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cdc_merge_one_feed_window_one_join_no_base_window(spark, sf_dir):
+    """op264: the feed collapses through key-partitioned windows
+    (row_number + count share ONE hashpartitioning(user_id) exchange)
+    and the merge is ONE full-outer SortMergeJoin; the base side is
+    never windowed and never broadcast (full-outer cannot broadcast,
+    and at scale both sides are large)."""
+    plan = _plan(OPS["op264_cdc_apply_changes"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    # one exchange for the feed's window chain, one per SMJ side
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    # both window operators sit on the SAME user_id partitioning —
+    # windowing the (huge) base side would show a c_custkey window
+    wins = re.findall(r"Window \[.*?\]", plan)
+    assert 1 <= len(wins) <= 2 and all("user_id" in w for w in wins), wins
