@@ -138,6 +138,12 @@ FULL_TABLE_OPS = [
     # whose integer-exact thresholds must never flip with either
     "op261_zstd_seekable_ingest",
     "op262_demand_classification",
+    # round-12: RRF fuses integer ranks from two totally-ordered legs
+    # (quantized BM25 scores, bround-6 sims — both tie-broken by id),
+    # and the CDC merge is a keyed window + keyed join: neither may
+    # care how any input was split or how wide the shuffle runs
+    "op263_rrf_hybrid_topk",
+    "op264_cdc_apply_changes",
 ]
 
 _ALL_TABLES = (
