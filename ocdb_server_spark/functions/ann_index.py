@@ -81,14 +81,26 @@ def pq_seed_codebook(e: DataFrame, k: int = 16) -> DataFrame:
 
 
 def _dataset_key(sf_dir: str, table: str = "embeddings") -> str:
-    """Identity of the indexed dataset: absolute path + size + mtime of
-    its parquet. A data refresh changes the key, so a stale index can
-    never serve a new corpus. Falls back to the path alone when the
-    file is unstatable (directory datasets) — params still key."""
+    """Identity of the indexed dataset: absolute path + size + mtime —
+    of the file itself for single-file datasets, of EVERY entry for
+    directory datasets (round-12 review: os.stat on a directory
+    succeeds but its size/mtime don't change when part files are
+    overwritten in place with the same names, so the dir's own stat
+    could serve a stale index for a refreshed corpus; the per-entry
+    walk sees the rewritten files' mtimes). A data refresh changes
+    the key, so a stale index can never serve a new corpus. Falls
+    back to the path alone when unstatable — params still key."""
     path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     try:
-        st = os.stat(path)
-        ident = f"{path}|{st.st_size}|{st.st_mtime_ns}"
+        if os.path.isdir(path):
+            parts = []
+            for entry in sorted(os.scandir(path), key=lambda e: e.name):
+                st = entry.stat()
+                parts.append(f"{entry.name}|{st.st_size}|{st.st_mtime_ns}")
+            ident = path + "||" + "||".join(parts)
+        else:
+            st = os.stat(path)
+            ident = f"{path}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         ident = path
     return hashlib.sha256(ident.encode()).hexdigest()[:12]

@@ -96,9 +96,17 @@ def apply_changes(
 
     Output = base columns (payload columns merged) + ``status``
     (inserted/updated/unchanged) + ``n_changes``. Deleted keys emit no
-    row. The op-facing instantiation (and the DuckDB-oracle
-    certification of these semantics) is op264_cdc_apply_changes.
+    row. ``status``/``n_changes`` are RESERVED bookkeeping names: if
+    the base already carries them (the output of a previous
+    apply_changes fed back in — the at-least-once replay case), they
+    are dropped and rewritten for THIS application, so chained applies
+    stay unambiguous instead of accumulating duplicate columns. The
+    op-facing instantiation (and the DuckDB-oracle certification of
+    these semantics) is op264_cdc_apply_changes.
     """
+    reserved = [c for c in ("status", "n_changes") if c in base.columns]
+    if reserved:
+        base = base.drop(*reserved)
     bkey = base_key or key
     last = collapse_feed(changes, key, seq, op_col, payload)
     # Alias EVERY change-side column to a fresh name: aliasing mints

@@ -108,7 +108,14 @@ class _ReliableCkptGC:
         # dirs backing the frame the loop currently holds (≤1 generation)
         self._live: set[str] = set()
 
-    def _ls(self) -> set[str]:
+    def _ls(self) -> set[str] | None:
+        """Listing, or None when the listing FAILED — the two must not
+        conflate: an empty set means "nothing there", None means "we
+        don't know what's there". Treating a failed snapshot() as
+        empty would make record() attribute every PRE-EXISTING dir
+        (including a caller's loop-invariant checkpoint) to the new
+        generation, and a later advance() would delete live files —
+        the opposite of the best-effort guarantee."""
         try:
             if not self._fs.exists(self._path):
                 return set()
@@ -117,16 +124,23 @@ class _ReliableCkptGC:
                 for st in self._fs.listStatus(self._path)
             }
         except Exception:
-            return set()
+            return None
 
-    def snapshot(self) -> set[str]:
+    def snapshot(self) -> set[str] | None:
         """Call immediately BEFORE a checkpoint materializes."""
         return self._ls()
 
-    def record(self, before: set[str]) -> None:
+    def record(self, before: set[str] | None) -> None:
         """Call immediately AFTER: the dirs that appeared across the
-        checkpoint call are the new generation's backing files."""
-        self._pending = self._ls() - before
+        checkpoint call are the new generation's backing files. If
+        EITHER listing failed, attribute nothing — this generation is
+        simply never GC'd (Spark's default keep-everything growth),
+        never over-attributed."""
+        after = self._ls()
+        if before is None or after is None:
+            self._pending = set()
+        else:
+            self._pending = after - before
 
     def advance(self) -> None:
         """The new generation is now the loop state and the previous

@@ -582,6 +582,17 @@ def ivf_topk(
     pinned in tests/test_ann_index.py."""
     if nprobe is None:
         nprobe = max(1, -(-n_centroids // 4))  # ceil(K/4)
+    if codebook is not None and train_iters:
+        # A persisted codebook IS the trained artifact — silently
+        # skipping the requested refinement would degrade recall with
+        # no signal (round-12 review). Train at build time
+        # (ann_index.build_ivf_index / ivf_seed_codebook+lloyd_refine)
+        # and pass the result; the query side never trains.
+        raise ValueError(
+            "ivf_topk: train_iters and codebook are mutually exclusive — "
+            "a passed codebook is used as-is; bake training into the "
+            "artifact at build time"
+        )
 
     en = F.expr(
         "sqrt(aggregate(transform(embedding,"
@@ -671,7 +682,11 @@ def _ivf_k_for(sf_dir: str) -> int:
         return 45
 
 
-@register("op95_sim_ivf_knn", oracle=None)  # ROWS: IVF probe is approximate
+@register(
+    "op95_sim_ivf_knn",
+    oracle=None,  # ROWS: IVF probe is approximate
+    deps=(ivf_topk,),  # the plan lives in the kernel (round-12 deps rule)
+)
 def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors of the vec_id=0 query
     over the embeddings table — see ivf_topk for the index design

@@ -38,14 +38,14 @@ from ocdb_server_spark.registry import register
 # --------------------------------------------------------------------------
 # op263: reciprocal-rank-fusion hybrid retrieval (lexical ⊕ dense)
 # --------------------------------------------------------------------------
-# The lexical leg reuses op183's BM25 constants verbatim (same query
+# The lexical leg IS op183's scorer (bm25_scored_docs — same query
 # terms, same k1/b, same floor(x·1e6+0.5) int64 quantization that makes
-# the per-doc score sum order-free and cross-engine exact).
+# the per-doc score sum order-free and cross-engine exact); the SQL
+# constants build the matching oracle CTEs.
+from ocdb_server_spark.functions.cdc import apply_changes, collapse_feed
 from ocdb_server_spark.operators.pipeline_r5 import (  # noqa: E402
-    _BM25_B,
-    _BM25_K1,
-    _BM25_TERMS,
-    _BM25_TERMS_SQL,
+    BM25_SCORE_CTES,
+    bm25_scored_docs,
 )
 
 _RRF_K = 60          # the standard RRF damping constant (public IR folklore)
@@ -53,38 +53,7 @@ _RRF_DEPTH = 50      # per-leg candidate depth
 _RRF_TOPK = 20
 
 _OP263_SQL = f"""
-WITH d AS (
-  SELECT doc_id,
-         length(text) - length(replace(text, ' ', '')) + 1 AS len,
-         text
-  FROM documents
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         AVG(CAST(len AS DOUBLE)) AS avg_len
-  FROM d
-),
-w AS (
-  SELECT doc_id, len, unnest(string_split(text, ' ')) AS term FROM d
-),
-tf AS (
-  SELECT doc_id, term, MAX(len) AS len, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM w WHERE term IN ({_BM25_TERMS_SQL})
-  GROUP BY doc_id, term
-),
-dfreq AS (
-  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
-),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(FLOOR(
-           LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf * ({_BM25_K1} + 1))
-           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-              + {_BM25_B} * tf.len / stats.avg_len))
-           * 1000000.0 + 0.5) AS BIGINT) AS term_score_u
-  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
-),
+WITH {BM25_SCORE_CTES},
 lexs AS (
   SELECT doc_id, CAST(SUM(term_score_u) AS DOUBLE) / 1000000.0 AS score
   FROM scored WHERE doc_id <> 0 GROUP BY doc_id
@@ -124,7 +93,11 @@ LIMIT {_RRF_TOPK}
 """
 
 
-@register("op263_rrf_hybrid_topk", oracle=_OP263_SQL)
+@register(
+    "op263_rrf_hybrid_topk",
+    oracle=_OP263_SQL,
+    deps=(bm25_scored_docs,),
+)
 def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical ranking (op183's scorer, same
     terms/quantization) ⊕ dense cosine ranking (op80's scorer, same
@@ -157,38 +130,10 @@ def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     50×50-row full outer — trivial under any join strategy."""
     import math
 
-    # ---- lexical leg: op183's BM25 scorer at depth 50 ----
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias("len"),
-        "text",
-    )
-    stats = d.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.col("len").cast("double")).alias("avg_len"),
-    )
-    words = d.select(
-        "doc_id", "len", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term").isin(*_BM25_TERMS))
-    tf = words.groupBy("doc_id", "term").agg(
-        F.max("len").alias("len"), F.count("*").cast("bigint").alias("tf")
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    term_score_u = F.expr(
-        f"cast(floor(ln(1 + (n_docs - df + 0.5D) / (df + 0.5D))"
-        f" * (tf * ({_BM25_K1}D + 1))"
-        f" / (tf + {_BM25_K1}D * (1 - {_BM25_B}D"
-        f" + {_BM25_B}D * len / avg_len))"
-        " * 1000000.0D + 0.5D) as bigint)"
-    )
-    lex_scores = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("doc_id") != 0)
-        .select("doc_id", term_score_u.alias("u"))
-        .groupBy("doc_id")
-        .agg((F.sum("u").cast("double") / 1_000_000.0).alias("score"))
-    )
+    # ---- lexical leg: op183's scorer (shared kernel) at depth 50 ----
+    # per-doc rows are independent, so excluding the query's own doc
+    # after the score agg is equivalent to excluding it before
+    lex_scores = bm25_scored_docs(spark, sf_dir).filter(F.col("doc_id") != 0)
     # Cut to depth FIRST (TakeOrderedAndProject: per-partition partial
     # top-50, driver merge — no global single-partition window over the
     # full scored set), then rank the ≤50 survivors; row_number over
@@ -301,7 +246,11 @@ WHERE last.op IS NULL OR last.op <> 'D'
 """
 
 
-@register("op264_cdc_apply_changes", oracle=_OP264_SQL)
+@register(
+    "op264_cdc_apply_changes",
+    oracle=_OP264_SQL,
+    deps=(apply_changes, collapse_feed),
+)
 def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a CDC change feed to a base snapshot — the MERGE INTO /
     APPLY CHANGES semantics of a lakehouse upsert sink, batch-shaped
@@ -335,8 +284,6 @@ def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side zip per bucket. AQE broadcasts the collapsed feed when
     a partition's slice is small enough — the classic big-base ×
     small-delta MERGE."""
-    from ocdb_server_spark.functions.cdc import apply_changes
-
     changes = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",

@@ -301,7 +301,11 @@ def pq_topk(
     )
 
 
-@register("op180_pq_ann_knn", oracle=None)  # ROWS: PQ codes are approximate
+@register(
+    "op180_pq_ann_knn",
+    oracle=None,  # ROWS: PQ codes are approximate
+    deps=(pq_topk,),  # the plan lives in the kernel (round-12 deps rule)
+)
 def op180_pq_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate top-10 cosine neighbors of vec_id=0 over the
     embeddings table — see pq_topk for the index design (8×4-bit
@@ -489,8 +493,11 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 # floor(x·1e6 + 0.5)→int64 BEFORE the per-doc sum (op162/op165's
 # IEEE-deterministic discipline) so the cross-engine float reduction
 # is order-free; the observable is the final double score.
-_OP183_SQL = f"""
-WITH d AS (
+# The scorer CTE chain (through `scored`), SHARED between op183's
+# oracle and op263's (pipeline_r12) — the SQL twin of the
+# bm25_scored_docs kernel below, deduplicated for the same drift-risk
+# reason (round-12 review).
+BM25_SCORE_CTES = f"""d AS (
   SELECT doc_id,
          length(text) - length(replace(text, ' ', '')) + 1 AS len,
          text
@@ -521,7 +528,10 @@ scored AS (
               + {_BM25_B} * tf.len / stats.avg_len))
            * 1000000.0 + 0.5) AS BIGINT) AS term_score_u
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
-),
+)"""
+
+_OP183_SQL = f"""
+WITH {BM25_SCORE_CTES},
 s AS (
   SELECT doc_id, CAST(SUM(term_score_u) AS DOUBLE) / 1000000.0 AS score
   FROM scored GROUP BY doc_id
@@ -532,24 +542,15 @@ LIMIT {_BM25_TOPK}
 """
 
 
-@register("op183_bm25_topk", oracle=_OP183_SQL)
-def op183_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for a fixed multi-term query over documents — the
-    ranked-retrieval scoring the reference's search surface implies
-    (`bcdev/ocdb-server` is a dataset *search* service, public
-    knowledge — SURVEY.md §0; its Lucene-ish query language parses
-    through plans/expr_compiler.py, and this op is the scoring half a
-    relevance-ranked search needs; op13's phrase filter is the boolean
-    half).
-
-    Plan shape: one explode confined to the |query|-term subset
-    (`term IN (…)` prunes BEFORE the tf aggregate, so the shuffle
-    carries at most |query| rows per doc, never the corpus vocab),
-    document-frequency and corpus stats reduce to |query|-row /
-    1-row broadcasts, and top-k plans as TakeOrderedAndProject.
-    Per-term scores quantize floor(x·1e6+0.5)→int64 pre-sum
-    (op165's discipline) so the 3-term addition is order-free and
-    cross-engine exact."""
+def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): the BM25 scorer for the fixed _BM25_TERMS
+    query over every document containing ≥1 query term — op183's
+    kernel, SHARED with op263's lexical leg (round-12 review: the
+    floor(x·1e6+0.5) quantization discipline must live in one place).
+    Both callers declare this via register(deps=...) so a rewrite
+    here re-fronts both for re-certification. Plan shape: see
+    op183's docstring — the explode is pruned to the query-term
+    subset BEFORE the tf shuffle, df/stats broadcast back."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr("length(text) - length(replace(text, ' ', '')) + 1").alias("len"),
@@ -579,6 +580,31 @@ def op183_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", term_score_u.alias("u"))
         .groupBy("doc_id")
         .agg((F.sum("u").cast("double") / 1_000_000.0).alias("score"))
+    )
+
+
+@register("op183_bm25_topk", oracle=_OP183_SQL, deps=(bm25_scored_docs,))
+def op183_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed multi-term query over documents — the
+    ranked-retrieval scoring the reference's search surface implies
+    (`bcdev/ocdb-server` is a dataset *search* service, public
+    knowledge — SURVEY.md §0; its Lucene-ish query language parses
+    through plans/expr_compiler.py, and this op is the scoring half a
+    relevance-ranked search needs; op13's phrase filter is the boolean
+    half).
+
+    Plan shape: one explode confined to the |query|-term subset
+    (`term IN (…)` prunes BEFORE the tf aggregate, so the shuffle
+    carries at most |query| rows per doc, never the corpus vocab),
+    document-frequency and corpus stats reduce to |query|-row /
+    1-row broadcasts, and top-k plans as TakeOrderedAndProject.
+    Per-term scores quantize floor(x·1e6+0.5)→int64 pre-sum
+    (op165's discipline) so the 3-term addition is order-free and
+    cross-engine exact. Scoring kernel extracted to bm25_scored_docs
+    in round 12 (shared with op263's lexical leg; declared as a dep
+    so kernel rewrites re-front both ops)."""
+    return (
+        bm25_scored_docs(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )

@@ -73,8 +73,23 @@ def release_pool() -> int:
     return n
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register an operator implementation under a stable SURVEY.md §2 key."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    deps: tuple = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register an operator implementation under a stable SURVEY.md §2 key.
+
+    deps: helper functions/classes the registered plan lives in (the
+    round-12 review's blind spot: src_fp hashes only the op FUNCTION,
+    so a plan rewrite inside a shared helper — op264's apply_changes,
+    op95's IVF builders — stayed invisibly certified). Each dep's
+    source is folded into src_fp, so editing the helper demotes every
+    op that declared it. Opt-in and shallow by design: a dep's own
+    callees are NOT traversed (transitive hashing would demote whole
+    modules on any edit); helpers not declared anywhere still need
+    the op261-style hand-bump when rewritten — declare them instead.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -88,9 +103,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # The UNWRAPPED fn: its source segment (decorator line
             # included) IS the registered plan. linecache makes the
             # per-op getsource calls one file read per module.
-            src_fp = hashlib.sha256(
-                inspect.getsource(fn).encode()
-            ).hexdigest()[:16]
+            src = inspect.getsource(fn)
+            for dep in deps:
+                src += inspect.getsource(dep)
+            src_fp = hashlib.sha256(src.encode()).hexdigest()[:16]
         except (OSError, TypeError):
             src_fp = ""  # source unavailable — checker-only tracking
 
@@ -227,15 +243,18 @@ def refresh_oracle_fps(root: str, latest: int) -> dict[str, dict]:
 
     PLAN FINGERPRINT (round-11 verdict item 3): each entry also
     carries "src_fp" — the hash of the op FUNCTION's source at
-    registration (Op.src_fp). A plan rewrite under an unchanged
-    checker (op261's r11 parallel-writer move) used to be invisible
-    here and relied on a hand-bumped since_round; now any edit to the
-    op's body bumps since_round automatically and the stale green
-    demotes exactly like a checker rewrite. Migration: an entry
-    without "src_fp" (pre-r12 book) ADOPTS the current source without
-    a bump — the grandfathered state is the r11-certified one, and
-    only edits made after adoption re-front. Comment/docstring-only
-    edits bump too: one safe-side re-check beats parsing intent."""
+    registration (Op.src_fp), plus the sources of any helpers the op
+    declared via register(deps=...) (round-12 review: the op body is
+    often a thin wrapper and the plan lives in a helper). An edit to
+    the op's body or a DECLARED dep bumps since_round automatically
+    and the stale green demotes exactly like a checker rewrite; a
+    rewrite inside an UNdeclared helper remains the one hole — either
+    declare it or hand-bump since_round in the same commit (op261
+    precedent). Migration: an entry without "src_fp" (pre-r12 book)
+    ADOPTS the current source without a bump — the grandfathered
+    state is the r11-certified one, and only edits made after
+    adoption re-front. Comment/docstring-only edits bump too: one
+    safe-side re-check beats parsing intent."""
     import json
     import os
     import tempfile

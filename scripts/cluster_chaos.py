@@ -54,6 +54,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cluster_smoke import (  # noqa: E402
     MASTER_URL,
     SHUFFLE_SERVICE_PORT,
+    churn_observed,
     fingerprint_tuple,
     start_cluster,
     stop_cluster,
@@ -94,30 +95,63 @@ def _live_executors() -> int:
         return -1  # REST hiccup: recorded, never crashes the soak
 
 
-def _executor_pids() -> set[int]:
+def _ppid(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # field 4 (after the parenthesized comm, which may contain
+            # spaces — split after the LAST ')')
+            return int(f.read().rsplit(")", 1)[1].split()[1])
+    except Exception:
+        return -1
+
+
+def _executor_pids(worker_pids: set[int] | None = None) -> set[int]:
+    """Executor backend pids — restricted to children of THIS cluster's
+    worker daemons when worker_pids is given (round-12 review: the
+    docstring promised that scoping but the set was a global pgrep,
+    so min(pids) could SIGKILL an unrelated Spark app's executor and
+    still be credited as a landed kill)."""
     out = subprocess.run(
         ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
         capture_output=True, text=True,
     )
-    return {int(p) for p in out.stdout.split()}
+    pids = {int(p) for p in out.stdout.split()}
+    if worker_pids is None:
+        return pids
+    return {p for p in pids if _ppid(p) in worker_pids}
 
 
-def _kill_one(tag: str, candidates: set[int], holder: dict) -> None:
-    """SIGKILL one executor from this cluster's candidate set (a global
-    pgrep could murder an unrelated app's executor) and record the
-    victim so a pass can't be claimed for a kill that never landed."""
-    pids = _executor_pids() & candidates
-    # under dynalloc the replacement executor is a NEW pid — widen to
-    # any executor alive NOW that wasn't the driver's build session
-    if not pids:
-        pids = _executor_pids()
-    if not pids:
-        print(f"  [{tag}] no executor alive to kill", file=sys.stderr)
-        return
-    victim = min(pids)
-    os.kill(victim, signal.SIGKILL)
-    holder["pid"] = victim
-    print(f"  [{tag}] SIGKILLed executor pid {victim}", file=sys.stderr)
+def _kill_one(
+    tag: str, candidates: set[int], holder: dict, worker_pids: set[int]
+) -> None:
+    """SIGKILL one executor from this cluster's candidate set and
+    record the victim + the kill TIME, so a pass can't be claimed for
+    a kill that never landed — or landed after the query finished.
+
+    Under min=0 elasticity there may be NO executor at kill time even
+    mid-"query": ops whose wall is dominated by driver-side result
+    materialization (op42 fingerprints 1.3M rows at rep30) finish
+    their executor compute in the first few seconds, the allocator
+    releases to zero, and the timer fires into the driver phase.
+    Retry briefly, then record none_alive — the elastic system
+    working as designed (nothing exists to lose), distinct from a
+    protocol failure."""
+    for _ in range(4):
+        pids = _executor_pids(worker_pids) & candidates
+        # under dynalloc the replacement executor is a NEW pid — widen
+        # to any executor alive NOW, still scoped to this cluster
+        if not pids:
+            pids = _executor_pids(worker_pids)
+        if pids:
+            victim = min(pids)
+            os.kill(victim, signal.SIGKILL)
+            holder["pid"] = victim
+            holder["t"] = time.perf_counter()
+            print(f"  [{tag}] SIGKILLed executor pid {victim}", file=sys.stderr)
+            return
+        time.sleep(0.5)
+    holder["none_alive"] = True
+    print(f"  [{tag}] no executor alive to kill (elastic zero)", file=sys.stderr)
 
 
 def main() -> int:
@@ -145,6 +179,9 @@ def main() -> int:
     time.sleep(2)
 
     procs, wds = start_cluster(n_workers=1, cores=16, shuffle_service=True)
+    # procs[0] is the master; executors are direct children of the
+    # worker daemons — the kill scope (see _executor_pids)
+    worker_pids = {p.pid for p in procs[1:]}
     counts: list[int] = []
     results: dict[str, dict] = {}
     try:
@@ -196,21 +233,38 @@ def main() -> int:
             # fault pass: kill an executor mid-query, timed off the
             # WARM wall (0.4×cold fires after a warm query finishes —
             # the first r12 soak's NO-KILL-everywhere failure mode)
-            candidates = _executor_pids()
+            candidates = _executor_pids(worker_pids)
             holder: dict = {}
             timer = threading.Timer(
-                max(0.2, 0.4 * warm), _kill_one, args=(name, candidates, holder)
+                max(0.2, 0.4 * warm),
+                _kill_one,
+                args=(name, candidates, holder, worker_pids),
             )
             df = ops[name].fn(spark, data)
             timer.start()
             t0 = time.perf_counter()
             try:
                 fault_fp = fingerprint_tuple(df)
-                if "pid" not in holder:
-                    outcome = (
-                        "unkilled" if warm < MIN_KILLABLE_SEC
-                        else "NO-KILL (protocol failure)"
-                    )
+                t_end = time.perf_counter()
+                timer.cancel()
+                # a kill that landed AFTER the query completed faulted
+                # nothing — it must not be credited (round-12 review)
+                landed = "pid" in holder and holder.get("t", t_end) <= t_end
+                if not landed:
+                    if holder.get("none_alive"):
+                        # min=0 elasticity released every executor
+                        # before the kill time (driver-materialization
+                        # phase): nothing existed to lose — the
+                        # elastic design working, not a failed kill
+                        outcome = "unkilled (elastic zero at kill time)"
+                    else:
+                        outcome = (
+                            "unkilled" if warm < MIN_KILLABLE_SEC
+                            else "NO-KILL (protocol failure)"
+                        )
+                    if "pid" in holder:
+                        outcome += " [kill landed post-completion]"
+                        holder.pop("pid")
                 elif (
                     fault_fp == ref[name]
                     and healthy_fp == ref[name]
@@ -255,7 +309,11 @@ def main() -> int:
 
     healthy_ok = all(r["healthy_match"] for r in results.values())
     fault_ok = all(
-        r["outcome"] in ("recovered-identical", "unkilled")
+        r["outcome"] in (
+            "recovered-identical",
+            "unkilled",
+            "unkilled (elastic zero at kill time)",
+        )
         for r in results.values()
     )
     kills_landed = sum(

@@ -43,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cluster_smoke import (  # noqa: E402
     MASTER_URL,
     SHUFFLE_SERVICE_PORT,
+    churn_observed,
     fingerprint_tuple,
     start_cluster,
     stop_cluster,
@@ -140,18 +141,8 @@ def main() -> int:
         stop_cluster(procs, wds)
 
     all_match = all(r["match"] for r in results.values())
-    # churn proof: at least one idle reading below a busy reading, and
-    # a later busy reading back above it (re-acquisition). A scale-down
-    # only counts when the busy-side reading was >= 1 — 0 -> 0 (a fast
-    # op whose executors were already released before the busy-side
-    # REST read) is a no-op, not evidence (round-11 ADVICE).
-    scaled_down = any(
-        counts[2 * i] >= 1 and counts[2 * i + 1] < counts[2 * i]
-        for i in range(len(OPS))
-    )
-    scaled_up = any(
-        counts[2 * i] > counts[2 * i - 1] for i in range(1, len(OPS))
-    )
+    # churn proof — shared rule (cluster_smoke.churn_observed)
+    scaled_down, scaled_up = churn_observed(counts)
     ok = all_match and scaled_down and scaled_up
     print("| op | sec | result vs local[16] | executors busy / after idle |")
     print("|---|---|---|---|")

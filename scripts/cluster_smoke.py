@@ -168,6 +168,26 @@ def stop_cluster(procs, workdirs):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def churn_observed(counts: list[int]) -> tuple[bool, bool]:
+    """(scaled_down, scaled_up) from interleaved (busy, idle) executor
+    readings — THE churn-proof rule, shared by cluster_dynalloc and
+    cluster_chaos so the two soaks can't disagree on what counts as
+    evidence (round-12 review). A scale-down only counts when the
+    busy-side reading was >= 1 — 0 -> 0 (a fast op whose executors
+    were already released before the busy-side REST read) is a no-op,
+    not evidence (round-11 ADVICE). A scale-up is any busy reading
+    above the PREVIOUS op's idle reading (re-acquisition)."""
+    n = len(counts) // 2
+    scaled_down = any(
+        counts[2 * i] >= 1 and counts[2 * i + 1] < counts[2 * i]
+        for i in range(n)
+    )
+    scaled_up = any(
+        counts[2 * i] > counts[2 * i - 1] for i in range(1, n)
+    )
+    return scaled_down, scaled_up
+
+
 def fingerprint_tuple(df) -> tuple[int, str]:
     """Order-insensitive (n_rows, sha256-prefix) value fingerprint of a
     full result — THE canonicalization every cluster-vs-local script

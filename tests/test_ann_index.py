@@ -90,3 +90,26 @@ def test_persisted_query_plan_has_no_training_aggregation(spark, sf_dir):
     pq_cb = get_or_build_pq(spark, e, sf_dir, _PQ_K)
     pq_plan = pq_topk(e, codebook=pq_cb)._jdf.queryExecution().toString()
     assert "collect_list" not in pq_plan
+
+
+def test_dataset_key_sees_inplace_directory_rewrites(tmp_path):
+    """Directory datasets: overwriting a part file IN PLACE (same
+    name, same byte count) must change the dataset key — the dir's
+    own stat doesn't move, only the entry's mtime does. A key that
+    missed this would serve a stale codebook for a refreshed corpus."""
+    import os
+    import time
+
+    from ocdb_server_spark.functions.ann_index import _dataset_key
+
+    ds = tmp_path / "embeddings.parquet"
+    ds.mkdir()
+    part = ds / "part-00000.parquet"
+    part.write_bytes(b"v1-bytes")
+    k1 = _dataset_key(str(tmp_path))
+    assert k1 == _dataset_key(str(tmp_path))  # stable while untouched
+    time.sleep(0.01)
+    part.write_bytes(b"v2-bytes")  # same name, same size
+    os.utime(part)  # ensure the mtime tick is visible on coarse clocks
+    k2 = _dataset_key(str(tmp_path))
+    assert k1 != k2

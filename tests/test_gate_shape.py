@@ -394,3 +394,48 @@ def test_sweep_order_demotes_rewritten_plan_source(tmp_path):
     assert sql_op in certified_rounds(str(tmp_path))
     kept = json.loads((fpdir / "oracle_fp.json").read_text())
     assert kept[sql_op]["since_round"] == 2
+
+
+def test_register_deps_fold_into_src_fp():
+    """register(deps=...) must fold each declared helper's source into
+    the op's src_fp (round-12 review: the op body is often a thin
+    wrapper — a plan rewrite inside an undeclared helper was the
+    fingerprint rule's blind spot). Pins: declaring a dep changes the
+    fingerprint vs the bare registration, different deps give
+    different fingerprints, and the op264/op263 registrations
+    actually declare their kernels."""
+    import hashlib
+    import inspect
+
+    from ocdb_server_spark.functions.cdc import apply_changes, collapse_feed
+    from ocdb_server_spark.operators.pipeline_r12 import (
+        op264_cdc_apply_changes,
+    )
+    from ocdb_server_spark.registry import REGISTRY, load_all
+
+    load_all()
+    # the live registration folds the declared kernels: recompute the
+    # expected hash from the unwrapped fn + its declared deps
+    fn = inspect.unwrap(op264_cdc_apply_changes)
+    src = inspect.getsource(fn)
+    src += inspect.getsource(apply_changes)
+    src += inspect.getsource(collapse_feed)
+    expected = hashlib.sha256(src.encode()).hexdigest()[:16]
+    assert REGISTRY["op264_cdc_apply_changes"].src_fp == expected
+    # and WITHOUT the deps the fingerprint differs — so a helper edit
+    # is guaranteed to move the registered fingerprint
+    bare = hashlib.sha256(
+        inspect.getsource(fn).encode()
+    ).hexdigest()[:16]
+    assert bare != expected
+
+    from ocdb_server_spark.operators.pipeline_r5 import (
+        bm25_scored_docs,
+        op183_bm25_topk,
+    )
+
+    fn183 = inspect.unwrap(op183_bm25_topk)
+    exp183 = hashlib.sha256(
+        (inspect.getsource(fn183) + inspect.getsource(bm25_scored_docs)).encode()
+    ).hexdigest()[:16]
+    assert REGISTRY["op183_bm25_topk"].src_fp == exp183

@@ -160,3 +160,41 @@ def test_reliable_mode_gcs_superseded_checkpoints(spark, tmp_path):
     ]
     # 1 + iterations+1 generations were written; ≤2 survive
     assert len(rdd_dirs) <= 2, rdd_dirs
+
+
+def test_gc_failed_listing_attributes_nothing(spark, tmp_path):
+    """A transient FS failure during snapshot() must NOT attribute
+    pre-existing dirs (e.g. a caller's loop-invariant checkpoint) to
+    the new generation — that would let a later advance() delete live
+    checkpoint files. A failed listing (None) degrades to keeping the
+    generation forever, never to over-attribution."""
+    from ocdb_server_spark.functions.iterate import _ReliableCkptGC
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "gc_fail_ckpt"))
+    df = spark.range(3).toDF("id")
+    gc = _ReliableCkptGC(df)
+
+    # a pre-existing dir that a conflating GC would misattribute
+    pre = tmp_path / "gc_fail_ckpt"
+    [appdir] = list(pre.iterdir()) if pre.exists() else [pre]
+    victim = appdir / "rdd-preexisting"
+    victim.mkdir(parents=True, exist_ok=True)
+    (victim / "part-0").write_text("live")
+
+    # snapshot FAILS (simulated), record sees the full listing
+    gc.record(None)          # before=None → must attribute nothing
+    assert gc._pending == set()
+    gc.advance()             # promotes pending (empty) → live empty
+    gc.advance()             # would delete misattributed dirs if any
+    assert (victim / "part-0").read_text() == "live"
+
+    # and the healthy path still tracks a genuine new generation
+    before = gc.snapshot()
+    assert before is not None and any("rdd-preexisting" in d for d in before)
+    newdir = appdir / "rdd-new-generation"
+    newdir.mkdir()
+    gc.record(before)
+    assert {d for d in gc._pending} and all(
+        "rdd-new-generation" in d for d in gc._pending
+    )

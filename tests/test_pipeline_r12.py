@@ -250,9 +250,15 @@ def test_apply_changes_idempotent_on_collapsed_feed(spark):
         "k bigint, s bigint, op string, bal double",
     )
     once = apply_changes(base, feed, key="k", seq=["s"], payload=["bal"])
-    twice = apply_changes(
-        once.select("k", "bal"), feed, key="k", seq=["s"], payload=["bal"]
-    )
+    # feed the FULL previous output back in — status/n_changes are
+    # reserved bookkeeping and must be dropped+rewritten, not
+    # duplicated into ambiguous columns
+    twice = apply_changes(once, feed, key="k", seq=["s"], payload=["bal"])
+    assert twice.columns.count("status") == 1
+    assert twice.columns.count("n_changes") == 1
     vals_once = sorted((r.k, r.bal) for r in once.collect())
     vals_twice = sorted((r.k, r.bal) for r in twice.collect())
     assert vals_once == vals_twice == [(1, 11.0), (2, 20.0), (3, 31.0)]
+    # statuses reflect THIS application: both feed keys re-matched
+    st = {r.k: r.status for r in twice.collect()}
+    assert st == {1: "updated", 2: "unchanged", 3: "updated"}
