@@ -93,10 +93,21 @@ def _dataset_key(sf_dir: str, table: str = "embeddings") -> str:
     path = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     try:
         if os.path.isdir(path):
+            # Walk the WHOLE tree, not just the top level: partitioned
+            # layouts (key=value/part-*.parquet) rewritten in place
+            # change neither the root's entries nor the partition
+            # subdirs' own stats (overwriting a file doesn't bump its
+            # parent dir's mtime) — only the leaf files' stats move
+            # (round-12 review, second iteration of this fix).
             parts = []
-            for entry in sorted(os.scandir(path), key=lambda e: e.name):
-                st = entry.stat()
-                parts.append(f"{entry.name}|{st.st_size}|{st.st_mtime_ns}")
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                for fname in sorted(files):
+                    st = os.stat(os.path.join(root, fname))
+                    parts.append(
+                        f"{rel}/{fname}|{st.st_size}|{st.st_mtime_ns}"
+                    )
             ident = path + "||" + "||".join(parts)
         else:
             st = os.stat(path)
@@ -127,7 +138,16 @@ def _publish(build: DataFrame, path: str) -> None:
     try:
         os.rename(tmp, path)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # raced: adopt the winner
+        # "Lost the race" is only true if a winner actually exists —
+        # a rename failing for any OTHER reason (parent dir reaped,
+        # permissions) must not delete the only copy and return as if
+        # published, leaving load_index to crash on a missing path
+        # (round-12 review). Verify, then adopt or re-raise.
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)  # raced: adopt winner
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
 
 
 def build_ivf_index(e: DataFrame, n_centroids: int, path: str) -> str:

@@ -91,8 +91,13 @@ def apply_changes(
       columns survive. Each payload column must have a base column of
       the SAME NAME to overwrite (align the feed with ``alias`` first
       when names differ).
-    changes: the feed; ``op_col`` holds ``upsert_op``/``delete_op``,
-      ``seq`` columns give the total per-key order.
+    changes: the feed; ``op_col`` holds the operation — ``delete_op``
+      deletes, ANY other value upserts (collapse_feed's contract, so a
+      Debezium-style I/U/D feed works unmodified; ``upsert_op`` is
+      kept for signature compatibility). ``seq`` columns give the
+      total per-key order. NULL keys follow standard MERGE ON
+      semantics: they never match (a NULL-key base row passes through
+      'unchanged'; a NULL-key upsert inserts a NULL-key row).
 
     Output = base columns (payload columns merged) + ``status``
     (inserted/updated/unchanged) + ``n_changes``. Deleted keys emit no
@@ -108,6 +113,13 @@ def apply_changes(
     if reserved:
         base = base.drop(*reserved)
     bkey = base_key or key
+    # Presence marker: side-membership must be tested via a
+    # never-NULL literal, NOT via key-nullability (round-12 review —
+    # a NULL-key base row matches nothing in the join, and testing
+    # base[bkey].isNull() would mislabel it 'inserted'; with the
+    # marker it correctly passes through 'unchanged', NULL keys never
+    # matching being standard MERGE ON semantics).
+    base = base.withColumn("__base_present", F.lit(True))
     last = collapse_feed(changes, key, seq, op_col, payload)
     # Alias EVERY change-side column to a fresh name: aliasing mints
     # new attribute ids, so the join stays resolvable even when base
@@ -122,22 +134,31 @@ def apply_changes(
         last, base[bkey] == chg(key), "full_outer"
     ).filter(chg(op_col).isNull() | (chg(op_col) != delete_op))
 
-    is_insert = base[bkey].isNull()
-    is_unchanged = chg(key).isNull()
+    is_insert = F.col("__base_present").isNull()
+    is_unchanged = chg(op_col).isNull()
 
     def merged_col(c: str) -> Column:
         if c == bkey:
             return F.coalesce(base[bkey], chg(key)).alias(bkey)
         if c in payload:
+            # any surviving non-delete op is an upsert — the exact
+            # contract collapse_feed documents ("delete_op deletes,
+            # anything else upserts"); gating on == upsert_op would
+            # silently treat a Debezium-style 'I' as a NULL-payload
+            # touch (round-12 review)
             return (
-                F.when(chg(op_col) == upsert_op, chg(c))
+                F.when(chg(op_col).isNotNull(), chg(c))
                 .otherwise(base[c])
                 .alias(c)
             )
         return base[c]
 
     return merged.select(
-        *[merged_col(c) for c in base.columns],
+        *[
+            merged_col(c)
+            for c in base.columns
+            if c != "__base_present"
+        ],
         F.when(is_insert, F.lit(STATUS_INSERTED))
         .when(is_unchanged, F.lit(STATUS_UNCHANGED))
         .otherwise(F.lit(STATUS_UPDATED))

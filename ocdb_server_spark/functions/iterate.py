@@ -36,12 +36,19 @@ from pyspark.sql import DataFrame
 
 
 def any_row_differs(old: DataFrame, new: DataFrame) -> int:
-    """Default convergence probe: 1 if `new` contains any row not in
-    `old` (multiset semantics), else 0 — LIMIT 1 short-circuits the
-    scan, so the probe job stops at the first difference. Steps that
-    preserve a key column should pass a keyed probe instead (a join on
-    the key compares only the evolving columns and prunes the rest;
-    see connected_components)."""
+    """Default convergence probe: 1 unless `new` and `old` are equal
+    as MULTISETS. Two checks compose the equality (round-12 review):
+    `new.exceptAll(old)` alone is one-directional — a step that only
+    REMOVES rows (or reduces duplicate multiplicity) leaves it empty
+    and would be declared converged mid-shrink, silently returning a
+    non-fixpoint. So: equal counts AND no row of `new` outside `old`
+    ⟺ multiset equality. The exceptAll probe keeps its LIMIT-1
+    short-circuit; the count pair is one cheap aggregate per side.
+    Steps that preserve a key column should pass a keyed probe
+    instead (a join on the key compares only the evolving columns and
+    prunes the rest; see connected_components)."""
+    if new.count() != old.count():
+        return 1
     return new.exceptAll(old).limit(1).count()
 
 

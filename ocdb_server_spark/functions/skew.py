@@ -46,6 +46,17 @@ def salted_topk_per_key(
     order_by must define a total order (include a unique tiebreaker)
     for the result to be deterministic — same requirement the direct
     window has."""
+    clash = {"_salt", "_rn"} & set(df.columns)
+    if clash:
+        # select('*', salt) would mint a DUPLICATE column name and the
+        # window's partitionBy would fail with AMBIGUOUS_REFERENCE —
+        # e.g. a frame already salted by explode_salt_broadcast
+        # (round-12 review). Loud contract error beats a mid-plan
+        # analysis stack.
+        raise ValueError(
+            f"salted_topk_per_key: input already has {sorted(clash)} — "
+            "rename or drop them first (internal working columns)"
+        )
     salt = (F.spark_partition_id() % n_salts).alias("_salt")
     w1 = W.partitionBy(*keys, "_salt").orderBy(*order_by)
     partial = (

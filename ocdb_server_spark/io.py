@@ -95,7 +95,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_bare_session(spark)
     cached = _CACHE.get((sf_dir, name))
     if cached is not None:
-        return cached
+        # Serve the warm frame only to ITS OWN session: a frame bound
+        # to a stopped/previous session would fail on first use, and
+        # createOrReplaceTempView on it would register into the OLD
+        # session's catalog (round-12 review — the stop-and-rebuild
+        # pattern scripts/cluster_throughput.py runs). Fall through to
+        # a cold read for a different session; its own cache entries
+        # stay intact for the owner.
+        try:
+            if cached.sparkSession is spark:
+                return cached
+        except Exception:
+            pass  # dead session object — treat as a miss
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS), which Spark 4 rejects by
         # default. session.py sets this at build time, but the driver
@@ -158,6 +169,18 @@ def warm_cache(
     per-row work dominates scheduling there)."""
     cores = spark.sparkContext.defaultParallelism
     for name in names:
+        # Re-warming without clear_cache() must not leak: the frame
+        # being replaced stays persisted forever once its only handle
+        # is overwritten (round-12 review). Unpersist it, and drop the
+        # derived normed-embeddings entry built on that generation
+        # (itself cached — unpersist, don't just forget it).
+        for stale_key in ((sf_dir, name), (sf_dir, "__embeddings_normed__")):
+            prev = _CACHE.pop(stale_key, None)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass  # stopped session — nothing to free
         df = load_table(spark, sf_dir, name)
         if partitions == "auto":
             n = df.count()
@@ -185,8 +208,16 @@ def warm_cache(
 
 
 def clear_cache() -> None:
+    """Unpersist and forget every cached frame. Exception-safe per
+    entry (round-12 review): if the owning session was stopped,
+    unpersist raises — the cache MUST still empty, or the next
+    session would be served frames bound to a dead SparkContext
+    (same guard registry.release_pool carries)."""
     for df in _CACHE.values():
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # stopped session — nothing to free
     _CACHE.clear()
     _PARAM_CACHE.clear()
     _VIEW_MEMO.clear()
@@ -241,7 +272,11 @@ def load_embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "__embeddings_normed__")
     cached = _CACHE.get(key)
     if cached is not None:
-        return cached
+        try:
+            if cached.sparkSession is spark:  # same guard as load_table
+                return cached
+        except Exception:
+            pass  # dead session object — treat as a miss
     en = load_table(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NORM_SQL))
     if (sf_dir, "embeddings") in _CACHE:
         en = en.cache()

@@ -449,10 +449,19 @@ FROM n
 def op83_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (HOF transform + aggregate);
     observable: the normalized norm (≈1) and first component, rounded
-    6dp."""
-    e = load_table(spark, sf_dir, "embeddings")
-    nrm = _norm(F.col("embedding"))
-    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    6dp.
+
+    The norm is computed ONCE into a column and the transform divides
+    by that column — embedding the norm aggregate inside the lambda
+    re-evaluates it per element (O(d²)/row, the HOF-lambda-invariant
+    trap; round-12 review). Same values either way — division order
+    per element is unchanged — so the oracle hash is unaffected."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    unit = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+    )
     return e.select(
         "vec_id",
         F.bround(_norm_d(unit), 6).alias("unit_norm"),

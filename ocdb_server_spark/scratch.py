@@ -86,8 +86,17 @@ def scratch_dir(kind: str, sf_dir: str, fresh: bool = True) -> str:
             if not suffix.isdigit():
                 continue
             full = os.path.join(base, name)
-            if not _pid_alive(int(suffix)):
+            pid = int(suffix)
+            if not _pid_alive(pid):
                 shutil.rmtree(full, ignore_errors=True)
+                continue
+            if pid == os.getpid():
+                # never age-reap our OWN dir: a fresh=False artifact
+                # (ANN index) is written once and only read after, so
+                # reads don't move mtime — the 2-day backstop would
+                # delete a live serving process's index out from under
+                # its lazy plans (round-12 review). The utime below
+                # refreshes it on every access instead.
                 continue
             # PID-recycling backstop (round-8 ADVICE): os.kill(pid,0)
             # says "alive" even when a crashed session's PID was later
@@ -123,4 +132,13 @@ def scratch_dir(kind: str, sf_dir: str, fresh: bool = True) -> str:
     if fresh:
         shutil.rmtree(mine, ignore_errors=True)
     os.makedirs(mine, exist_ok=True)
+    # Refresh mtime on every access: a fresh=False artifact dir is only
+    # READ after its first build, and reads don't move mtime — without
+    # this, an active >2-day process's index looks age-orphaned to its
+    # SIBLINGS' backstop scans (the own-pid guard above only protects
+    # against self-reaping).
+    try:
+        os.utime(mine)
+    except OSError:
+        pass
     return mine

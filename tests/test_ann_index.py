@@ -113,3 +113,23 @@ def test_dataset_key_sees_inplace_directory_rewrites(tmp_path):
     os.utime(part)  # ensure the mtime tick is visible on coarse clocks
     k2 = _dataset_key(str(tmp_path))
     assert k1 != k2
+
+
+def test_dataset_key_sees_partitioned_leaf_rewrites(tmp_path):
+    """Partitioned layouts (key=value/part-*.parquet): an in-place leaf
+    rewrite bumps neither the root's entries nor the partition dir's
+    own stat — the key must walk to the leaves."""
+    import os
+    import time
+
+    from ocdb_server_spark.functions.ann_index import _dataset_key
+
+    ds = tmp_path / "embeddings.parquet"
+    (ds / "label=1").mkdir(parents=True)
+    leaf = ds / "label=1" / "part-00000.parquet"
+    leaf.write_bytes(b"v1-bytes")
+    k1 = _dataset_key(str(tmp_path))
+    time.sleep(0.01)
+    leaf.write_bytes(b"v2-bytes")  # same name, same size, same depth
+    os.utime(leaf)
+    assert _dataset_key(str(tmp_path)) != k1

@@ -198,3 +198,24 @@ def test_gc_failed_listing_attributes_nothing(spark, tmp_path):
     assert {d for d in gc._pending} and all(
         "rdd-new-generation" in d for d in gc._pending
     )
+
+
+def test_shrinking_step_iterates_to_true_fixpoint(spark):
+    """Round-12 review: new.exceptAll(old) alone is one-directional —
+    a step that only REMOVES rows left it empty and the loop returned
+    a non-fixpoint after one iteration. The default probe must treat
+    multiset INEQUALITY in either direction as not-converged."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.functions.iterate import iterate_to_fixpoint
+
+    state = spark.range(4).toDF("id")  # {0,1,2,3}
+
+    def shrink(df):
+        # {0..n} -> {0..n-1}; fixpoint is the empty frame
+        return df.filter(F.col("id") >= 1).select(
+            (F.col("id") - 1).alias("id")
+        )
+
+    out = iterate_to_fixpoint(state, shrink, max_iter=10, checkpoint=False)
+    assert out.count() == 0  # the TRUE fixpoint, not the first shrink

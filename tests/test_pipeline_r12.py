@@ -262,3 +262,32 @@ def test_apply_changes_idempotent_on_collapsed_feed(spark):
     # statuses reflect THIS application: both feed keys re-matched
     st = {r.k: r.status for r in twice.collect()}
     assert st == {1: "updated", 2: "unchanged", 3: "updated"}
+
+
+def test_apply_changes_null_keys_and_unknown_ops(spark):
+    """Round-12 review pins: (a) a NULL-key base row must pass through
+    'unchanged' (NULL never matches — standard MERGE ON semantics),
+    not be mislabeled 'inserted'; (b) any non-delete op value upserts
+    (Debezium-style 'I' feeds work unmodified), never a silent
+    NULL-payload touch."""
+    from ocdb_server_spark.functions.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(None, 99.0), (1, 10.0), (2, 20.0)], "k bigint, bal double"
+    )
+    feed = spark.createDataFrame(
+        [(1, 1, "I", 11.0), (3, 1, "c", 33.0), (2, 1, "D", None)],
+        "k bigint, s bigint, op string, bal double",
+    )
+    rows = apply_changes(
+        base, feed, key="k", seq=["s"], payload=["bal"]
+    ).collect()
+    out = {r.k: r for r in rows}
+    # NULL-key base row: untouched, correct status, exact balance
+    nul = [r for r in rows if r.k is None]
+    assert len(nul) == 1 and nul[0].status == "unchanged"
+    assert nul[0].bal == 99.0 and nul[0].n_changes == 0
+    # 'I' upserts an existing key; 'c' (any non-delete token) inserts
+    assert (out[1].bal, out[1].status) == (11.0, "updated")
+    assert (out[3].bal, out[3].status) == (33.0, "inserted")
+    assert 2 not in out  # the delete still lands
