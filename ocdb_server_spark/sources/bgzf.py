@@ -42,7 +42,7 @@ import zlib
 _MAX_BLOCK = 65536          # BSIZE is u16: total member length ≤ 65536
 _HDR_LEN = 18               # fixed header with the single BC subfield
 _FTR_LEN = 8                # CRC32 + ISIZE
-_TARGET_UNCOMP = 48 * 1024  # flush threshold (htslib uses ~64K − slack)
+from ocdb_server_spark.sources.linebatch import TARGET_UNCOMP as _TARGET_UNCOMP
 
 # The canonical 28-byte BGZF EOF marker: an empty member (SAM spec
 # §4.1.2 — "end-of-file marker"), byte-for-byte.
@@ -79,19 +79,14 @@ def iter_bgzf_members(lines):
     (the shape that still works when one task writes gigabytes).
     Members are flushed at LINE boundaries once the pending batch
     reaches ~48 KiB uncompressed, so every member inflates to whole
-    lines (the record-alignment guarantee the split path relies on).
-    Ends with the canonical EOF marker member."""
-    pend: list[bytes] = []
-    pend_n = 0
-    for line in lines:
-        raw = line.encode("utf-8") + b"\n"
-        if pend and pend_n + len(raw) > _TARGET_UNCOMP:
-            yield _member(b"".join(pend))
-            pend, pend_n = [], 0
-        pend.append(raw)
-        pend_n += len(raw)
-    if pend:
-        yield _member(b"".join(pend))
+    lines (the record-alignment guarantee the split path relies on —
+    ONE kernel, sources/linebatch.py, shared with the seekable-zstd
+    writer per the round-12 review). Ends with the canonical EOF
+    marker member."""
+    from ocdb_server_spark.sources.linebatch import batch_lines
+
+    for payload in batch_lines(lines, _TARGET_UNCOMP):
+        yield _member(payload)
     yield BGZF_EOF
 
 

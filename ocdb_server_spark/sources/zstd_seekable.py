@@ -51,7 +51,7 @@ _SKIPPABLE_MAGIC = 0x184D2A5E
 _SEEKABLE_MAGIC = 0x8F92EAB1
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _FOOTER_LEN = 9  # nframes u32 | descriptor u8 | seekable magic u32
-_TARGET_UNCOMP = 48 * 1024  # flush threshold, same discipline as bgzf
+from ocdb_server_spark.sources.linebatch import TARGET_UNCOMP as _TARGET_UNCOMP
 
 
 def _codec():
@@ -63,22 +63,14 @@ def _codec():
 def iter_seekable_zstd(lines):
     """Yield (frame_bytes, decompressed_size) for an iterable of str
     records, streaming — one ≤48 KiB batch in memory, flushed at LINE
-    boundaries (bgzf.py's record-alignment guarantee). The seek-table
-    frame is NOT yielded; write_seekable_zstd / the writer task
-    appends it once all frames are out."""
+    boundaries (the shared sources/linebatch.py kernel: ONE copy of
+    the record-alignment guarantee for both transports, round-12
+    review). The seek-table frame is NOT yielded; write_seekable_zstd
+    / the writer task appends it once all frames are out."""
+    from ocdb_server_spark.sources.linebatch import batch_lines
+
     codec = _codec()
-    pend: list[bytes] = []
-    pend_n = 0
-    for line in lines:
-        raw = line.encode("utf-8") + b"\n"
-        if pend and pend_n + len(raw) > _TARGET_UNCOMP:
-            payload = b"".join(pend)
-            yield bytes(codec.compress(payload)), len(payload)
-            pend, pend_n = [], 0
-        pend.append(raw)
-        pend_n += len(raw)
-    if pend:
-        payload = b"".join(pend)
+    for payload in batch_lines(lines, _TARGET_UNCOMP):
         yield bytes(codec.compress(payload)), len(payload)
 
 

@@ -50,9 +50,38 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memory-sink tables created by _run_to_memory, dropped at the NEXT
+# call: the memory sink materializes its full result on the driver and
+# nothing else ever drops it, so a suite running every streaming op
+# would otherwise pin every op's complete output simultaneously
+# (round-12 review). Ops run strictly sequentially (driver sweep,
+# pytest), so by the next call the previous table's consumer is done —
+# same lifetime argument as registry._POOLED_CACHES.
+_MEMORY_TABLES: list[tuple[SparkSession, str]] = []
+
+
+def _await(q, what: str, timeout: int = 300) -> None:
+    """awaitTermination with the timeout made LOUD: the bool return was
+    ignored at every call site, so a stuck stream used to be stopped in
+    finally and its PARTIAL sink contents returned as if complete
+    (round-12 review)."""
+    if not q.awaitTermination(timeout=timeout):
+        raise TimeoutError(
+            f"{what}: streaming query still running after {timeout}s — "
+            "refusing to return a partial result"
+        )
+
+
 def _run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink,
     return the sink contents as a batch DataFrame."""
+    spark = df.sparkSession
+    while _MEMORY_TABLES:
+        owner, prev = _MEMORY_TABLES.pop()
+        try:
+            owner.catalog.dropTempView(prev)
+        except Exception:
+            pass  # session gone — its sink died with it
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.outputMode(mode)
@@ -62,11 +91,56 @@ def _run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(timeout=300)
+        _await(q, "_run_to_memory")
     finally:
         if q.isActive:
             q.stop()
-    return df.sparkSession.sql(f"SELECT * FROM {name}")
+    _MEMORY_TABLES.append((spark, name))
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _tws_session(spark: SparkSession):
+    """Session state for a transformWithStateInPandas run, restored on
+    exit — ONE copy of what six TWS jobs used to repeat inline
+    (round-12 review):
+
+    - ensure_protobuf(): driver sessions are built BEFORE this package
+      imports, so the vendored protobuf is wired into the LIVE
+      context's worker env here (no-op when a real google.protobuf is
+      installed — see _vendor.py);
+    - RocksDB state-store provider;
+    - shuffle.partitions pinned to 16: the state-store partition count
+      is fixed at first checkpoint, and these jobs always start fresh
+      checkpoints — a bare session's default 200 means 200 RocksDB
+      instances per batch for this keyspace (measured: ~2x op wall).
+      Result-invariant: the state algebra is order/partitioning-free.
+
+    Confs are set INSIDE the restoring try, so a failure between set
+    and run cannot leak session state (the stream_upsert_state lesson
+    applied here too)."""
+    from ocdb_server_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,9 +217,10 @@ def stream_upsert_state(
     DataFrame."""
     import tempfile
 
+    import os
+
     path = (store_dir or tempfile.mkdtemp(prefix="upsert_store_")) + "/state"
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         latest = (
@@ -159,10 +234,14 @@ def stream_upsert_state(
             )
             .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
         )
-        try:
-            cur = spark.read.parquet(path)
-        except Exception:  # first batch: no store yet
-            cur = None
+        # "First batch" means the store DOESN'T EXIST — probe that
+        # fact, never infer it from a failed read: a bare
+        # except-Exception here turned any transient read error on
+        # batch N>1 into cur=None, and the dynamic-partition overwrite
+        # then rewrote every touched bucket from the batch alone —
+        # silently deleting previously stored users (round-12 review).
+        # A real read failure on an existing store must propagate.
+        cur = spark.read.parquet(path) if os.path.isdir(path) else None
         if cur is not None:
             touched = [
                 r["bucket"] for r in latest.select("bucket").distinct().collect()
@@ -179,17 +258,21 @@ def stream_upsert_state(
         )
         out.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-    ev = _stream_events(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # conf set INSIDE the restoring try: _stream_events does a batch
+    # schema read and start() can throw — a failure between a set
+    # placed before the try and the finally used to leak session-wide
+    # dynamic-overwrite mode into unrelated later writes (round-12
+    # review).
     try:
-        q.awaitTermination(timeout=300)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev = _stream_events(spark, sf_dir)
+        q = ev.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+        try:
+            _await(q, "stream_upsert_state")
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return spark.read.parquet(path)
 
@@ -258,7 +341,7 @@ def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int
         .start()
     )
     try:
-        q.awaitTermination(timeout=300)
+        _await(q, "run_watermark_drop_demo")
     finally:
         if q.isActive:
             q.stop()
@@ -344,7 +427,7 @@ def stream_ingest_resumable(
         .start()
     )
     try:
-        q.awaitTermination(timeout=300)
+        _await(q, "stream_ingest_resumable")
     finally:
         if q.isActive:
             q.stop()
@@ -436,25 +519,7 @@ def stream_stateful_running_count_tws(spark: SparkSession, sf_dir: str) -> DataF
         def close(self) -> None:
             pass
 
-    # Driver sessions are built BEFORE this package imports — wire the
-    # vendored protobuf into the LIVE context's worker env (no-op when
-    # a real google.protobuf is installed). See _vendor.py.
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    # State-store partition count is fixed at first checkpoint; these
-    # jobs always start fresh checkpoints, so pin a sane count here —
-    # a bare session's default 200 means 200 RocksDB instances per
-    # batch for a keyspace this size (measured: ~2x op wall time).
-    # Result-invariant: the state algebra is order/partitioning-free.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         ev = _stream_events(spark, sf_dir)
         out = ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=RunningCount(),
@@ -463,12 +528,6 @@ def stream_stateful_running_count_tws(spark: SparkSession, sf_dir: str) -> DataF
             timeMode="None",
         )
         sunk = _run_to_memory(out, mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -529,25 +588,7 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # Driver sessions are built BEFORE this package imports — wire the
-    # vendored protobuf into the LIVE context's worker env (no-op when
-    # a real google.protobuf is installed). See _vendor.py.
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    # State-store partition count is fixed at first checkpoint; these
-    # jobs always start fresh checkpoints, so pin a sane count here —
-    # a bare session's default 200 means 200 RocksDB instances per
-    # batch for a keyspace this size (measured: ~2x op wall time).
-    # Result-invariant: the state algebra is order/partitioning-free.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         ev = _stream_events(spark, sf_dir).select(
             "user_id",
             F.expr(
@@ -562,12 +603,6 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         sunk = _run_to_memory(out, mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -638,25 +673,7 @@ def stream_tws_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "dim",
         F.expr("cast(round(cast(x as double) * 1000000) as bigint)").alias("q"),
     )
-    # Driver sessions are built BEFORE this package imports — wire the
-    # vendored protobuf into the LIVE context's worker env (no-op when
-    # a real google.protobuf is installed). See _vendor.py.
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    # State-store partition count is fixed at first checkpoint; these
-    # jobs always start fresh checkpoints, so pin a sane count here —
-    # a bare session's default 200 means 200 RocksDB instances per
-    # batch for a keyspace this size (measured: ~2x op wall time).
-    # Result-invariant: the state algebra is order/partitioning-free.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         out = exploded.groupBy("label", "dim").transformWithStateInPandas(
             statefulProcessor=DimAccum(),
             outputStructType="label bigint, dim int, n bigint, sum_q bigint",
@@ -664,12 +681,6 @@ def stream_tws_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             timeMode="None",
         )
         sunk = _run_to_memory(out, mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("label", "dim").orderBy(F.col("n").desc())
@@ -740,25 +751,7 @@ def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # Driver sessions are built BEFORE this package imports — wire the
-    # vendored protobuf into the LIVE context's worker env (no-op when
-    # a real google.protobuf is installed). See _vendor.py.
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    # State-store partition count is fixed at first checkpoint; these
-    # jobs always start fresh checkpoints, so pin a sane count here —
-    # a bare session's default 200 means 200 RocksDB instances per
-    # batch for a keyspace this size (measured: ~2x op wall time).
-    # Result-invariant: the state algebra is order/partitioning-free.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         ev = _stream_events(spark, sf_dir).select(
             "user_id",
             "event_id",
@@ -774,12 +767,6 @@ def stream_tws_topk_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         sunk = _run_to_memory(out, mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id")
@@ -850,20 +837,7 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
         def close(self) -> None:
             pass
 
-    # Driver sessions are built BEFORE this package imports — wire the
-    # vendored protobuf into the LIVE context's worker env (no-op when
-    # a real google.protobuf is installed). See _vendor.py.
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         ev = _stream_events(spark, sf_dir).select(
             "user_id",
             "event_type",
@@ -879,12 +853,6 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
             timeMode="None",
         )
         sunk = _run_to_memory(out, mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id")
@@ -893,9 +861,6 @@ def stream_tws_mapstate_type_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_seen") == F.col("max_seen"))
         .select("user_id", "event_type", "n", "sum_q")
     )
-
-
-_SESS_WM_DELAY_MS = 1_000  # watermark delay ("1 second")
 
 
 def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,17 +956,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    from ocdb_server_spark._vendor import ensure_protobuf
-
-    ensure_protobuf()
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
+    with _tws_session(spark):
         ev = (
             _stream_events(spark, sf_dir)
             .withWatermark("ts", f"{SESS_WM_DELAY_MS} milliseconds")
@@ -1023,13 +978,19 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
         sunk = _run_to_memory(out, mode="append")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return sunk
+
+
+def _committed_manifests(man_dir: str) -> list[str]:
+    """Only `<id>.json` entries are COMMITS. The writer's atomic
+    os.replace goes through `<id>.json.<pid>.tmp` siblings in the same
+    directory — a crash-leftover or concurrent writer's tmp file is
+    complete-looking JSON, so an unfiltered listdir would count an
+    UNcommitted batch as committed and break the exactly-once claim
+    (round-12 review)."""
+    import os
+
+    return [m for m in os.listdir(man_dir) if m.endswith(".json")]
 
 
 def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,18 +1060,18 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
         .start()
     )
     try:
-        q.awaitTermination(timeout=300)
+        _await(q, "stream_exactly_once_sink")
     finally:
         if q.isActive:
             q.stop()
 
-    manifests = sorted(os.listdir(man_dir))
+    manifests = sorted(_committed_manifests(man_dir))
     assert manifests, "stream committed no batches"
     # REPLAY batch 0 with the same data — must be a no-op
     batch0 = json.load(open(os.path.join(man_dir, manifests[0])))
     replay_df = spark.read.parquet(batch0["path"])
     commit_batch(replay_df, batch0["batch_id"])
-    after = sorted(os.listdir(man_dir))
+    after = sorted(_committed_manifests(man_dir))
     assert after == manifests, "replay must not create a new commit"
 
     paths = [
