@@ -56,19 +56,29 @@ class QueryProfile:
 
 
 def _unwrap(p):
-    """Strip adaptive-execution wrappers down to the real physical node."""
+    """Strip adaptive-execution wrappers down to the real physical node.
+
+    ReusedExchange is deliberately NOT unwrapped into its original's
+    subtree: the reuse node marks data movement that happens ONCE —
+    recursing through the original a second time double-counted
+    exchanges, shuffle bytes and scan rows in the totals of a tool
+    whose whole purpose is the plan's arithmetic (round-12 review).
+    The walk records the reuse marker itself and stops there."""
     name = p.nodeName()
     if name == "AdaptiveSparkPlan":
         return _unwrap(p.executedPlan())
     if name.endswith("QueryStage"):
         return _unwrap(p.plan())
-    if name.startswith("ReusedExchange"):
-        return _unwrap(p.child())
     return p
 
 
 def _walk(p, depth: int, out: list[NodeMetrics]) -> None:
     p = _unwrap(p)
+    if p.nodeName().startswith("ReusedExchange"):
+        out.append(
+            NodeMetrics(name="ReusedExchange", depth=depth, metrics={})
+        )
+        return  # the original's subtree is walked exactly once elsewhere
     m = p.metrics()
     it = m.iterator()
     vals: dict[str, int] = {}

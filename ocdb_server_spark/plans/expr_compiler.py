@@ -90,9 +90,13 @@ class Query:
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Fieldless free-text term searched over the default fields."""
+    """Fieldless free-text term searched over the default fields.
+    wildcard=True marks a term carrying * / ? — compiled as a LIKE
+    pattern instead of a literal contains (round-12 review: 'chl*'
+    used to search for the literal character '*')."""
 
     text: str
+    wildcard: bool = False
 
     def accept(self, v):
         return v.visit_phrase(self)
@@ -100,8 +104,15 @@ class PhraseQuery(Query):
 
 @dataclass(frozen=True)
 class FieldValueQuery(Query):
+    """quoted=True pins STRING comparison: unquoted numeric-looking
+    values coerce via _auto (version:1.10 compares as the number 1.1),
+    so quoting is the caller's escape hatch for exact string equality
+    — version:"1.10" matches only the string "1.10" (round-12 review:
+    quoted values used to coerce too, leaving no way to force it)."""
+
     field: str
     value: str
+    quoted: bool = False
 
     def accept(self, v):
         return v.visit_field_value(self)
@@ -233,7 +244,7 @@ class QueryParser:
                 self._next()  # consume ':'
                 return self._field_term(t.text)
             if "*" in t.text or "?" in t.text:
-                return PhraseQuery(t.text)  # fieldless wildcard → phrase-ish
+                return PhraseQuery(t.text, wildcard=True)
             return PhraseQuery(t.text)
         raise QuerySyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
@@ -250,7 +261,7 @@ class QueryParser:
                 raise QuerySyntaxError(f"expected ']' at {rb.pos}")
             return FieldRangeQuery(field, lo.text, hi.text)
         if t.kind == "quoted":
-            return FieldValueQuery(field, t.text.strip('"'))
+            return FieldValueQuery(field, t.text.strip('"'), quoted=True)
         if t.kind == "word":
             if "*" in t.text or "?" in t.text:
                 return FieldWildcardQuery(field, t.text)
@@ -259,6 +270,14 @@ class QueryParser:
 
 
 # ----------------------------------------------------------------- compiler
+
+
+def _like_pattern(pattern: str) -> str:
+    """* → %, ? → _ with pre-existing %/_ escaped (same translation
+    the reference does into $regex) — ONE copy for field and fieldless
+    wildcards."""
+    like = pattern.replace("%", r"\%").replace("_", r"\_")
+    return like.replace("*", "%").replace("?", "_")
 
 
 def _auto(value: str):
@@ -287,13 +306,25 @@ class ColumnCompiler(QueryVisitor):
             raise QuerySyntaxError(
                 f"fieldless term {q.text!r} but no default text fields configured"
             )
-        conds = [F.col(f).contains(q.text) for f in self.default_fields]
+        if q.wildcard:
+            # contains-anywhere with the wildcards honored: translate
+            # * / ? to LIKE and wrap in % — the fieldless analog of
+            # visit_field_wildcard's whole-value LIKE (a fieldless
+            # term is a substring search, so the pattern floats).
+            conds = [
+                F.col(f).like(f"%{_like_pattern(q.text)}%")
+                for f in self.default_fields
+            ]
+        else:
+            conds = [F.col(f).contains(q.text) for f in self.default_fields]
         out = conds[0]
         for c in conds[1:]:
             out = out | c
         return out
 
     def visit_field_value(self, q: FieldValueQuery) -> Column:
+        if q.quoted:
+            return F.col(q.field) == F.lit(q.value)  # exact string
         return F.col(q.field) == F.lit(_auto(q.value))
 
     def visit_field_range(self, q: FieldRangeQuery) -> Column:
@@ -312,10 +343,7 @@ class ColumnCompiler(QueryVisitor):
         return out
 
     def visit_field_wildcard(self, q: FieldWildcardQuery) -> Column:
-        # * → %, ? → _ (same translation the reference does into $regex)
-        like = q.pattern.replace("%", r"\%").replace("_", r"\_")
-        like = like.replace("*", "%").replace("?", "_")
-        return F.col(q.field).like(like)
+        return F.col(q.field).like(_like_pattern(q.pattern))
 
     def visit_unary(self, q: UnaryOpQuery) -> Column:
         child = q.child.accept(self)

@@ -178,6 +178,11 @@ def _predicate(q: DatasetQuery, cols: SearchColumns) -> Column:
         # named like a literal member still matches itself when no
         # mapping is configured.
         members.extend(cols.pgroup_map.get(g, () if cols.pgroup_map else (g,)))
+    if q.pmode not in ("contains", "dont_apply"):
+        # same loud-enum rule as wlmode/shallow (round-12 review: a
+        # typo like 'dont-apply' silently APPLIED the filter and
+        # narrowed the result set).
+        raise ValueError(f"invalid pmode {q.pmode!r}")
     if (q.pgroup or q.pname) and q.pmode != "dont_apply":
         if cols.group is None:
             raise ValueError("pgroup/pname filter needs SearchColumns.group binding")
@@ -203,8 +208,21 @@ def _keyset_after(order_by: tuple[str, ...], after: tuple) -> Column:
     pred = F.lit(False)
     eq = F.lit(True)
     for c, v in zip(order_by, after):
-        pred = pred | (eq & (F.col(c) > F.lit(v)))
-        eq = eq & (F.col(c) == F.lit(v))
+        if v is None:
+            # NULL cursor values (the page ended on a NULL sort key —
+            # Spark's asc default sorts NULLS FIRST, so NULL is the
+            # SMALLEST value in the walk order): 'col > NULL' must
+            # mean 'any non-null', and the equality link must be a
+            # null test — plain >/== evaluate to NULL and used to
+            # make every later page empty (round-12 review). With
+            # this, cursor-walk visits exactly offset-walk's rows.
+            gt = F.col(c).isNotNull()
+            eqc = F.col(c).isNull()
+        else:
+            gt = F.col(c) > F.lit(v)
+            eqc = F.col(c) == F.lit(v)
+        pred = pred | (eq & gt)
+        eq = eq & eqc
     return pred
 
 
@@ -221,6 +239,14 @@ def find_datasets(
     total_count is for the WHOLE query either way (the cursor pages
     through it, it doesn't redefine it)."""
     hits = df.filter(_predicate(q, cols))
+    # count() and the page are two actions over the same filtered set —
+    # uncached, the predicate scan would run twice per request
+    # (round-12 review). Persist through both; the pool releases it at
+    # the next operator invocation (registry release discipline —
+    # unpersist is always correctness-safe, a late reader recomputes).
+    from ocdb_server_spark.registry import pool_persist
+
+    hits = pool_persist(hits)
     total = hits.count()
     order_by = cols.order_by or (cols.order_key,)
     if q.after is not None:

@@ -45,7 +45,10 @@ def test_tokenize_kinds_and_positions():
         ("chl", PhraseQuery("chl")),
         ('"deep sea"', PhraseQuery("deep sea")),
         ("name:widget", FieldValueQuery("name", "widget")),
-        ('investigators:"Jane Doe"', FieldValueQuery("investigators", "Jane Doe")),
+        (
+            'investigators:"Jane Doe"',
+            FieldValueQuery("investigators", "Jane Doe", quoted=True),
+        ),
         ("depth:[10 TO 100]", FieldRangeQuery("depth", "10", "100")),
         ("depth:[* TO 100]", FieldRangeQuery("depth", "*", "100")),
         ("name:*widget*", FieldWildcardQuery("name", "*widget*")),
@@ -361,3 +364,34 @@ def test_differential_semantics_vs_duckdb(spark, sf_dir, duck):
         if 0 < srow[f"c{i}"] < n_rows
     ]
     assert len(partial) >= len(asts) // 3, len(partial)
+
+
+def test_fieldless_wildcard_compiles_to_like(spark):
+    """Round-12 review: 'chl*' used to compile to contains('chl*') —
+    a search for the literal character '*'. It must wildcard-match
+    over the default fields."""
+    df = spark.createDataFrame(
+        [("chlorophyll data",), ("nothing here",), ("has chl* star",)],
+        "name string",
+    )
+    col = compile_expr("chl*", default_fields=["name"])
+    got = {r.name for r in df.filter(col).collect()}
+    assert "chlorophyll data" in got        # prefix-matched, no literal '*'
+    assert "nothing here" not in got
+    # '?' single-char wildcard too
+    col2 = compile_expr("ch?orophyll", default_fields=["name"])
+    assert {r.name for r in df.filter(col2).collect()} == {"chlorophyll data"}
+
+
+def test_quoted_value_pins_string_comparison(spark):
+    """Round-12 review: version:"1.10" must compare as the STRING
+    '1.10' — unquoted numeric-looking terms coerce (1.10 == 1.1 as
+    doubles), quoting is the escape hatch."""
+    df = spark.createDataFrame(
+        [("1.1",), ("1.10",), ("1.100",)], "version string"
+    )
+    quoted = {r.version for r in df.filter(compile_expr('version:"1.10"')).collect()}
+    assert quoted == {"1.10"}
+    # unquoted keeps the documented numeric coercion (all equal as 1.1)
+    bare = {r.version for r in df.filter(compile_expr("version:1.10")).collect()}
+    assert bare == {"1.1", "1.10", "1.100"}

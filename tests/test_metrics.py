@@ -57,3 +57,27 @@ def test_pivot_single_measured_exchange(spark, sf_dir):
     assert p.num_exchanges == 1, p.summary()
     assert 0 < p.shuffle_records_written <= 3 * 32, p.summary()
     assert p.output_rows == 3  # orderstatus ∈ {F, O, P}
+
+
+def test_reused_exchange_not_double_counted(spark):
+    """Round-12 review: _walk used to follow ReusedExchange into the
+    original's subtree, doubling exchanges/shuffle bytes/scan rows in
+    a tool whose purpose is the plan's arithmetic. A self-join that
+    reuses one shuffle must profile ONE exchange's movement."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).toDF("id").groupBy((F.col("id") % 10).alias("k")).count()
+    joined = df.alias("a").join(df.alias("b"), "k")
+    prof = profile(joined)
+    names = [n.name for n in prof.nodes]
+    if not any(n.startswith("ReusedExchange") or n == "ReusedExchange" for n in names):
+        import pytest
+
+        pytest.skip("planner did not reuse the exchange on this version")
+    # the reused side contributes a marker, not a second subtree:
+    # exchanges counted = distinct real Exchange nodes only
+    real = [n for n in prof.nodes if n.name == "Exchange"]
+    assert prof.num_exchanges == len(real)
+    # and the original subtree's scan is not walked twice
+    scans = [n for n in prof.nodes if n.name.startswith("Scan") or n.name == "Range"]
+    assert len(scans) == len({id(n) for n in scans})  # sanity: one entry per walked node

@@ -555,3 +555,32 @@ def test_multicolumn_keyset_walk_covers_filtered_set(orders):
             pages += 1
             assert pages <= len(full) // count + 2, "cursor walk not advancing"
         assert walked == full, (trial, order_by, count, status)
+
+
+def test_keyset_cursor_handles_null_sort_keys(spark):
+    """Round-12 review: a cursor tuple containing None used to make
+    the whole keyset predicate NULL (every later page empty), and
+    rows with NULL sort keys were unreachable by any cursor page.
+    NULLs sort FIRST ascending, so the walk must start inside the
+    null group and leave it exactly once — cursor-walk == offset-walk
+    over a null-bearing column."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (5, 3), (7, 4), (None, 0), (6, 5)],
+        "ts int, id int",
+    )
+    cols = SearchColumns(order_key="id", order_by=("ts", "id"))
+    expected = [
+        (r.ts, r.id)
+        for r in find_datasets(df, DatasetQuery(count=100), cols).datasets.collect()
+    ]
+    assert expected == [(None, 0), (None, 1), (None, 2), (5, 3), (6, 5), (7, 4)]
+    seen, after = [], None
+    while True:
+        rows = find_datasets(
+            df, DatasetQuery(count=2, after=after), cols
+        ).datasets.collect()
+        if not rows:
+            break
+        seen.extend((r.ts, r.id) for r in rows)
+        after = seen[-1]
+    assert seen == expected

@@ -345,3 +345,81 @@ def test_scratch_dir_age_gates_recycled_pid_orphans(tmp_path, monkeypatch):
     assert not fresh_live.exists(), (
         "age-gated live-PID orphan (recycled PID) not reaped"
     )
+
+
+def test_upsert_equal_order_prefers_update(spark, tmp_path):
+    """Equal order_col: the UPDATE must win deterministically — an
+    idempotent replay or same-timestamp correction must never lose to
+    the stale row on partition evaluation order (round-12 review)."""
+    table = str(tmp_path / "tie")
+    base = spark.createDataFrame(
+        [(1, 5, "old", "a")], "id int, version int, val string, part string"
+    )
+    write_partitioned(base, table, "part")
+    updates = spark.createDataFrame(
+        [(1, 5, "corrected", "a")], "id int, version int, val string, part string"
+    )
+    upsert_partitioned(
+        spark, table, updates, keys=["id"], order_col="version", partition_col="part"
+    )
+    [row] = spark.read.parquet(table).collect()
+    assert row.val == "corrected"
+
+
+def test_upsert_bootstraps_missing_table(spark, tmp_path):
+    """First publish: no table on disk — the updates become the table
+    (used to crash with PATH_NOT_FOUND on the read)."""
+    table = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(1, 1, "x", "a"), (2, 1, "y", "b")],
+        "id int, version int, val string, part string",
+    )
+    upsert_partitioned(
+        spark, table, updates, keys=["id"], order_col="version", partition_col="part"
+    )
+    got = {r.id: r.val for r in spark.read.parquet(table).collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_upsert_null_partition_rows_survive(spark, tmp_path):
+    """NULL partition values: isin() never matches NULL but dynamic
+    overwrite still rewrites the null partition — pre-existing
+    null-partition rows absent from the batch must survive the merge
+    (they used to be silently deleted)."""
+    table = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, 1, "keep-me", None), (2, 1, "old", None), (3, 1, "other", "a")],
+        "id int, version int, val string, part string",
+    )
+    write_partitioned(base, table, "part")
+    updates = spark.createDataFrame(
+        [(2, 2, "new", None)], "id int, version int, val string, part string"
+    )
+    upsert_partitioned(
+        spark, table, updates, keys=["id"], order_col="version", partition_col="part"
+    )
+    got = {r.id: r.val for r in spark.read.parquet(table).collect()}
+    assert got == {1: "keep-me", 2: "new", 3: "other"}
+
+
+def test_upsert_movable_partition_full_merge(spark, tmp_path):
+    """immutable_partitions=False: an update that MOVES a key's
+    partition must not leave a stale duplicate behind (the pruned
+    merge never reads the old partition — the documented contract;
+    the full-merge mode trades pruning for correctness)."""
+    table = str(tmp_path / "move")
+    base = spark.createDataFrame(
+        [(1, 1, "old", "a"), (2, 1, "other", "b")],
+        "id int, version int, val string, part string",
+    )
+    write_partitioned(base, table, "part")
+    updates = spark.createDataFrame(
+        [(1, 2, "moved", "b")], "id int, version int, val string, part string"
+    )
+    upsert_partitioned(
+        spark, table, updates, keys=["id"], order_col="version",
+        partition_col="part", immutable_partitions=False,
+    )
+    rows = spark.read.parquet(table).collect()
+    got = {(r.id): (r.val, r.part) for r in rows}
+    assert len(rows) == 2 and got[1] == ("moved", "b") and got[2] == ("other", "b")
