@@ -66,6 +66,22 @@ _VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 )
 
 
+# Sessions already inspected (or explicitly exempted) by
+# _tune_bare_session: tuning is a one-time decision per session, and
+# the per-call conf.get was a py4j round trip on EVERY load_table —
+# including warm cache hits (round-12 review). session.get_spark
+# registers its sessions here so a deliberately-configured session is
+# never value-sniffed at all (a configured 200 used to be
+# indistinguishable from the stock default and got clobbered).
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def mark_session_configured(spark: SparkSession) -> None:
+    """Exempt a session from bare-session tuning: it picked its own
+    shuffle/AQE/timezone stance (session.get_spark calls this)."""
+    _TUNED.add(spark)
+
+
 def _tune_bare_session(spark: SparkSession) -> None:
     """The driver harness hands us ITS OWN bare session. On such a
     session every shuffle runs at the 200-partition default, and this
@@ -76,15 +92,29 @@ def _tune_bare_session(spark: SparkSession) -> None:
     for sf≤0.1 row counts) and let AQE coalesce further. A session that
     was explicitly configured (ours sets 32 in session.py) is left
     alone. Runtime-settable confs only — same pattern as nanosAsLong."""
+    if spark in _TUNED:
+        return
     try:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             # Only the never-configured case: our own sessions
             # (session.py) pick shuffle partitions AND an AQE stance per
             # profile — the interactive profile deliberately disables
-            # AQE, so don't override a configured session's choice.
+            # AQE, so don't override a configured session's choice
+            # (get_spark sessions are exempted via _TUNED before this
+            # sniff ever runs; an EXTERNAL session that deliberately
+            # chose exactly 200 remains indistinguishable from the
+            # stock default — documented residual).
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            # The oracle computes in naive/UTC time: EVERY timestamp
+            # literal comparison (op209's orders filter, not just the
+            # events path) needs the session zone pinned, or a bare
+            # session in a non-UTC container flips boundary rows
+            # (round-12 review — the defensive pin lived only on the
+            # events load path).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _TUNED.add(spark)
     except Exception:
         pass  # never let a conf quirk break a read
 
@@ -233,8 +263,16 @@ def query_vector(
     from pyspark.sql import functions as F
 
     key = (sf_dir, f"__query_vec_{vec_id}__")
-    if key in _PARAM_CACHE:
-        return _PARAM_CACHE[key]  # type: ignore[return-value]
+    ent = _PARAM_CACHE.get(key)
+    if ent is not None:
+        owner_ref, cached_vec = ent  # type: ignore[misc]
+        # Session guard (round-12 review): parameters captured under a
+        # PREVIOUS session's warm cache must not serve a new session
+        # over possibly-regenerated data — same rule _CACHE enforces.
+        if owner_ref() is spark:
+            # a COPY: the cached list must not alias the caller's
+            # (in-place normalization would corrupt every later serve)
+            return None if cached_vec is None else list(cached_vec)
     row = (
         load_embeddings_normed(spark, sf_dir)
         .filter(F.col("vec_id") == vec_id)
@@ -242,8 +280,16 @@ def query_vector(
         .head()
     )
     vec = None if row is None else [float(x) for x in row[0]]
-    if (sf_dir, "embeddings") in _CACHE:
-        _PARAM_CACHE[key] = vec
+    warm = _CACHE.get((sf_dir, "embeddings"))
+    try:
+        owns_warm = warm is not None and warm.sparkSession is spark
+    except Exception:
+        owns_warm = False
+    if owns_warm:
+        _PARAM_CACHE[key] = (
+            weakref.ref(spark),
+            None if vec is None else list(vec),
+        )
     return vec
 
 
@@ -278,7 +324,24 @@ def load_embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # dead session object — treat as a miss
     en = load_table(spark, sf_dir, "embeddings").withColumn("nrm", F.expr(_NORM_SQL))
-    if (sf_dir, "embeddings") in _CACHE:
+    # Materialize-and-store only when THIS session owns the warm
+    # embeddings entry (round-12 review): presence alone also matched
+    # a dead/foreign session's entry, making an unwarmed session pay a
+    # surprise cache+count job AND overwrite another owner's normed
+    # handle (a storage leak — the displaced frame stays persisted
+    # with no handle left to unpersist it).
+    warm = _CACHE.get((sf_dir, "embeddings"))
+    try:
+        owns_warm = warm is not None and warm.sparkSession is spark
+    except Exception:
+        owns_warm = False
+    if owns_warm:
+        prev = _CACHE.get(key)
+        if prev is not None:
+            try:
+                prev.unpersist()  # displaced generation: free its blocks
+            except Exception:
+                pass
         en = en.cache()
         en.count()
         _CACHE[key] = en

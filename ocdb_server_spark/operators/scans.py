@@ -161,18 +161,25 @@ def op05_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op106_sink_formats_roundtrip",
-    # Each format's re-read (count, key checksum) must equal the same
-    # aggregate on the ORIGINAL orders table — one oracle row per
-    # format; a lossy roundtrip in any of the three breaks the hash.
+    # Each format's re-read (count, key checksum, quantized price
+    # checksum) must equal the same aggregate on the ORIGINAL orders
+    # table — one oracle row per format; a lossy roundtrip in any of
+    # the three breaks the hash. price_cents covers the DOUBLE column
+    # (round-12 review: the key checksum alone certified nothing about
+    # o_totalprice — the one column that actually exercises text float
+    # formatting in CSV/JSON; op209's cents-quantization discipline).
     oracle="""
     WITH src AS (
-      SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000.0
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_totalprice > 300000.0
     ), s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS key_checksum
+             CAST(SUM(o_orderkey + o_custkey) AS BIGINT) AS key_checksum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
       FROM src
     )
-    SELECT f.format, s.n_rows, s.key_checksum
+    SELECT f.format, s.n_rows, s.key_checksum, s.price_cents
     FROM (VALUES ('csv'), ('json'), ('orc')) AS f(format) CROSS JOIN s
     """,
 )
@@ -223,6 +230,12 @@ def op106_sink_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("o_orderkey") + F.col("o_custkey"))
                 .cast("bigint")
                 .alias("key_checksum"),
+                # the double column, cents-quantized (op209's
+                # discipline) — CSV/JSON text float formatting is the
+                # lossiest step in the op and was uncertified
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
             )
         )
     out_df = frames[0]

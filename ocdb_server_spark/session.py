@@ -103,4 +103,12 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # This session chose its own shuffle/AQE/timezone stance — exempt
+    # it from io._tune_bare_session's value-sniffing (a deliberate
+    # shuffle_partitions=200 was indistinguishable from the stock
+    # default and got clobbered to 8; round-12 review).
+    from ocdb_server_spark.io import mark_session_configured
+
+    mark_session_configured(spark)
+    return spark
