@@ -53,11 +53,15 @@ def collapse_feed(
     seq: Sequence[str],
     op_col: str = "op",
     payload: Sequence[str] = ("value",),
+    keep_seq: bool = False,
 ) -> DataFrame:
     """Collapse a change feed to its last-writer row per key.
 
-    Returns one row per key: (key, op, *payload, n_changes). This is
-    the only shuffle the feed pays; everything downstream is join-side.
+    Returns one row per key: (key, op, *payload, n_changes) — plus the
+    winning row's ``seq`` columns when ``keep_seq`` (the incremental
+    path needs the watermark to guard against out-of-order batches).
+    This is the only shuffle the feed pays; everything downstream is
+    join-side.
     """
     seq_desc = [F.col(c).desc() for c in seq]
     w_seq = W.partitionBy(key).orderBy(*seq_desc)
@@ -69,6 +73,7 @@ def collapse_feed(
             key,
             op_col,
             *payload,
+            *(seq if keep_seq else ()),
             F.col("__n_changes").alias("n_changes"),
         )
     )
@@ -164,4 +169,169 @@ def apply_changes(
         .otherwise(F.lit(STATUS_UPDATED))
         .alias("status"),
         F.coalesce(chg("n_changes"), F.lit(0)).cast("bigint").alias("n_changes"),
+    )
+
+
+# ------------------------------------------------------------------
+# Incremental (micro-batch) application — the streaming CDC path
+# ------------------------------------------------------------------
+# apply_changes above is ONE-SHOT: it assumes the whole feed is in
+# hand, so "last writer" is decidable inside the call. A streaming
+# feed arrives as micro-batches in ARRIVAL order, which is not seq
+# order — batch N+1 can carry a change OLDER than one batch N already
+# applied. The incremental store therefore keeps, per key:
+#   - the applied seq watermark (__seq_<c> per seq column): a batch's
+#     winning change acts only when its seq beats the watermark, so
+#     application is ORDER-INDEPENDENT across batches (each key's end
+#     value is the global max-seq change, however the feed is split);
+#   - a tombstone (__deleted) instead of physically dropping deleted
+#     keys: the watermark and change count must survive a delete or a
+#     later re-insert in another batch would mis-order / under-count;
+#   - __in_base (was the key in the ORIGINAL snapshot): final status
+#     depends only on (in base, ever touched), so it must be sticky
+#     across batches, not recomputed per batch.
+# finish_store() projects this bookkeeping back to apply_changes'
+# public output contract — seeding a store, applying the batches in
+# ANY split/order, then finishing is certified equivalent to one
+# apply_changes call over the concatenated feed (op265 vs op264's
+# oracle; also pinned directly in tests/test_pipeline_r13.py).
+
+#: reserved bookkeeping column names of the incremental store
+IN_BASE_COL = "__in_base"
+DELETED_COL = "__deleted"
+
+
+def _seq_col(c: str) -> str:
+    return f"__seq_{c}"
+
+
+def seed_store(
+    base: DataFrame,
+    key: str,
+    seq: Sequence[str],
+    seq_types: Sequence[str],
+) -> DataFrame:
+    """Turn a base snapshot (one row per key) into an incremental CDC
+    store: watermark NULL (any change beats it), no tombstones, every
+    row marked as originating in the base. ``seq_types`` gives the
+    feed's DDL type per seq column (aligned with ``seq``) — the base
+    doesn't carry them, and an untyped NULL watermark would seed a
+    void column the parquet store can't round-trip."""
+    if len(seq) != len(seq_types):
+        raise ValueError(
+            f"seq_types has {len(seq_types)} entries for {len(seq)} "
+            f"seq columns {list(seq)!r}"
+        )
+    clash = (
+        {IN_BASE_COL, DELETED_COL, "n_changes"}
+        | {_seq_col(c) for c in seq}
+    ) & set(base.columns)
+    if clash:
+        raise ValueError(
+            f"seed_store reserves bookkeeping columns {sorted(clash)}; "
+            "rename them in `base` first"
+        )
+    out = (
+        base.withColumn(IN_BASE_COL, F.lit(True))
+        .withColumn(DELETED_COL, F.lit(False))
+        .withColumn("n_changes", F.lit(0).cast("bigint"))
+    )
+    for c, t in zip(seq, seq_types):
+        out = out.withColumn(_seq_col(c), F.lit(None).cast(t))
+    return out
+
+
+def apply_changes_incremental(
+    store: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: Sequence[str],
+    op_col: str = "op",
+    payload: Sequence[str] = ("value",),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge ONE micro-batch of changes into an incremental store
+    (see the module-section comment above for the invariants).
+
+    Plan shape per batch: the batch collapses with one key window
+    (shuffle carries only the batch — a micro-batch is tiny), then one
+    full-outer join against the store on the key; the store is
+    shuffled at most once per batch and never windowed. n_changes
+    counts EVERY feed row for the key (matching apply_changes'
+    COUNT(*) contract) even when the value itself loses to the
+    watermark."""
+    last = collapse_feed(
+        changes, key, seq, op_col, payload, keep_seq=True
+    )
+    last = last.select(
+        *[F.col(c).alias(f"__chg_{c}") for c in last.columns]
+    )
+    chg = lambda c: F.col(f"__chg_{c}")  # noqa: E731
+    merged = store.join(last, store[key] == chg(key), "full_outer")
+
+    # does the batch's winning change beat the applied watermark?
+    # (struct comparison = lexicographic over the seq columns; a NULL
+    # watermark — never touched — loses to any real seq)
+    wm = F.struct(*[store[_seq_col(c)] for c in seq])
+    batch_seq = F.struct(*[chg(c) for c in seq])
+    newer = chg(op_col).isNotNull() & (
+        F.col(IN_BASE_COL).isNull()  # brand-new key: nothing to beat
+        | store[_seq_col(seq[0])].isNull()
+        | (batch_seq > wm)
+    )
+
+    cols = []
+    for c in store.columns:
+        if c == key:
+            cols.append(F.coalesce(store[key], chg(key)).alias(key))
+        elif c == IN_BASE_COL:
+            cols.append(
+                F.coalesce(F.col(IN_BASE_COL), F.lit(False)).alias(c)
+            )
+        elif c == DELETED_COL:
+            cols.append(
+                F.when(newer, chg(op_col) == delete_op)
+                .otherwise(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .alias(c)
+            )
+        elif c == "n_changes":
+            cols.append(
+                (
+                    F.coalesce(F.col("n_changes"), F.lit(0))
+                    + F.coalesce(chg("n_changes"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias(c)
+            )
+        elif c in {_seq_col(s) for s in seq}:
+            s = c[len("__seq_"):]
+            cols.append(F.when(newer, chg(s)).otherwise(store[c]).alias(c))
+        elif c in payload:
+            cols.append(
+                F.when(newer & (chg(op_col) != delete_op), chg(c))
+                .otherwise(store[c])
+                .alias(c)
+            )
+        else:
+            cols.append(store[c])
+    return merged.select(*cols)
+
+
+def finish_store(store: DataFrame, key: str, seq: Sequence[str]) -> DataFrame:
+    """Project an incremental store back to apply_changes' public
+    output: tombstones dropped, bookkeeping folded into
+    status/n_changes."""
+    keep = [
+        c
+        for c in store.columns
+        if c not in {IN_BASE_COL, DELETED_COL, "n_changes"}
+        and c not in {_seq_col(s) for s in seq}
+    ]
+    return store.filter(~F.col(DELETED_COL)).select(
+        *keep,
+        F.when(~F.col(IN_BASE_COL), F.lit(STATUS_INSERTED))
+        .when(F.col("n_changes") == 0, F.lit(STATUS_UNCHANGED))
+        .otherwise(F.lit(STATUS_UPDATED))
+        .alias("status"),
+        F.col("n_changes"),
     )

@@ -201,10 +201,16 @@ def warm_cache(
     for name in names:
         # Re-warming without clear_cache() must not leak: the frame
         # being replaced stays persisted forever once its only handle
-        # is overwritten (round-12 review). Unpersist it, and drop the
-        # derived normed-embeddings entry built on that generation
-        # (itself cached — unpersist, don't just forget it).
-        for stale_key in ((sf_dir, name), (sf_dir, "__embeddings_normed__")):
+        # is overwritten (round-12 review). Unpersist it, and — only
+        # when the table being replaced is 'embeddings' — the derived
+        # normed-embeddings entry built on that generation (itself
+        # cached — unpersist, don't just forget it). Re-warming an
+        # unrelated table must NOT discard the still-valid normed
+        # cache (round-12 ADVICE: that forced a surprise rebuild).
+        stale_keys = [(sf_dir, name)]
+        if name == "embeddings":
+            stale_keys.append((sf_dir, "__embeddings_normed__"))
+        for stale_key in stale_keys:
             prev = _CACHE.pop(stale_key, None)
             if prev is not None:
                 try:

@@ -263,11 +263,9 @@ def op147_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink round-trips); per-process scratch (r9: migrated off the
     shared sf-tagged dir — one session's overwrite could delete files
     another session's lazy read had already planned)."""
-    import os as _os
-
     from ocdb_server_spark.scratch import scratch_dir
 
-    out = _os.path.join(scratch_dir("part_scan", sf_dir), "t")
+    out = os.path.join(scratch_dir("part_scan", sf_dir), "t")
     (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars", "lang")
@@ -400,9 +398,15 @@ def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------- op207: compressed text ingest
+# ----------------- op207/op256/op260: compressed text (JSONL) ingest
+# The three compressed-interchange round-trips (gzip, bzip2, BGZF)
+# share one certification contract: export documents as JSONL under
+# the codec, re-read, and require the per-lang aggregate to
+# hash-match the oracle computed on the ORIGINAL parquet. The shared
+# schema / aggregate / oracle below are that contract in one place
+# (round-12 deferred cosmetics: the text was triplicated per op).
 
-_OP207_SQL = """
+_DOCS_LANG_AGG_SQL = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
@@ -412,8 +416,30 @@ FROM documents
 GROUP BY lang
 """
 
+# Explicit re-read schema — never infer on a 100 TB corpus (inference
+# is a full extra pass over the compressed bytes).
+_DOCS_JSONL_SCHEMA = (
+    "doc_id bigint, text string, lang string, n_chars bigint"
+)
 
-@register("op207_gzip_jsonl_ingest", oracle=_OP207_SQL)
+
+def _docs_lang_agg(back: DataFrame) -> DataFrame:
+    """The certification aggregate over a re-read documents frame:
+    per-lang counts plus content-covering sums (text lengths included,
+    so the hash certifies the payload survived the codec)."""
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )
+
+
+@register(
+    "op207_gzip_jsonl_ingest",
+    oracle=_DOCS_LANG_AGG_SQL,
+    deps=(_docs_lang_agg,),
+)
 def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed text ingest, end to end: documents are exported as
     GZIP-COMPRESSED JSON-LINES (the de-facto interchange format of
@@ -431,13 +457,6 @@ def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~256 MB) or choose a splittable codec (bzip2, or zstd+seekable
     frames). The read task count assertion lives in
     tests/test_sinks.py."""
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     # per-process scratch + dead-PID reaping (round-8 review finding:
     # every hash-gated sink round-trip uses scratch_dir, not a shared
     # sf-tagged dir a concurrent same-sf session could clobber)
@@ -453,21 +472,8 @@ def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxRecordsPerFile", 2000)
         .json(out)
     )
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    back = spark.read.schema(schema).json(out)
-    return back.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
-        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
-        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
-    )
+    back = spark.read.schema(_DOCS_JSONL_SCHEMA).json(out)
+    return _docs_lang_agg(back)
 
 
 # --------------------------- op256: SPLITTABLE compressed text ingest
@@ -475,15 +481,8 @@ def op207_gzip_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op256_bzip2_splittable_ingest",
-    oracle="""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
-           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
-    FROM documents
-    GROUP BY lang
-    """,
+    oracle=_DOCS_LANG_AGG_SQL,
+    deps=(_docs_lang_agg,),
 )
 def op256_bzip2_splittable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITTABLE compressed text interchange — op207's documented
@@ -504,13 +503,6 @@ def op256_bzip2_splittable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_sinks.py; the per-lang aggregate over the re-read
     frame hash-matching the original-parquet oracle certifies the
     JSON→bzip2→split-read→JSON path loses nothing."""
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     # per-process dir + dead-PID reaping (scratch.scratch_dir): a
     # fixed sf-keyed dir would let a concurrent session overwrite the
     # single .bz2 file between this op's write and the driver's lazy
@@ -527,21 +519,8 @@ def op256_bzip2_splittable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("compression", "bzip2")
         .json(out)
     )
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    back = spark.read.schema(schema).json(out)
-    return back.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
-        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
-        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
-    )
+    back = spark.read.schema(_DOCS_JSONL_SCHEMA).json(out)
+    return _docs_lang_agg(back)
 
 
 # ------------------------------- op209/op210: ORC and XML source breadth
@@ -691,17 +670,6 @@ def op210_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------- op260: BGZF blocked-gzip SPLITTABLE gzip source
 
-_OP260_SQL = """
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
-       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_chars,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
-FROM documents
-GROUP BY lang
-"""
-
-
 def _write_docs_bgzf_file(path: str, it) -> int:
     """ONE writer kernel for both the single-file demo and the
     parallel exporter (round-9 review: the record serialization —
@@ -832,7 +800,28 @@ def _bgzf_decode(it):
                 )
 
 
-@register("op260_bgzf_splittable_gzip", oracle=_OP260_SQL)
+def bgzf_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """File-count-agnostic BGZF split-read: manifest every file via
+    walk_blocks (distributed — one row in, many block rows out), fan
+    the block reads out, inflate+CRC-verify per member, and compute
+    the op260 per-lang certification aggregate. The SAME plan serves
+    op260's single-file demo and the parallel N-file export
+    (bgzf_export_docs_parallel) — at 100 TB the writer runs one task
+    per partition and this reader one manifest row per file."""
+    blocks = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).mapInPandas(_bgzf_walk, "path string, offset long, length long")
+    back = blocks.repartition(8).mapInPandas(
+        _bgzf_decode, _DOCS_JSONL_SCHEMA
+    )
+    return _docs_lang_agg(back)
+
+
+@register(
+    "op260_bgzf_splittable_gzip",
+    oracle=_DOCS_LANG_AGG_SQL,
+    deps=(_docs_lang_agg, bgzf_read_lang_agg),
+)
 def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITTABLE GZIP — the op207/op256 story completed for gzip
     itself (SURVEY §7.8 round-9 candidate 3): the documents table
@@ -885,25 +874,3 @@ def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert len(manifest) == 1 and manifest[0].n_members > 1
     return bgzf_read_lang_agg(spark, [path])
-
-
-def bgzf_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """File-count-agnostic BGZF split-read: manifest every file via
-    walk_blocks (distributed — one row in, many block rows out), fan
-    the block reads out, inflate+CRC-verify per member, and compute
-    the op260 per-lang certification aggregate. The SAME plan serves
-    op260's single-file demo and the parallel N-file export
-    (bgzf_export_docs_parallel) — at 100 TB the writer runs one task
-    per partition and this reader one manifest row per file."""
-    blocks = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).mapInPandas(_bgzf_walk, "path string, offset long, length long")
-    back = blocks.repartition(8).mapInPandas(
-        _bgzf_decode, "doc_id long, text string, lang string, n_chars long"
-    )
-    return back.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
-        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
-        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
-    )

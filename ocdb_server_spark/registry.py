@@ -472,6 +472,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r8,
         pipeline_r10,
         pipeline_r12,
+        pipeline_r13,
         multimodal_codecs,
         udfs,
         northstar,

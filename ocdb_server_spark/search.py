@@ -241,11 +241,16 @@ def find_datasets(
     hits = df.filter(_predicate(q, cols))
     # count() and the page are two actions over the same filtered set —
     # uncached, the predicate scan would run twice per request
-    # (round-12 review). Persist through both; the pool releases it at
-    # the next operator invocation (registry release discipline —
-    # unpersist is always correctness-safe, a late reader recomputes).
-    from ocdb_server_spark.registry import pool_persist
+    # (round-12 review). Persist through both. A serving workload that
+    # only ever calls find_datasets never reaches the registry's
+    # per-operator release point, so draining the pool HERE bounds the
+    # resident caches at one (this request's) instead of one per
+    # request forever (round-12 ADVICE); the previous request's page
+    # has long been materialized by its caller, and unpersist is
+    # always correctness-safe — a late reader recomputes.
+    from ocdb_server_spark.registry import pool_persist, release_pool
 
+    release_pool()
     hits = pool_persist(hits)
     total = hits.count()
     order_by = cols.order_by or (cols.order_key,)

@@ -56,6 +56,16 @@ def upsert_partitioned(
     never matches NULL, but dynamic overwrite still rewrites the
     null partition, so current null-partition rows must join the
     merge explicitly or they'd be deleted."""
+    # Working-column clash guard (round-12 ADVICE, mirroring
+    # skew.salted_topk_per_key): an input already carrying _src/_rn
+    # would mint a duplicate column below and fail later with
+    # AMBIGUOUS_REFERENCE mid-plan — fail loudly at the boundary.
+    clash = {"_src", "_rn"} & set(updates.columns)
+    if clash:
+        raise ValueError(
+            f"upsert_partitioned reserves working columns {sorted(clash)}; "
+            "rename them in `updates` before merging"
+        )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
         return
@@ -63,6 +73,13 @@ def upsert_partitioned(
         table = spark.read.parquet(path)
     except AnalysisException:
         table = None  # first publish: no table yet — bootstrap below
+    if table is not None:
+        clash = {"_src", "_rn"} & set(table.columns)
+        if clash:
+            raise ValueError(
+                f"existing table at {path} carries reserved working "
+                f"columns {sorted(clash)} — not a table this sink wrote"
+            )
     if table is None:
         current = None
     elif immutable_partitions:

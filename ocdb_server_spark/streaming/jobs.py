@@ -241,7 +241,15 @@ def stream_upsert_state(
         # then rewrote every touched bucket from the batch alone —
         # silently deleting previously stored users (round-12 review).
         # A real read failure on an existing store must propagate.
-        cur = spark.read.parquet(path) if os.path.isdir(path) else None
+        # Probe through the Hadoop FileSystem API, not os.path.isdir:
+        # a remote store_dir (hdfs://, s3a://) is invisible to the
+        # local filesystem, so the local probe would declare EVERY
+        # batch "first" and reintroduce the exact loss mode above
+        # (round-12 ADVICE).
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        cur = spark.read.parquet(path) if fs.exists(jpath) else None
         if cur is not None:
             touched = [
                 r["bucket"] for r in latest.select("bucket").distinct().collect()
@@ -1083,3 +1091,165 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("q").cast("bigint").alias("sum_q"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+def stream_cdc_apply_changes(
+    spark: SparkSession,
+    sf_dir: str,
+    base_min_key: int,
+    n_feed_files: int = 3,
+) -> DataFrame:
+    """op265's pipeline: STREAMING CDC — a change feed applied to a
+    keyed store per micro-batch, exactly-once, with out-of-order
+    batches handled. op74 upgraded from latest-value upsert to full
+    last-writer-wins/delete/insert MERGE semantics; op264's batch
+    apply_changes is the oracle twin (same end state over the same
+    feed), op234's atomic-manifest commit is the replay armor.
+
+    The moving parts, per micro-batch (functions/cdc.py holds the
+    merge semantics; this function only sequences them):
+
+      1. the feed is exported as ``n_feed_files`` parquet files
+         (split by event_id mod N — deliberately INTERLEAVING
+         timestamps across files, so later batches carry changes
+         OLDER than ones already applied) and streamed back with
+         maxFilesPerTrigger=1 → N real micro-batches;
+      2. foreachBatch SKIPS if the batch's manifest marker exists
+         (Spark's driver-retry replay → no-op), else reads the store
+         generation the LAST COMMITTED batch published, merges with
+         apply_changes_incremental (seq-watermark guard: a stale
+         change loses to the store's applied watermark, so batch
+         ORDER doesn't matter — each key converges to its global
+         max-seq change), writes ``store/gen=<batch_id>``, and
+         COMMITS by atomically os.replace-ing the marker;
+      3. after the stream drains, the LAST batch is replayed with its
+         own data (what a retrying driver does) — must commit nothing;
+      4. readers resolve the max committed marker and finish_store()
+         projects tombstones/bookkeeping back to the public
+         (key, payload, status, n_changes) contract.
+
+    100 TB shape: each micro-batch pays one key-window over the BATCH
+    (tiny) and one full-outer join against the store; the store is
+    shuffled once per batch, never windowed, and generations make
+    every commit atomic-readable (the lakehouse-format simulation
+    family's streaming member — op148/op168/op228/op255/op264).
+    """
+    import json
+    import os
+
+    from ocdb_server_spark.functions.cdc import (
+        apply_changes_incremental,
+        finish_store,
+        seed_store,
+    )
+    from ocdb_server_spark.scratch import scratch_dir
+
+    root = scratch_dir("cdc_stream", sf_dir)
+    feed_dir = os.path.join(root, "feed")
+    store_dir = os.path.join(root, "store")
+    man_dir = os.path.join(root, "manifest")
+    os.makedirs(man_dir, exist_ok=True)
+
+    key, seq, payload = "user_id", ["ts", "event_id"], ["balance"]
+
+    # --- export the feed as N files with ts interleaved across them
+    events = spark.read.parquet(table_path(sf_dir, "events"))
+    feed_cols = [
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("balance"),
+    ]
+    for i in range(n_feed_files):
+        (
+            events.filter(F.col("event_id") % n_feed_files == i)
+            .select(*feed_cols)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+    feed_schema = spark.read.parquet(feed_dir).schema
+    seq_types = [
+        dict(spark.read.parquet(feed_dir).dtypes)[c] for c in seq
+    ]
+
+    # --- seed generation: the base snapshot as an incremental store
+    from ocdb_server_spark.io import load_table
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= base_min_key)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    seed_path = os.path.join(store_dir, "gen=seed")
+    seed_store(base, key, seq, seq_types).write.mode("overwrite").parquet(
+        seed_path
+    )
+
+    def _latest_committed() -> tuple[int, str]:
+        """(max committed batch_id, its store path); (-1, seed) if none.
+        Batch ids are monotone, so the max marker IS the newest store."""
+        best, path = -1, seed_path
+        for m in _committed_manifests(man_dir):
+            ent = json.load(open(os.path.join(man_dir, m)))
+            if ent["batch_id"] > best:
+                best, path = ent["batch_id"], ent["path"]
+        return best, path
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        man_path = os.path.join(man_dir, f"{batch_id}.json")
+        if os.path.exists(man_path):
+            return  # already committed: replayed batch is a no-op
+        _, cur_path = _latest_committed()
+        store = spark.read.parquet(cur_path)
+        out = apply_changes_incremental(
+            store, batch_df, key=key, seq=seq, payload=payload
+        )
+        gen_path = os.path.join(store_dir, f"gen={batch_id}")
+        out.write.mode("overwrite").parquet(gen_path)
+        tmp = f"{man_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "path": gen_path}, f)
+        os.replace(tmp, man_path)  # the atomic commit point
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await(q, "stream_cdc_apply_changes")
+    finally:
+        if q.isActive:
+            q.stop()
+
+    committed = sorted(_committed_manifests(man_dir))
+    assert len(committed) == n_feed_files, (
+        f"expected {n_feed_files} committed batches, got {committed}"
+    )
+    # REPLAY the last batch with its own data — must commit nothing
+    # and leave the store pointer untouched (op234's certification,
+    # here protecting a MUTABLE store from double application).
+    last_id, last_path = _latest_committed()
+    replay_feed = spark.read.parquet(feed_dir).filter(
+        F.col("event_id") % n_feed_files == last_id % n_feed_files
+    )
+    commit_batch(replay_feed, last_id)
+    assert sorted(_committed_manifests(man_dir)) == committed, (
+        "replay must not create a new commit"
+    )
+    assert _latest_committed() == (last_id, last_path), (
+        "replay must not move the store pointer"
+    )
+
+    return finish_store(spark.read.parquet(last_path), key, seq)

@@ -32,7 +32,12 @@ silent drift):
     test_components.py. Expected result shift at sf0.001: 23 clusters
     (LSH bands, incl. 2 banding candidates below the exact J=0.5 bar)
     -> 21 clusters (exact relation); sf0.01: 23 - both hash-certified
-    against DuckDB this round."""
+    against DuckDB this round.
+  - round 13: op266_rrf_hybrid_serving ADDED (ddd272f3, no existing
+    hash changed): the persisted-PQ-served hybrid retrieval twin of
+    op263 — ROWS-only because the dense leg's ADC scores are
+    approximate by design; deterministic given the fixed testdata
+    (codes/centroids/tie-breaks all keyed)."""
 
 from __future__ import annotations
 
