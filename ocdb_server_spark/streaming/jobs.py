@@ -1206,16 +1206,25 @@ def stream_cdc_apply_changes(
         man_path = os.path.join(man_dir, f"{batch_id}.json")
         if os.path.exists(man_path):
             return  # already committed: replayed batch is a no-op
+        # land the raw batch first (op234's data/commit split): the
+        # merge then reads a stable batch copy, and the post-stream
+        # replay can re-present the batch's OWN data — the stream's
+        # file→batch assignment is not ours to reconstruct
+        raw_path = os.path.join(root, "raw", f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(raw_path)
         _, cur_path = _latest_committed()
         store = spark.read.parquet(cur_path)
         out = apply_changes_incremental(
-            store, batch_df, key=key, seq=seq, payload=payload
+            store, spark.read.parquet(raw_path),
+            key=key, seq=seq, payload=payload,
         )
         gen_path = os.path.join(store_dir, f"gen={batch_id}")
         out.write.mode("overwrite").parquet(gen_path)
         tmp = f"{man_path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "path": gen_path}, f)
+            json.dump(
+                {"batch_id": batch_id, "path": gen_path, "raw": raw_path}, f
+            )
         os.replace(tmp, man_path)  # the atomic commit point
 
     q = (
@@ -1237,12 +1246,13 @@ def stream_cdc_apply_changes(
     assert len(committed) == n_feed_files, (
         f"expected {n_feed_files} committed batches, got {committed}"
     )
-    # REPLAY the last batch with its own data — must commit nothing
-    # and leave the store pointer untouched (op234's certification,
-    # here protecting a MUTABLE store from double application).
+    # REPLAY the last batch with its own data (the raw copy its commit
+    # landed) — must commit nothing and leave the store pointer
+    # untouched (op234's certification, here protecting a MUTABLE
+    # store from double application).
     last_id, last_path = _latest_committed()
-    replay_feed = spark.read.parquet(feed_dir).filter(
-        F.col("event_id") % n_feed_files == last_id % n_feed_files
+    replay_feed = spark.read.parquet(
+        os.path.join(root, "raw", f"batch={last_id}")
     )
     commit_batch(replay_feed, last_id)
     assert sorted(_committed_manifests(man_dir)) == committed, (

@@ -177,3 +177,44 @@ def test_mulmod32_matches_bigint_and_never_overflows(spark, ids):
         )
         con.close()
         assert got_duck == want, f"duckdb diverges for mult={mult}"
+
+
+def test_warm_cache_rewarm_keeps_unrelated_normed_cache(spark, sf_dir):
+    """Re-warming a table OTHER than 'embeddings' must not evict the
+    derived normed-embeddings cache (round-12 ADVICE: the old loop
+    dropped it for EVERY name, forcing a surprise rebuild)."""
+    from ocdb_server_spark import io as io_mod
+
+    io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
+    io_mod.load_embeddings_normed(spark, sf_dir)
+    normed_key = (sf_dir, "__embeddings_normed__")
+    assert normed_key in io_mod._CACHE
+    generation = io_mod._CACHE[normed_key]
+
+    io_mod.warm_cache(spark, sf_dir, names=("orders",))
+    assert io_mod._CACHE.get(normed_key) is generation  # survived
+
+    io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
+    assert io_mod._CACHE.get(normed_key) is None  # correctly dropped
+
+
+def test_find_datasets_bounds_the_cache_pool(spark, sf_dir):
+    """A serving workload that only calls find_datasets must hold at
+    most ONE pooled cache (the current request's) — round-12 ADVICE:
+    the pool used to grow by one persisted frame per request."""
+    from ocdb_server_spark import registry as reg_mod
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.search import (
+        DatasetQuery,
+        SearchColumns,
+        find_datasets,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    cols = SearchColumns(order_key="p_partkey")
+    for size in (1, 2, 3):
+        res = find_datasets(
+            part, DatasetQuery(expr=f"p_size:{size}", count=5), cols
+        )
+        res.datasets.collect()
+        assert len(reg_mod._POOLED_CACHES) <= 1

@@ -423,3 +423,26 @@ def test_upsert_movable_partition_full_merge(spark, tmp_path):
     rows = spark.read.parquet(table).collect()
     got = {(r.id): (r.val, r.part) for r in rows}
     assert len(rows) == 2 and got[1] == ("moved", "b") and got[2] == ("other", "b")
+
+
+def test_upsert_reserved_working_columns_raise(spark, tmp_path):
+    """An input already carrying _src/_rn would mint duplicate columns
+    mid-merge and fail later with AMBIGUOUS_REFERENCE — the boundary
+    must reject it loudly instead (round-12 ADVICE, mirroring
+    skew.salted_topk_per_key's guard)."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "clash")
+    base = spark.createDataFrame(
+        [(1, 1, "x", "a")], "id int, version int, val string, part string"
+    )
+    write_partitioned(base, table, "part")
+    poisoned = spark.createDataFrame(
+        [(1, 2, "y", "a", 1)],
+        "id int, version int, val string, part string, _src int",
+    )
+    with _pytest.raises(ValueError, match="_src"):
+        upsert_partitioned(
+            spark, table, poisoned,
+            keys=["id"], order_col="version", partition_col="part",
+        )
