@@ -65,6 +65,14 @@ def collapse_feed(
     """
     seq_desc = [F.col(c).desc() for c in seq]
     w_seq = W.partitionBy(key).orderBy(*seq_desc)
+    # a seq column that is ALSO the key or a payload column is already
+    # in the select — listing it twice would make every downstream
+    # F.col(name) ambiguous (round-13 review)
+    seq_extra = (
+        [c for c in seq if c not in payload and c != key]
+        if keep_seq
+        else ()
+    )
     return (
         changes.withColumn("__rn", F.row_number().over(w_seq))
         .withColumn("__n_changes", F.count("*").over(W.partitionBy(key)))
@@ -73,7 +81,7 @@ def collapse_feed(
             key,
             op_col,
             *payload,
-            *(seq if keep_seq else ()),
+            *seq_extra,
             F.col("__n_changes").alias("n_changes"),
         )
     )
@@ -222,9 +230,18 @@ def seed_store(
             f"seq_types has {len(seq_types)} entries for {len(seq)} "
             f"seq columns {list(seq)!r}"
         )
+    # status/n_changes are apply_changes' documented RESERVED output
+    # names: a base that carries them is a previous application's
+    # output fed back in (the replay-chain case), so drop-and-rewrite
+    # exactly as the one-shot path does — finish_store will mint fresh
+    # ones. The __-prefixed bookkeeping names stay a hard error: they
+    # are never a legitimate user column (round-13 review: 'status'
+    # used to slip through and finish_store minted a duplicate).
+    reserved = [c for c in ("status", "n_changes") if c in base.columns]
+    if reserved:
+        base = base.drop(*reserved)
     clash = (
-        {IN_BASE_COL, DELETED_COL, "n_changes"}
-        | {_seq_col(c) for c in seq}
+        {IN_BASE_COL, DELETED_COL} | {_seq_col(c) for c in seq}
     ) & set(base.columns)
     if clash:
         raise ValueError(
@@ -267,7 +284,22 @@ def apply_changes_incremental(
         *[F.col(c).alias(f"__chg_{c}") for c in last.columns]
     )
     chg = lambda c: F.col(f"__chg_{c}")  # noqa: E731
-    merged = store.join(last, store[key] == chg(key), "full_outer")
+    # NULL-key MERGE semantics must match the one-shot twin under any
+    # batch split (round-13 review): in apply_changes, NULL keys never
+    # match the BASE (a NULL-key base row passes through; a NULL-key
+    # upsert inserts one row, because collapse_feed groups all NULL
+    # keys into ONE winner). Across batches, each batch has its own
+    # NULL winner — so the store's previously-INSERTED NULL row (and
+    # only that one: __in_base=false) must absorb later NULL changes,
+    # or every batch would insert a fresh NULL row. eqNullSafe keeps
+    # the join hash/SMJ-plannable; the conjunct restores never-match-
+    # the-base for NULL keys.
+    merged = store.join(
+        last,
+        store[key].eqNullSafe(chg(key))
+        & (store[key].isNotNull() | ~store[IN_BASE_COL]),
+        "full_outer",
+    )
 
     # does the batch's winning change beat the applied watermark?
     # (struct comparison = lexicographic over the seq columns; a NULL

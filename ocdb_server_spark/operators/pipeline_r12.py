@@ -216,6 +216,41 @@ def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feed's reach → base rows passing through unchanged.
 _CDC_BASE_MIN_KEY = 5
 
+
+def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op264/op265 change feed, defined ONCE (round-13 review: the
+    streaming twin used to re-derive it inline — an edit here would
+    have silently diverged the op from the oracle both share): events →
+    (key=user_id, seq=(ts, event_id), op 'D' on event_type 'error'
+    else 'U', payload balance=value). Reads through load_table so the
+    events ts normalization (nanos→micros legacy layouts, UTC pinning)
+    applies — a raw parquet read would order sub-µs timestamps
+    differently than the µs-truncated oracle."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("balance"),
+    )
+
+
+def cdc_base_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The op264/op265 base snapshot, defined once: customer keys ≥
+    _CDC_BASE_MIN_KEY (floor chosen so ALL merge outcomes occur at
+    every shipped SF) as (user_id, balance)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= _CDC_BASE_MIN_KEY)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+
+
 _OP264_SQL = f"""
 WITH ch AS (
   SELECT user_id,
@@ -249,7 +284,7 @@ WHERE last.op IS NULL OR last.op <> 'D'
 @register(
     "op264_cdc_apply_changes",
     oracle=_OP264_SQL,
-    deps=(apply_changes, collapse_feed),
+    deps=(apply_changes, collapse_feed, cdc_changes_feed, cdc_base_snapshot),
 )
 def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a CDC change feed to a base snapshot — the MERGE INTO /
@@ -284,23 +319,8 @@ def op264_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side zip per bucket. AQE broadcasts the collapsed feed when
     a partition's slice is small enough — the classic big-base ×
     small-delta MERGE."""
-    changes = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("value").alias("balance"),
-    )
-    base = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") >= _CDC_BASE_MIN_KEY)
-        .select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_acctbal").alias("balance"),
-        )
-    )
+    changes = cdc_changes_feed(spark, sf_dir)
+    base = cdc_base_snapshot(spark, sf_dir)
     return apply_changes(
         base,
         changes,

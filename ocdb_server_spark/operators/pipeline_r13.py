@@ -36,11 +36,12 @@ from ocdb_server_spark.functions.cdc import (
 )
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.operators.pipeline_r12 import (
-    _CDC_BASE_MIN_KEY,
     _OP264_SQL,
     _RRF_DEPTH,
     _RRF_K,
     _RRF_TOPK,
+    cdc_base_snapshot,
+    cdc_changes_feed,
 )
 from ocdb_server_spark.operators.pipeline_r5 import (
     _PQ_K,
@@ -60,6 +61,8 @@ from ocdb_server_spark.streaming.jobs import stream_cdc_apply_changes
         collapse_feed,
         seed_store,
         finish_store,
+        cdc_changes_feed,
+        cdc_base_snapshot,
     ),
 )
 def op265_stream_cdc_apply_changes(
@@ -104,7 +107,7 @@ def op265_stream_cdc_apply_changes(
     log in miniature (op255's simulation made load-bearing); a real
     deployment swaps the parquet generations for Delta/Iceberg
     commits with the SAME foreachBatch body."""
-    return stream_cdc_apply_changes(spark, sf_dir, _CDC_BASE_MIN_KEY)
+    return stream_cdc_apply_changes(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

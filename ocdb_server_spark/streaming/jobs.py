@@ -1096,7 +1096,6 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
 def stream_cdc_apply_changes(
     spark: SparkSession,
     sf_dir: str,
-    base_min_key: int,
     n_feed_files: int = 3,
 ) -> DataFrame:
     """op265's pipeline: STREAMING CDC — a change feed applied to a
@@ -1152,45 +1151,35 @@ def stream_cdc_apply_changes(
 
     key, seq, payload = "user_id", ["ts", "event_id"], ["balance"]
 
-    # --- export the feed as N files with ts interleaved across them
-    events = spark.read.parquet(table_path(sf_dir, "events"))
-    feed_cols = [
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("event_id"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("value").alias("balance"),
-    ]
-    for i in range(n_feed_files):
-        (
-            events.filter(F.col("event_id") % n_feed_files == i)
-            .select(*feed_cols)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(feed_dir)
-        )
-    feed_schema = spark.read.parquet(feed_dir).schema
-    seq_types = [
-        dict(spark.read.parquet(feed_dir).dtypes)[c] for c in seq
-    ]
+    # --- export the feed as N files with ts interleaved across them.
+    # The feed/base derivations are op264's OWN builders (they read
+    # through load_table, so the events ts normalization the shared
+    # oracle assumes applies here too); lazy import — operators import
+    # this module at load time.
+    from ocdb_server_spark.operators.pipeline_r12 import (
+        cdc_base_snapshot,
+        cdc_changes_feed,
+    )
+
+    feed = cdc_changes_feed(spark, sf_dir).persist()
+    try:
+        for i in range(n_feed_files):
+            (
+                feed.filter(F.col("event_id") % n_feed_files == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(feed_dir)
+            )
+        feed_schema = feed.schema
+        seq_types = [dict(feed.dtypes)[c] for c in seq]
+    finally:
+        feed.unpersist()
 
     # --- seed generation: the base snapshot as an incremental store
-    from ocdb_server_spark.io import load_table
-
-    base = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") >= base_min_key)
-        .select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_acctbal").alias("balance"),
-        )
-    )
     seed_path = os.path.join(store_dir, "gen=seed")
-    seed_store(base, key, seq, seq_types).write.mode("overwrite").parquet(
-        seed_path
-    )
+    seed_store(
+        cdc_base_snapshot(spark, sf_dir), key, seq, seq_types
+    ).write.mode("overwrite").parquet(seed_path)
 
     def _latest_committed() -> tuple[int, str]:
         """(max committed batch_id, its store path); (-1, seed) if none.

@@ -62,6 +62,13 @@ OPS = [
     # real executor JVMs.
     "op263_rrf_hybrid_topk",
     "op264_cdc_apply_changes",
+    # round-13 additions: the streaming CDC path (foreachBatch merge
+    # loop + manifest commits + generation store, all crossing real
+    # executor JVMs — the store reads/writes are executor-side file
+    # IO) and the persisted-index hybrid (codebook artifact broadcast
+    # from disk across a process boundary).
+    "op265_stream_cdc_apply_changes",
+    "op266_rrf_hybrid_serving",
 ]
 
 

@@ -138,9 +138,66 @@ def test_tombstone_keeps_watermark_alive(spark, cdc_base):
 def test_seed_store_guards(spark, cdc_base):
     with pytest.raises(ValueError, match="seq_types"):
         seed_store(cdc_base, "user_id", SEQ, ["long"])
-    poisoned = cdc_base.withColumn("n_changes", F.lit(1))
+    # __-prefixed bookkeeping names are a hard error — never a
+    # legitimate user column
+    poisoned = cdc_base.withColumn("__deleted", F.lit(True))
     with pytest.raises(ValueError, match="reserve"):
         seed_store(poisoned, "user_id", SEQ, SEQ_TYPES)
+    # status/n_changes are apply_changes' RESERVED output names:
+    # seeding from a previous application's output (the replay-chain
+    # case) drops and rewrites them, mirroring the one-shot path —
+    # round-13 review: 'status' used to slip through and finish_store
+    # minted a DUPLICATE status column
+    chained = cdc_base.withColumn("status", F.lit("updated")).withColumn(
+        "n_changes", F.lit(9).cast("bigint")
+    )
+    store = seed_store(chained, "user_id", SEQ, SEQ_TYPES)
+    out = finish_store(store, "user_id", SEQ)
+    assert out.columns.count("status") == 1
+    assert [r.status for r in out.collect()] == ["unchanged"] * 4
+    assert all(r.n_changes == 0 for r in out.collect())
+
+
+def test_null_key_merge_semantics_match_oneshot(spark):
+    """NULL keys follow MERGE ON semantics (never match the BASE) in
+    BOTH paths, and the incremental path must not re-insert a new
+    NULL row per batch: one-shot collapses all NULL-key changes to one
+    winner; incremental's previously-INSERTED NULL row (and only that
+    one) absorbs later NULL changes (round-13 review)."""
+    base = spark.createDataFrame(
+        [(None, 99.0), (8, 80.0)], "user_id int, balance double"
+    )
+    feed_rows = [
+        (None, 10, 1, "U", 1.0),
+        (None, 20, 2, "U", 2.0),   # later writer, lands in batch 2
+        (8, 15, 3, "U", 8.5),
+    ]
+    feed = spark.createDataFrame(feed_rows, FEED_DDL)
+    exp = sorted(
+        (tuple(r) for r in apply_changes(
+            base, feed, key="user_id", seq=SEQ, payload=["balance"]
+        ).collect()),
+        key=repr,
+    )
+    # split so each batch carries one NULL-key change
+    store = seed_store(base, "user_id", SEQ, SEQ_TYPES)
+    for rows in ([feed_rows[0], feed_rows[2]], [feed_rows[1]]):
+        b = spark.createDataFrame(rows, FEED_DDL)
+        store = apply_changes_incremental(
+            store, b, key="user_id", seq=SEQ, payload=["balance"]
+        )
+    got = sorted(
+        (tuple(r) for r in finish_store(store, "user_id", SEQ).collect()),
+        key=repr,
+    )
+    assert got == exp
+    # the NULL base row passed through unchanged AND exactly one
+    # NULL-key insert exists (not one per batch)
+    nulls = [t for t in got if t[0] is None]
+    assert len(nulls) == 2
+    assert {t[2] for t in nulls} == {"unchanged", "inserted"}
+    ins = next(t for t in nulls if t[2] == "inserted")
+    assert ins[1] == 2.0 and ins[3] == 2  # last writer won, both counted
 
 
 def test_op265_streaming_matches_op264_batch(spark, sf_dir):
@@ -242,3 +299,22 @@ def test_op266_high_overlap_with_exact_twin(spark, sf_dir, served_rows):
     served_ids = {r.doc_id for r in served_rows}
     overlap = len(exact_ids & served_ids) / len(exact_ids)
     assert overlap >= 0.7, f"overlap {overlap:.2f} too low"
+
+
+def test_collapse_feed_keep_seq_tolerates_overlap(spark):
+    """keep_seq must not double-select a seq column that is also the
+    key or a payload column — the duplicate made every downstream
+    F.col reference ambiguous (round-13 review)."""
+    from ocdb_server_spark.functions.cdc import collapse_feed
+
+    feed = spark.createDataFrame(
+        [(1, 10, 5, "U"), (1, 20, 6, "U")],
+        "id int, ts long, event_id long, op string",
+    )
+    out = collapse_feed(
+        feed, key="id", seq=["ts", "event_id"], op_col="op",
+        payload=["ts"], keep_seq=True,
+    )
+    assert out.columns.count("ts") == 1
+    [row] = out.collect()
+    assert (row.ts, row.event_id, row.n_changes) == (20, 6, 2)
