@@ -91,6 +91,30 @@ def _walk(p, depth: int, out: list[NodeMetrics]) -> None:
         _walk(children.apply(i), depth + 1, out)
 
 
+def _root_output_rows(nodes: list[NodeMetrics]) -> int:
+    """Output rows of the plan ROOT. Metric-less single-child wrappers
+    (WholeStageCodegen, AdaptiveSparkPlan) pass through to their
+    child; a metric-less MULTI-child combinator (Union concatenates)
+    sums its children — the old 'first node with numOutputRows in
+    pre-order' took only the first Union branch and reported roughly
+    half the real output (round-13 review). `nodes` is the pre-order
+    walk with depths, so child spans are contiguous."""
+
+    def rows_at(i: int) -> int:
+        n = nodes[i]
+        if "numOutputRows" in n.metrics:
+            return n.metrics["numOutputRows"]
+        total = 0
+        j = i + 1
+        while j < len(nodes) and nodes[j].depth > n.depth:
+            if nodes[j].depth == n.depth + 1:
+                total += rows_at(j)
+            j += 1
+        return total
+
+    return rows_at(0) if nodes else 0
+
+
 def profile(df: DataFrame, materialize: bool = True) -> QueryProfile:
     """Execute `df` (collect) and return its measured metrics.
 
@@ -118,10 +142,7 @@ def profile(df: DataFrame, materialize: bool = True) -> QueryProfile:
         elif n.name == "InMemoryTableScan":
             scan_rows += n.metrics.get("numOutputRows", 0)
         peak = max(peak, n.metrics.get("peakMemory", 0))
-    for n in nodes:  # first node (outermost) with an output-rows metric
-        if "numOutputRows" in n.metrics:
-            output_rows = n.metrics["numOutputRows"]
-            break
+    output_rows = _root_output_rows(nodes)
     return QueryProfile(
         nodes=nodes,
         scan_rows=scan_rows,

@@ -67,10 +67,12 @@ def tokenize(s: str) -> list[Token]:
             if s[i:].isspace():
                 break
             raise QuerySyntaxError(f"unexpected character at {i}: {s[i]!r}")
-        if m.end() == i:  # only whitespace consumed
-            break
-        kind = m.lastgroup or "word"
-        out.append(Token(kind, m.group(kind) if m.group(kind) else m.group(0), i))
+        # every alternative consumes >=1 char, so lastgroup is always
+        # set and the match advances; pos points at the TOKEN (after
+        # the \s* prefix), not the whitespace before it (round-13
+        # review: error positions used to point at the blank)
+        kind = m.lastgroup
+        out.append(Token(kind, m.group(kind), m.start(kind)))
         i = m.end()
     return out
 
@@ -120,9 +122,17 @@ class FieldValueQuery(Query):
 
 @dataclass(frozen=True)
 class FieldRangeQuery(Query):
+    """Bounds are '*' (unbounded), numbers (coerced via _auto), or —
+    when quoted in the source — strings pinned to exact string
+    comparison, mirroring FieldValueQuery.quoted (round-13 review:
+    quoted bounds used to keep their quote characters and compare
+    against the literal '\"')."""
+
     field: str
     lo: str
     hi: str
+    lo_quoted: bool = False
+    hi_quoted: bool = False
 
     def accept(self, v):
         return v.visit_field_range(self)
@@ -248,18 +258,31 @@ class QueryParser:
             return PhraseQuery(t.text)
         raise QuerySyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
+    def _range_bound(self) -> tuple[str, bool]:
+        """A range bound is a word or a quoted string — anything else
+        ('(', ':', ']') is a syntax error, not a silent literal
+        (round-13 review). Returns (text, quoted)."""
+        t = self._next()
+        if t.kind == "word":
+            return t.text, False
+        if t.kind == "quoted":
+            return t.text.strip('"'), True
+        raise QuerySyntaxError(
+            f"expected range bound, got {t.text!r} at {t.pos}"
+        )
+
     def _field_term(self, field: str) -> Query:
         t = self._next()
         if t.kind == "lbrack":
-            lo = self._next()
+            lo, lo_q = self._range_bound()
             to = self._next()
             if not (to.kind == "word" and to.text.upper() == "TO"):
                 raise QuerySyntaxError(f"expected TO at {to.pos}")
-            hi = self._next()
+            hi, hi_q = self._range_bound()
             rb = self._next()
             if rb.kind != "rbrack":
                 raise QuerySyntaxError(f"expected ']' at {rb.pos}")
-            return FieldRangeQuery(field, lo.text, hi.text)
+            return FieldRangeQuery(field, lo, hi, lo_quoted=lo_q, hi_quoted=hi_q)
         if t.kind == "quoted":
             return FieldValueQuery(field, t.text.strip('"'), quoted=True)
         if t.kind == "word":
@@ -280,15 +303,22 @@ def _like_pattern(pattern: str) -> str:
     return like.replace("*", "%").replace("?", "_")
 
 
+# strictly-numeric spellings only: Python's int()/float() accept
+# underscore grouping ('1_000'), 'inf', 'nan', 'Infinity' — all of
+# which must stay STRING literals here ('flag:nan' means the text
+# 'nan'; coercing it to float NaN made the comparison silently match
+# nothing against string columns — round-13 review)
+_INT_RE = re.compile(r"[+-]?\d+\Z")
+_FLOAT_RE = re.compile(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?\Z")
+
+
 def _auto(value: str):
     """Literal coercion: numbers compare numerically, else string."""
-    try:
+    if _INT_RE.match(value):
         return int(value)
-    except ValueError:
-        try:
-            return float(value)
-        except ValueError:
-            return value
+    if _FLOAT_RE.match(value):
+        return float(value)
+    return value
 
 
 class ColumnCompiler(QueryVisitor):
@@ -329,14 +359,19 @@ class ColumnCompiler(QueryVisitor):
 
     def visit_field_range(self, q: FieldRangeQuery) -> Column:
         col = F.col(q.field)
-        lo, hi = q.lo, q.hi
         conds = []
-        if lo != "*":
-            conds.append(col >= F.lit(_auto(lo)))
-        if hi != "*":
-            conds.append(col <= F.lit(_auto(hi)))
+        if q.lo_quoted or q.lo != "*":
+            conds.append(
+                col >= F.lit(q.lo if q.lo_quoted else _auto(q.lo))
+            )
+        if q.hi_quoted or q.hi != "*":
+            conds.append(
+                col <= F.lit(q.hi if q.hi_quoted else _auto(q.hi))
+            )
         if not conds:
-            return F.lit(True)
+            # field:[* TO *] is Lucene's "field has a value" idiom —
+            # lit(True) would match NULL rows too (round-13 review)
+            return col.isNotNull()
         out = conds[0]
         for c in conds[1:]:
             out = out & c
@@ -348,7 +383,12 @@ class ColumnCompiler(QueryVisitor):
     def visit_unary(self, q: UnaryOpQuery) -> Column:
         child = q.child.accept(self)
         if q.op in ("NOT", "-"):
-            return ~child
+            # Mongo $not semantics, which the reference compiles to: a
+            # row where the field is NULL/missing DOES match the
+            # negation. SQL's three-valued ~NULL = NULL would silently
+            # drop those rows in filter() (round-13 review; same class
+            # of fix as the keyset NULL handling in search.py).
+            return ~F.coalesce(child, F.lit(False))
         return child  # '+' = required = plain AND semantics
 
     def visit_binary(self, q: BinaryOpQuery) -> Column:

@@ -84,10 +84,25 @@ def custom(name: str, violated: Column, message: str, severity: str = WARNING) -
 # ------------------------------------------------------------- engine
 
 
+_ISSUES_TYPE = "array<struct<rule:string,severity:string,message:string>>"
+
+
 def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Append `issues` (array<struct<rule,severity,message>>, empty when
     clean) and `status` (OK/WARNING/ERROR) columns — the reference's
-    DatasetValidationResult, per row, in one codegen projection."""
+    DatasetValidationResult, per row, in one codegen projection.
+
+    `issues`/`status` are OUTPUT names: an input frame already
+    carrying either would be silently clobbered (e.g. a submission's
+    business `status` from the reference workflow), so that is a loud
+    error at the boundary (round-13 review, the sinks.py guard
+    pattern)."""
+    clash = {"issues", "status"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"validate() writes output columns {sorted(clash)}; rename "
+            "them on the input frame first"
+        )
     issue_structs = [
         F.when(
             r.violated,
@@ -99,7 +114,14 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         for r in rules
     ]
-    issues = F.filter(F.array(*issue_structs), lambda x: x.isNotNull())
+    if issue_structs:
+        issues = F.filter(F.array(*issue_structs), lambda x: x.isNotNull())
+    else:
+        # a dataset type configured with zero rules: F.array() would be
+        # array<void>, which breaks the exists() field extraction below
+        # and any parquet write of the column (round-13 review) — emit
+        # a TYPED empty array instead
+        issues = F.array().cast(_ISSUES_TYPE)
     has_error = F.exists(F.col("issues"), lambda x: x["severity"] == ERROR)
     has_warning = F.exists(F.col("issues"), lambda x: x["severity"] == WARNING)
     return df.withColumn("issues", issues).withColumn(

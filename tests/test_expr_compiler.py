@@ -395,3 +395,85 @@ def test_quoted_value_pins_string_comparison(spark):
     # unquoted keeps the documented numeric coercion (all equal as 1.1)
     bare = {r.version for r in df.filter(compile_expr("version:1.10")).collect()}
     assert bare == {"1.1", "1.10", "1.100"}
+
+
+# ------------------------------------------------- round-13 review fixes
+
+
+def test_token_pos_points_at_token_not_whitespace():
+    """Round-13 review: Token.pos recorded the match start BEFORE the
+    whitespace prefix, so error positions pointed at the blank."""
+    toks = tokenize("a )")
+    assert [(t.text, t.pos) for t in toks] == [("a", 0), (")", 2)]
+    with pytest.raises(QuerySyntaxError, match="at 2"):
+        QueryParser.parse("a )")
+
+
+def test_quoted_range_bounds_pin_strings(spark):
+    """Round-13 review: quoted range bounds kept their quote chars and
+    compared against the literal '\"'. They must pin exact string
+    bounds (FieldValueQuery.quoted's contract extended to ranges)."""
+    q = QueryParser.parse('d:["2020-01-03" TO "2020-01-07"]')
+    assert q == FieldRangeQuery(
+        "d", "2020-01-03", "2020-01-07", lo_quoted=True, hi_quoted=True
+    )
+    df = spark.createDataFrame(
+        [("2020-01-01",), ("2020-01-05",), ("2020-01-09",)], "d string"
+    )
+    got = {r.d for r in df.filter(
+        compile_expr('d:["2020-01-03" TO "2020-01-07"]')
+    ).collect()}
+    assert got == {"2020-01-05"}
+
+
+def test_range_bound_must_be_word_or_quoted():
+    with pytest.raises(QuerySyntaxError, match="range bound"):
+        QueryParser.parse("d:[( TO 5]")
+
+
+def test_not_matches_null_fields(spark):
+    """Round-13 review: the reference compiles NOT to Mongo $not,
+    which MATCHES rows where the field is missing/null; SQL's
+    three-valued ~NULL silently dropped them."""
+    df = spark.createDataFrame(
+        [("en",), ("de",), (None,)], "lang string"
+    )
+    got = {r.lang for r in df.filter(compile_expr("NOT lang:en")).collect()}
+    assert got == {"de", None}
+    # double negation stays consistent: -(-x) ≡ x for non-null matches
+    got2 = {r.lang for r in df.filter(
+        compile_expr("NOT (NOT lang:en)")
+    ).collect()}
+    assert got2 == {"en"}
+
+
+def test_fully_unbounded_range_means_field_exists(spark):
+    """Round-13 review: field:[* TO *] is Lucene's 'has a value'
+    idiom — it must exclude NULL rows, not compile to lit(True)."""
+    df = spark.createDataFrame(
+        [(1.5,), (None,), (9.0,)], "depth double"
+    )
+    got = [r.depth for r in df.filter(compile_expr("depth:[* TO *]")).collect()]
+    assert sorted(got) == [1.5, 9.0]
+
+
+def test_auto_coercion_is_strictly_numeric(spark):
+    """Round-13 review: Python int()/float() accept '1_000', 'nan',
+    'inf', 'Infinity' — those spellings must stay STRING literals."""
+    df = spark.createDataFrame(
+        [("1_000",), ("1000",), ("nan",), ("inf",)], "station string"
+    )
+    assert {r.station for r in df.filter(
+        compile_expr("station:1_000")
+    ).collect()} == {"1_000"}
+    assert {r.station for r in df.filter(
+        compile_expr("station:nan")
+    ).collect()} == {"nan"}
+    assert {r.station for r in df.filter(
+        compile_expr("station:inf")
+    ).collect()} == {"inf"}
+    # real numbers still coerce (scientific notation included)
+    nums = spark.createDataFrame([(1000,), (7,)], "station int")
+    assert {r.station for r in nums.filter(
+        compile_expr("station:1e3")
+    ).collect()} == {1000}

@@ -81,3 +81,14 @@ def test_reused_exchange_not_double_counted(spark):
     # and the original subtree's scan is not walked twice
     scans = [n for n in prof.nodes if n.name.startswith("Scan") or n.name == "Range"]
     assert len(scans) == len({id(n) for n in scans})  # sanity: one entry per walked node
+
+
+def test_output_rows_sums_union_branches(spark):
+    """Round-13 review: a metric-less root (Union) made output_rows
+    report only the FIRST branch's count."""
+    from ocdb_server_spark.metrics import profile
+
+    a = spark.range(10)
+    b = spark.range(7)
+    prof = profile(a.union(b))
+    assert prof.output_rows == 17

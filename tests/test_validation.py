@@ -294,3 +294,30 @@ def test_dirty_corpus_submission_sweep(spark, tmp_path):
     assert roll["clean.sb"] == (OK, 2, 0)
     # junky: 'oops' (junk → NULL) and -999 (declared missing → NULL)
     assert roll["junky.sb"] == (WARNING, 3, 2)
+
+
+def test_validate_empty_rule_list_yields_typed_empty_issues(spark, tmp_path):
+    """Round-13 review: zero rules used to build F.array() of VOID
+    element type — breaking the exists() field extraction and any
+    parquet write of the issues column."""
+    from ocdb_server_spark.validation import OK, validate
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    out = validate(df, [])
+    rows = out.collect()
+    assert all(r.issues == [] and r.status == OK for r in rows)
+    out.write.mode("overwrite").parquet(str(tmp_path / "v"))  # must not raise
+    back = spark.read.parquet(str(tmp_path / "v"))
+    assert dict(back.dtypes)["issues"].startswith("array<struct")
+
+
+def test_validate_refuses_to_clobber_output_names(spark):
+    """Round-13 review: an input already carrying issues/status (e.g.
+    a submission's business status) was silently overwritten."""
+    import pytest as _pytest
+
+    from ocdb_server_spark.validation import validate
+
+    df = spark.createDataFrame([(1, "PUBLISHED")], "x int, status string")
+    with _pytest.raises(ValueError, match="status"):
+        validate(df, [])
