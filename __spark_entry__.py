@@ -17,22 +17,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ocdb_server_spark.registry import load_all
 
+# One fold per process: load_all() re-reads every CORRECTNESS_r*.json
+# plus the fingerprint books and re-sorts the registry — identical
+# results within a driver run, and the driver calls entry(), then
+# queries(), then oracle_sql() (round-13 review: three full folds of
+# I/O+hashing that grow with every round's new evidence file).
+_OPS: dict | None = None
+
+
+def _ops() -> dict:
+    global _OPS
+    if _OPS is None:
+        _OPS = load_all()
+    return _OPS
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the TPC-H Q5-shaped
     6-table star join (op39) — scan + broadcast joins + agg + exact
     decimal revenue."""
-    ops = load_all()
-    return ops["op39_join_multiway_star"].fn(spark, "/root/testdata/sf0.001")
+    return _ops()["op39_join_multiway_star"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: op.fn for name, op in load_all().items()}
+    return {name: op.fn for name, op in _ops().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for every hash-checked operator;
     ROWS-only ops (approx/nondeterministic/non-SQL semantics) are
     omitted by design — see SURVEY.md §2's oracle legend."""
-    return {name: op.oracle for name, op in load_all().items() if op.oracle is not None}
+    return {name: op.oracle for name, op in _ops().items() if op.oracle is not None}

@@ -125,7 +125,14 @@ def compact_summary(detail: dict) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # sf tag parse must never kill the bench: a dir whose path merely
+    # CONTAINS 'sf' elsewhere (/srv/transfer/tpch) or a suffixed tag
+    # (sf0.1-test) used to crash float() before any measurement
+    # (round-13 review) — unknown tags report sf -1.0 and measure on
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0
     # interactive profile: sub-second queries over a hot cache — AQE's
     # per-shuffle stage materialization would add ~0.2 s/query with
     # nothing to re-optimize at this scale (rationale in session.py;

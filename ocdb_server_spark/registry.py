@@ -104,11 +104,20 @@ def register(
             # included) IS the registered plan. linecache makes the
             # per-op getsource calls one file read per module.
             src = inspect.getsource(fn)
-            for dep in deps:
-                src += inspect.getsource(dep)
-            src_fp = hashlib.sha256(src.encode()).hexdigest()[:16]
         except (OSError, TypeError):
-            src_fp = ""  # source unavailable — checker-only tracking
+            src = ""  # fn source unavailable — checker-only tracking
+        if src:
+            # deps fold in best-effort: ONE unhashable dep (a C
+            # extension, a builtin) must not zero the whole op's
+            # fingerprint — that silently disabled plan-rewrite
+            # demotion, the exact hole the mechanism closes
+            # (round-13 review)
+            for dep in deps:
+                try:
+                    src += inspect.getsource(dep)
+                except (OSError, TypeError):
+                    src += f"\x00<unhashable dep {getattr(dep, '__name__', dep)!r}>"
+        src_fp = hashlib.sha256(src.encode()).hexdigest()[:16] if src else ""
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,15 +172,20 @@ def iter_correctness_rounds(root: str):
     import json
     import os
 
+    import re
+
     rounds: list[tuple[int, str]] = []
     for fname in os.listdir(root):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            digits = "".join(
-                ch
-                for ch in fname[len("CORRECTNESS_r"):-len(".json")]
-                if ch.isdigit()
-            )
-            rounds.append((int(digits or 0), fname))
+            # FULLY-numeric tails only: concatenating ALL digits made
+            # a stray CORRECTNESS_r1_v2.json backup parse as round 12
+            # and override genuine round-12 rows in the certified fold
+            # (round-13 review). A suffixed/renamed file is not the
+            # driver's round record — skip it entirely rather than
+            # fold a backup's rows as evidence.
+            m = re.fullmatch(r"\d+", fname[len("CORRECTNESS_r"):-len(".json")])
+            if m:
+                rounds.append((int(m.group(0)), fname))
     for rnd, fname in sorted(rounds):
         try:
             with open(os.path.join(root, fname)) as f:
@@ -435,7 +449,18 @@ def _sweep_order(keys: list[str], root: str | None = None) -> list[str]:
     costs: dict[str, float] = {}
     try:
         with open(os.path.join(root, "ocdb_server_spark", "op_costs.json")) as f:
-            costs = json.load(f)
+            raw = json.load(f)
+        # shape-check like every other book this module reads ("a
+        # malformed file must never break the registry"): a mangled
+        # list or string-valued cost used to crash load_all() — and
+        # with it entry()/queries()/oracle_sql(), the whole round
+        # (round-13 review)
+        if isinstance(raw, dict):
+            costs = {
+                k: float(v)
+                for k, v in raw.items()
+                if isinstance(v, (int, float))
+            }
     except Exception:
         pass
     pos = {k: i for i, k in enumerate(keys)}

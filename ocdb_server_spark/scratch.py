@@ -101,8 +101,10 @@ def scratch_dir(kind: str, sf_dir: str, fresh: bool = True) -> str:
             # PID-recycling backstop (round-8 ADVICE): os.kill(pid,0)
             # says "alive" even when a crashed session's PID was later
             # recycled by an UNRELATED process — that dir would never
-            # reap. Age-gate it: any same-prefix dir (ours included —
-            # we recreate below) untouched for > _REAP_AGE_S is an
+            # reap. Age-gate it: any OTHER session's same-prefix dir
+            # (our own is excluded by the own-pid guard above — a
+            # fresh=False ANN index would NOT be recreated) untouched
+            # for > _REAP_AGE_S is an
             # orphaned table copy, not a live session's working set;
             # a live session's scratch is written and read within one
             # operator call, minutes not days. "Untouched" must look at

@@ -409,6 +409,8 @@ def test_register_deps_fold_into_src_fp():
 
     from ocdb_server_spark.functions.cdc import apply_changes, collapse_feed
     from ocdb_server_spark.operators.pipeline_r12 import (
+        cdc_base_snapshot,
+        cdc_changes_feed,
         op264_cdc_apply_changes,
     )
     from ocdb_server_spark.registry import REGISTRY, load_all
@@ -420,6 +422,8 @@ def test_register_deps_fold_into_src_fp():
     src = inspect.getsource(fn)
     src += inspect.getsource(apply_changes)
     src += inspect.getsource(collapse_feed)
+    src += inspect.getsource(cdc_changes_feed)
+    src += inspect.getsource(cdc_base_snapshot)
     expected = hashlib.sha256(src.encode()).hexdigest()[:16]
     assert REGISTRY["op264_cdc_apply_changes"].src_fp == expected
     # and WITHOUT the deps the fingerprint differs — so a helper edit
@@ -439,3 +443,66 @@ def test_register_deps_fold_into_src_fp():
         (inspect.getsource(fn183) + inspect.getsource(bm25_scored_docs)).encode()
     ).hexdigest()[:16]
     assert REGISTRY["op183_bm25_topk"].src_fp == exp183
+
+
+def test_backup_correctness_files_are_skipped(tmp_path):
+    """Round-13 review: CORRECTNESS_r1_v2.json used to concatenate ALL
+    digits ('1' + '2' → round 12) and override genuine round-12 rows.
+    Only fully-numeric round tails are driver records — anything else
+    is a backup/rename and must not fold as evidence."""
+    import json
+
+    from ocdb_server_spark.registry import iter_correctness_rounds
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    bad = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"op_a": green}))
+    (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps({"op_a": green}))
+    (tmp_path / "CORRECTNESS_r1_v2.json").write_text(json.dumps({"op_a": bad}))
+    folded = list(iter_correctness_rounds(str(tmp_path)))
+    assert [rnd for rnd, _ in folded] == [1, 12]
+    assert all(rows["op_a"]["hash_match"] for _, rows in folded)
+
+
+def test_sweep_order_survives_malformed_op_costs(tmp_path):
+    """Round-13 review: a list-shaped or string-valued op_costs.json
+    crashed load_all() — and with it every driver entry point. The
+    registry's own rule: a malformed book never breaks the registry."""
+    import json
+
+    from ocdb_server_spark.registry import _sweep_order
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"op_a": green}))
+    pkg = tmp_path / "ocdb_server_spark"
+    pkg.mkdir()
+    (pkg / "op_costs.json").write_text(json.dumps(["not", "a", "dict"]))
+    assert _sweep_order(["op_a", "op_b"], root=str(tmp_path))  # no crash
+    (pkg / "op_costs.json").write_text(
+        json.dumps({"op_a": "NaN-ish string", "op_b": 0.5})
+    )
+    ordered = _sweep_order(["op_a", "op_b"], root=str(tmp_path))
+    assert set(ordered) == {"op_a", "op_b"}
+
+
+def test_unhashable_dep_does_not_zero_plan_fingerprint():
+    """Round-13 review: one source-less dep (builtin/C extension) used
+    to zero the op's src_fp, silently disabling plan-rewrite demotion
+    for the whole op."""
+    from ocdb_server_spark.registry import REGISTRY, register
+
+    name = "op_test_unhashable_dep"
+    try:
+        @register(name, oracle=None, deps=(len,))  # len: no source
+        def op_test_unhashable_dep(spark, sf_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        assert REGISTRY[name].src_fp != ""
+    finally:
+        REGISTRY.pop(name, None)
