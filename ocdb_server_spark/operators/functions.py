@@ -10,9 +10,13 @@ embedding + multimodal columns.
 Everything here is a built-in `pyspark.sql.functions` expression —
 JVM-side, inside whole-stage codegen; no Python in the hot path.
 
-Cross-engine trap handled here (SURVEY.md §4.2.3): Spark `round` is
-HALF_UP while DuckDB's is HALF_EVEN — where rounding appears we use
-Spark `bround` (HALF_EVEN) to match DuckDB exactly.
+Cross-engine trap handled here (SURVEY.md §4.2.3): on the DuckDB
+shipped in this environment, ROUND on doubles is half-AWAY-from-zero
+— the same mode as Spark `round` (HALF_UP) — while Spark `bround`
+is HALF_EVEN and differs on exactly-representable ties (e.g.
+85/128 = 0.6640625: round→0.664063 on both engines, bround→0.664062).
+Verified empirically round 13; where rounding appears we use Spark
+`round` to match DuckDB's ROUND exactly.
 """
 
 from __future__ import annotations
@@ -134,21 +138,23 @@ def op60_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op61_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/floor/ceil/abs/mod/sign/pow/sqrt/ln/log10. Transcendentals
     (pow/ln/log10) are libm-dependent across engines → rounded to 6dp
-    with HALF_EVEN on both sides (Spark bround == DuckDB round)."""
+    with half-away-from-zero on both sides (Spark round == DuckDB
+    ROUND; bround's HALF_EVEN diverges on exact ties — round-13
+    review)."""
     p = load_table(spark, sf_dir, "part")
     sizei = F.col("p_size").cast("int")
     return p.select(
         "p_partkey",
-        F.bround(F.col("p_retailprice"), 1).alias("price_r1"),
+        F.round(F.col("p_retailprice"), 1).alias("price_r1"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
         F.abs(sizei - 25).alias("size_dist"),
         (sizei % 7).cast("bigint").alias("size_mod"),
         F.signum((sizei - 25).cast("double")).alias("size_sign"),
-        F.bround(F.pow(F.col("p_size").cast("double"), 2.0), 6).alias("size_sq"),
-        F.bround(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-        F.bround(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
-        F.bround(F.log10("p_retailprice"), 6).alias("price_log10"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 6).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.round(F.log10("p_retailprice"), 6).alias("price_log10"),
     )
 
 
@@ -202,7 +208,7 @@ def op63_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.bround(
+        F.round(
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6
         ).alias("l2_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_pos"),

@@ -313,7 +313,7 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM and as the literal ``+`` chain it replaces (verified
     bit-identical on the full corpus when switching round 9) — and the
     Python-side query norm is the same sequential sum, so
-    bround(sim, 6) keeps hash-matching the oracle.
+    round(sim, 6) keeps hash-matching the oracle.
 
     Plan-shape history: round 4 flattened the fold into a 64-term
     literal ``+`` chain because it re-EXECUTED faster — a finding the
@@ -349,7 +349,7 @@ def op80_sim_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> cast(x as double) * y),"
         " cast(0.0 as double), (a, b) -> a + b)"
     )
-    sim = F.bround(dot / (F.col("nrm") * F.lit(qn)), 6)
+    sim = F.round(dot / (F.col("nrm") * F.lit(qn)), 6)
     return (
         en.filter(F.col("vec_id") != 0)
         .select("vec_id", sim.alias("sim"))
@@ -387,7 +387,7 @@ def op81_sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = F.bround(
+    sim = F.round(
         _dot("a.embedding", "b.embedding")
         / (_norm("a.embedding") * _norm("b.embedding")),
         6,
@@ -464,8 +464,8 @@ def op83_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.bround(_norm_d(unit), 6).alias("unit_norm"),
-        F.bround(F.element_at(unit, 1), 6).alias("first_component"),
+        F.round(_norm_d(unit), 6).alias("unit_norm"),
+        F.round(F.element_at(unit, 1), 6).alias("first_component"),
     )
 
 

@@ -205,9 +205,23 @@ def ngram_jaccard_pairs(
         )
     )
     grams = w.select(*id_cols, F.explode(tri).alias("gram"))
-    capped = grams.withColumn(
-        "df", F.size(F.collect_set("doc_id").over(W.partitionBy("gram")))
-    ).filter(F.col("df") <= 50)
+    # max-df cap via partial-agged countDistinct + semi join: the old
+    # per-gram window collect_set(doc_id) funneled EVERY doc_id of the
+    # hottest stop-grams into one window partition and materialized
+    # the full set per row-group before discarding it — the exact skew
+    # the cap exists to guard against (round-13 review). countDistinct
+    # gets map-side partials; the semi join never builds a set.
+    allowed = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("gram")
+    )
+    # persisted: the self-join (a/b) plus the two size joins reference
+    # this frame four times per action — unpersisted, the gram explode
+    # and the df agg re-evaluate each time (op88's documented trap,
+    # round-13 review); the registry pool releases it at the next op.
+    capped = pool_persist(grams.join(allowed, "gram", "left_semi"))
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (
@@ -222,7 +236,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.bround(
+    jac = F.round(
         F.col("n_shared").cast("double")
         / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")),
         6,
@@ -287,7 +301,7 @@ def lsh_neardup_pairs(
     # SURVEY.md §4.2.2). 4 rows/vector × (id, vec, table, bucket).
     sig = pool_persist(sig)
     a, b = sig.alias("a"), sig.alias("b")
-    sim = F.bround(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(
             b,
@@ -370,38 +384,37 @@ def op91_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-_OP92_SQL = f"""
-WITH f AS (
-  SELECT doc_id,
+# ---- op92/op105 single-source quality + shard kernels --------------
+# The round-9 one-template rule (ngram_jaccard_pairs_ctes): op105
+# composes op92's scoring and op98's sharding, so the formula and its
+# oracle text must exist ONCE each — four drifting copies was the
+# op89/op96 desync class all over again (round-13 review).
+
+# the f CTE body: per-doc word/stopword/char features (both engines
+# lower+space-split identically)
+_QUALITY_F_CTE = f"""SELECT doc_id, text,
          len(string_split(lower(text), ' ')) AS n_words,
          len(list_filter(string_split(lower(text), ' '),
                          t -> list_contains([{_SQL_STOP}], t))) AS n_stop,
          n_chars
-  FROM documents
-)
-SELECT doc_id,
-       CAST(n_words AS BIGINT) AS n_words,
-       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
-       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
-       0.5 * least(n_words, 100) / 100.0
+  FROM documents"""
+
+# the composite score over the f CTE's columns — deliberately
+# UNROUNDED (see op92's docstring: exact power-of-two ties)
+_QUALITY_SQL = """0.5 * least(n_words, 100) / 100.0
          + 0.25 * (1 - CAST(n_stop AS DOUBLE) / n_words)
-         + 0.25 * least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words / 8.0, 1.0)
-         AS quality
-FROM f
-"""
+         + 0.25 * least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words / 8.0, 1.0)"""
+
+# deterministic (shard, pos) from an `hh` md5-hex column + doc_id
+_SHARD_SQL = """CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
+           ORDER BY hh, doc_id) AS BIGINT) AS pos"""
 
 
-@register("op92_quality_score", oracle=_OP92_SQL)
-def op92_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring from shape features: length, average
-    word length (chars net of single-space separators), stopword ratio,
-    combined into a bounded [0,1] score. Feature ratios round to 6dp;
-    the composite score is deliberately UNROUNDED: its power-of-two
-    denominators produce exact decimal ties (e.g. 0.6640625) that
-    HALF_EVEN and HALF_UP break differently, while the raw IEEE double
-    — same ops, same order — is bit-identical across engines.
-    Pure per-row expressions, zero shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+def quality_cols() -> tuple:
+    """(n_words, avg_word_len, stopword_ratio, quality) Columns over a
+    documents-shaped frame — the ONE Spark copy of _QUALITY_SQL."""
     toks = tokens(F.col("text"))
     n_words = F.size(toks)
     n_stop = token_hits(toks, STOPWORDS)
@@ -412,11 +425,60 @@ def op92_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.25) * (F.lit(1) - ratio)
         + F.lit(0.25) * F.least(awl / 8.0, F.lit(1.0))
     )
+    return n_words, awl, ratio, quality
+
+
+def shard_assign(df: DataFrame, carry: list[str]) -> DataFrame:
+    """(doc_id, *carry, shard, pos) — the ONE Spark copy of
+    _SHARD_SQL: md5-of-id prefix mod 8, pos = row_number within the
+    shard (8 independent sorts, never a global one)."""
+    h = df.select(
+        "doc_id", *carry, F.md5(F.col("doc_id").cast("string")).alias("hh")
+    )
+    shard = (
+        F.conv(F.substring("hh", 1, 8), 16, 10).cast("bigint") % 8
+    ).alias("shard")
+    t = h.select("doc_id", *carry, "hh", shard)
+    w = W.partitionBy("shard").orderBy("hh", "doc_id")
+    return t.select(
+        "doc_id",
+        *carry,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+_OP92_SQL = f"""
+WITH f AS (
+  {_QUALITY_F_CTE}
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       {_QUALITY_SQL}
+         AS quality
+FROM f
+"""
+
+
+@register("op92_quality_score", oracle=_OP92_SQL, deps=(quality_cols,))
+def op92_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from shape features: length, average
+    word length (chars net of single-space separators), stopword ratio,
+    combined into a bounded [0,1] score. Feature ratios round to 6dp;
+    the composite score is deliberately UNROUNDED: its power-of-two
+    denominators produce exact decimal ties (e.g. 0.6640625) that
+    HALF_EVEN and HALF_UP break differently, while the raw IEEE double
+    — same ops, same order — is bit-identical across engines.
+    Pure per-row expressions, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words, awl, ratio, quality = quality_cols()
     return d.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
-        F.bround(awl, 6).alias("avg_word_len"),
-        F.bround(ratio, 6).alias("stopword_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(ratio, 6).alias("stopword_ratio"),
         quality.alias("quality"),
     )
 
@@ -499,8 +561,15 @@ def lloyd_refine(
 
     Returns a codebook with the same 1-row collect_list(struct(cid,
     cvec, cnorm)) shape, so it drops into ivf_topk unchanged."""
-    sample = with_norm.orderBy(F.xxhash64(F.col("vec_id") + 1), "vec_id").limit(
-        sample_n
+    # the sample is LOOP-INVARIANT: unpersisted, every iteration (and
+    # every nesting level of the codebook plan built on it) re-runs
+    # the global orderBy+limit over the corpus (round-13 review —
+    # components.py checkpoints its loop-invariant edges for the same
+    # reason); the registry pool releases it at the next op
+    sample = pool_persist(
+        with_norm.orderBy(F.xxhash64(F.col("vec_id") + 1), "vec_id").limit(
+            sample_n
+        )
     )
     for _ in range(iters):
         assigned = sample.crossJoin(F.broadcast(codebook)).withColumn(
@@ -526,11 +595,7 @@ def lloyd_refine(
             .select(
                 F.col("cluster").alias("cid"),
                 "cvec",
-                F.expr(
-                    "sqrt(aggregate(transform(cvec,"
-                    " x -> cast(x as double) * cast(x as double)),"
-                    " cast(0 as double), (acc, x) -> acc + x))"
-                ).alias("cnorm"),
+                _norm("cvec").alias("cnorm"),
             )
             .agg(F.expr("collect_list(struct(cid, cvec, cnorm))").alias("cents"))
         )
@@ -594,12 +659,10 @@ def ivf_topk(
             "artifact at build time"
         )
 
-    en = F.expr(
-        "sqrt(aggregate(transform(embedding,"
-        " x -> cast(x as double) * cast(x as double)),"
-        " cast(0 as double), (acc, x) -> acc + x))"
-    )
-    with_norm = e.withColumn("en", en)
+    # the SAME expression ann_index.ivf_seed_codebook persists as
+    # cnorm — one source of truth, so query norms can't silently
+    # diverge from the artifact's (round-13 review)
+    with_norm = e.withColumn("en", _norm("embedding"))
     if codebook is None:
         # Deterministic data-seeded codebook: first K vectors in
         # xxhash64 order, packed into one row (ann_index.py's shared
@@ -615,6 +678,15 @@ def ivf_topk(
             # recall uplift is asserted separately in
             # tests/test_pipeline_ext.py).
             codebook = lloyd_refine(with_norm, codebook, train_iters)
+    # A missing query id is a CALLER error, not 'no neighbors' — the
+    # silent empty frame was indistinguishable from an empty probe set
+    # (round-13 review; op80 raises for the identical condition). One
+    # pushed-filter limit(1) probe, not an eager count.
+    if e.filter(F.col("vec_id") == query_vec_id).limit(1).isEmpty():
+        raise ValueError(
+            f"ivf_topk: query vec_id={query_vec_id} not present in the "
+            "corpus — the query vector is a bound parameter"
+        )
     # Map-side nearest-centroid assignment: max of (sim, cid) structs —
     # lexicographic struct compare picks the best list per row.
     assigned = (
@@ -638,7 +710,7 @@ def ivf_topk(
             ).alias("probes"),
         )
     )
-    sim = F.bround(
+    sim = F.round(
         F.expr(
             "aggregate(zip_with(embedding, qe,"
             " (x, y) -> cast(x as double) * cast(y as double)),"
@@ -670,15 +742,22 @@ def _ivf_k_for(sf_dir: str) -> int:
     instead). Falls back to 45 (⌈√2048⌉, the test-corpus sizing) if the
     footer is unreadable (e.g. a multi-file dataset directory)."""
     import math
-    import os
+    import warnings
 
     try:
         import pyarrow.parquet as pq
 
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        n = pq.ParquetFile(path).metadata.num_rows
+        from ocdb_server_spark.io import table_path
+
+        n = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
         return max(8, min(65536, math.isqrt(max(n - 1, 0)) + 1))
-    except Exception:
+    except Exception as exc:
+        # fall back, but LOUDLY: a silent 45 re-pins the fixed default
+        # this function exists to remove (round-13 review)
+        warnings.warn(
+            f"_ivf_k_for: footer read failed ({exc!r}); falling back to "
+            "K=45 — derive K at build time for non-single-file datasets"
+        )
         return 45
 
 
@@ -790,20 +869,17 @@ def op97_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- op98
 
-_OP98_SQL = """
+_OP98_SQL = f"""
 WITH h AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
 )
 SELECT doc_id,
-       CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
-       CAST(row_number() OVER (
-           PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
-           ORDER BY hh, doc_id) AS BIGINT) AS pos
+       {_SHARD_SQL}
 FROM h
 """
 
 
-@register("op98_train_shard_assign", oracle=_OP98_SQL)
+@register("op98_train_shard_assign", oracle=_OP98_SQL, deps=(shard_assign,))
 def op98_train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data shuffle + sharding: every doc gets a
     stable (shard, pos) from the md5 of its id — reproducible across
@@ -815,15 +891,7 @@ def op98_train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading shard files in pos order streams a shuffled corpus without
     ever materializing a total order."""
     d = load_table(spark, sf_dir, "documents")
-    h = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("hh"))
-    shard = (F.conv(F.substring("hh", 1, 8), 16, 10).cast("bigint") % 8).alias("shard")
-    t = h.select("doc_id", "hh", shard)
-    w = W.partitionBy("shard").orderBy("hh", "doc_id")
-    return t.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
-    )
+    return shard_assign(d, carry=[])
 
 
 # --------------------------------------------------------------- op99
@@ -874,18 +942,11 @@ def op99_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OP105_SQL = f"""
 WITH f AS (
-  SELECT doc_id, text,
-         len(string_split(lower(text), ' ')) AS n_words,
-         len(list_filter(string_split(lower(text), ' '),
-                         t -> list_contains([{_SQL_STOP}], t))) AS n_stop,
-         n_chars
-  FROM documents
+  {_QUALITY_F_CTE}
 ),
 q AS (
   SELECT doc_id, text,
-         0.5 * least(n_words, 100) / 100.0
-           + 0.25 * (1 - CAST(n_stop AS DOUBLE) / n_words)
-           + 0.25 * least(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words / 8.0, 1.0)
+         {_QUALITY_SQL}
            AS quality
   FROM f
 ),
@@ -898,15 +959,16 @@ h AS (
   SELECT doc_id, quality, md5(CAST(doc_id AS VARCHAR)) AS hh FROM k
 )
 SELECT doc_id, quality,
-       CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
-       CAST(row_number() OVER (
-           PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 8
-           ORDER BY hh, doc_id) AS BIGINT) AS pos
+       {_SHARD_SQL}
 FROM h
 """
 
 
-@register("op105_corpus_clean_pipeline", oracle=_OP105_SQL)
+@register(
+    "op105_corpus_clean_pipeline",
+    oracle=_OP105_SQL,
+    deps=(quality_cols, shard_assign),
+)
 def op105_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus cleaning pipeline as ONE lazy
     plan: quality-score → threshold filter → exact dedup → deterministic
@@ -922,15 +984,7 @@ def op105_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort). Quality stays UNROUNDED (op92's IEEE-parity rule:
     same ops, same order → bit-identical across engines)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_words = F.size(toks)
-    n_stop = token_hits(toks, STOPWORDS)
-    awl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
-    quality = (
-        F.lit(0.5) * F.least(n_words, F.lit(100)) / 100.0
-        + F.lit(0.25) * (F.lit(1) - n_stop.cast("double") / n_words)
-        + F.lit(0.25) * F.least(awl / 8.0, F.lit(1.0))
-    )
+    _, _, _, quality = quality_cols()
     scored = d.select("doc_id", "text", quality.alias("quality")).filter(
         F.col("quality") >= 0.5
     )
@@ -939,15 +993,4 @@ def op105_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.min("quality").alias("quality"))
         .drop("th")
     )
-    h = kept.select(
-        "doc_id", "quality", F.md5(F.col("doc_id").cast("string")).alias("hh")
-    )
-    shard = (F.conv(F.substring("hh", 1, 8), 16, 10).cast("bigint") % 8).alias("shard")
-    t = h.select("doc_id", "quality", "hh", shard)
-    w = W.partitionBy("shard").orderBy("hh", "doc_id")
-    return t.select(
-        "doc_id",
-        "quality",
-        "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
-    )
+    return shard_assign(kept, carry=["quality"])

@@ -101,7 +101,7 @@ LIMIT {_RRF_TOPK}
 def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical ranking (op183's scorer, same
     terms/quantization) ⊕ dense cosine ranking (op80's scorer, same
-    bound-parameter capture of vec_id=0 and the bround-6 observable)
+    bound-parameter capture of vec_id=0 and the round-6 observable)
     fused by reciprocal rank — rrf = Σ_legs 1/(60 + rank), depth 50
     per leg, top-20 out. Docs in one leg only contribute one term
     (COALESCE 0 for the missing leg); doc 0 (the query's own doc) is
@@ -111,7 +111,7 @@ def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only floats crossing engines are 1/(60+r) terms added in a
     fixed written order — bit-identical IEEE on both sides. Each
     leg's ordering is deterministic: the BM25 leg ranks the exact
-    quantized score (ties→doc_id), the dense leg ranks the bround-6
+    quantized score (ties→doc_id), the dense leg ranks the round-6
     sim (ties→vec_id) whose full-column cross-engine equality op80
     established in round 9.
 
@@ -169,7 +169,7 @@ def op263_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> cast(x as double) * y),"
         " cast(0.0 as double), (a, b) -> a + b)"
     )
-    sim = F.bround(dot / (F.col("nrm") * F.lit(qn)), 6)
+    sim = F.round(dot / (F.col("nrm") * F.lit(qn)), 6)
     den = (
         en.filter(F.col("vec_id") != 0)
         .select("vec_id", sim.alias("sim"))

@@ -13,7 +13,7 @@ Like the rest of the package, every op is pure DataFrame/Catalyst code
 (no Python UDFs in any hot path), outputs are canonicalizer-safe
 (scalars only, no DECIMAL — see tests/test_gate_shape.py), and
 floating-point observables are either bit-identical IEEE expressions
-on both engines or bround(6)-stabilized (SURVEY.md §4.2.3).
+on both engines or round(6)-stabilized (SURVEY.md §4.2.3).
 
 The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
 has no analog for any of these; they're the "what a 100 TB training
@@ -369,7 +369,7 @@ def op120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange vocab-sized word rows, never documents, and the hint
     also stops the test-scale auto-broadcast from hiding the
     production plan. Only the 1-row N frame broadcasts. Scores
-    are bround(6)-stabilized: ln() may differ between libm and the JVM
+    are round(6)-stabilized: ln() may differ between libm and the JVM
     in the last ulp, and 6 dp is the cross-engine-stable observable
     (same rule as op80's cosine)."""
     d = load_table(spark, sf_dir, "documents")
@@ -390,7 +390,7 @@ def op120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "word",
             "tf",
-            F.bround(
+            F.round(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("score"),
         )
@@ -530,7 +530,7 @@ def op122_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention). Linear scan + TakeOrderedAndProject top-k: no
     shuffle, no index needed until the corpus is so large a geohash
     bucket prune (op81's blocking pattern on a geohash prefix) pays.
-    Distance is bround(6)-stabilized BEFORE the order-by: sin/cos/asin
+    Distance is round(6)-stabilized BEFORE the order-by: sin/cos/asin
     may differ between libm and the JVM in the final ulp, and ordering
     on the rounded value with the c_custkey tiebreak keeps the top-k
     SET cross-engine deterministic (SURVEY.md §4.2.3)."""
@@ -546,7 +546,7 @@ def op122_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.cos(F.radians(F.col("lat")))
         * F.pow(F.sin(dlon), 2)
     )
-    dist = F.bround(2 * _EARTH_KM * F.asin(F.sqrt(h)), 6)
+    dist = F.round(2 * _EARTH_KM * F.asin(F.sqrt(h)), 6)
     return (
         pts.withColumn("dist_km", dist)
         .orderBy("dist_km", "c_custkey")

@@ -8,7 +8,7 @@ relational axis (TPC-H Q14 promo share, Q18 large orders, Q10 returned
 items). Same design rules as the rest of the package:
 pure DataFrame/Catalyst plans, canonicalizer-safe scalar outputs,
 float observables either bit-identical IEEE on both engines or
-bround(6)-stabilized where libm-vs-JVM ulps can differ (`pow`, HOF
+round(6)-stabilized where libm-vs-JVM ulps can differ (`pow`, HOF
 double folds — verified divergent in the last ulp this round).
 
 The reference (`bcdev/ocdb-server`, public knowledge — SURVEY.md §0)
@@ -102,7 +102,7 @@ def op135_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: `pow` is libm-vs-JVM ulp-divergent (verified this
     round: last-bit differs for 0.43^0.3), so the powered share is
-    bround(6)'d and then cast to DECIMAL(18,6) before the normalizing
+    round(6)'d and then cast to DECIMAL(18,6) before the normalizing
     sum — decimal addition is exact and order-independent, so the
     denominator can't drift with partition order. Final weight is one
     double divide of identical inputs, re-rounded to 6 dp.
@@ -113,7 +113,7 @@ def op135_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs")
     )
     all_w = W.partitionBy()
-    p6 = F.bround(
+    p6 = F.round(
         F.pow(F.col("n_docs").cast("double") / F.sum("n_docs").over(all_w), _ALPHA), 6
     ).cast("decimal(18,6)")
     return (
@@ -123,7 +123,7 @@ def op135_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "raw_share",
-            F.bround(
+            F.round(
                 F.col("p6").cast("double") / F.sum("p6").over(all_w).cast("double"), 6
             ).alias("sample_weight"),
         )
@@ -319,7 +319,7 @@ def op139_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the sum-of-squares is a sequential HOF fold in both
     engines, but accumulation strategy isn't contractually identical
-    (DuckDB list_sum vs Spark aggregate), so the norm is bround(6)'d
+    (DuckDB list_sum vs Spark aggregate), so the norm is round(6)'d
     FIRST and all downstream min/max/scale arithmetic runs on the
     rounded value — exact comparisons and one double divide from
     there. Scale: zero shuffle for the fold (per-row JVM codegen, no
@@ -332,7 +332,7 @@ def op139_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    n = e.select("vec_id", "label", F.bround(F.sqrt(ss), 6).alias("norm_r"))
+    n = e.select("vec_id", "label", F.round(F.sqrt(ss), 6).alias("norm_r"))
     by_label = W.partitionBy("label")
     return (
         n.withColumn("mn", F.min("norm_r").over(by_label))
@@ -341,7 +341,7 @@ def op139_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "norm_r",
-            F.bround(
+            F.round(
                 F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
                     (F.col("norm_r") - F.col("mn")) / (F.col("mx") - F.col("mn"))
                 ),
@@ -519,7 +519,7 @@ def op142_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "shared_grams",
-            F.bround(
+            F.round(
                 F.col("shared_grams").cast("double")
                 / (F.col("sa.n") + F.col("sb.n") - F.col("shared_grams")),
                 6,
@@ -596,7 +596,7 @@ def op144_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are integers, so s1/s2 are EXACT (bigint sums,
     order-free); mean/variance/z are then identical double expressions
     on identical inputs in both engines — the flag threshold compares
-    the unrounded z, and only the reported z is bround(6). Plan at
+    the unrounded z, and only the reported z is round(6). Plan at
     scale: one day-grain agg, a single-row moment agg off it, broadcast
     back over the day table (never a window over raw events)."""
     e = load_table(spark, sf_dir, "events")
@@ -612,7 +612,7 @@ def op144_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(m)).select(
         "day",
         "n",
-        F.bround(z, 6).alias("z"),
+        F.round(z, 6).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
 
@@ -636,7 +636,7 @@ def op145_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer).
 
     Determinism: double sums are order-dependent in the last ulp, so
-    the centroid is bround(6)'d (the op120 ln-guard pattern; ~1e-13
+    the centroid is round(6)'d (the op120 ln-guard pattern; ~1e-13
     relative drift vs a 5e-7 rounding boundary). Deliberately NOT
     decimal-summed: this round verified Spark casts double→decimal
     ties HALF_UP while DuckDB rounds half-even, so per-element decimal
@@ -649,7 +649,7 @@ def op145_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
-            F.bround(F.sum(F.col("x").cast("double")) / F.count("*"), 6).alias("centroid")
+            F.round(F.sum(F.col("x").cast("double")) / F.count("*"), 6).alias("centroid")
         )
     )
 

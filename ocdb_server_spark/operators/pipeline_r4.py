@@ -176,8 +176,8 @@ def op156_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_chars",
-            F.bround(F.col("total_chars") / F.col("grand"), 6).alias("char_share"),
-            F.bround(F.sum("total_chars").over(w) / F.col("grand"), 6).alias(
+            F.round(F.col("total_chars") / F.col("grand"), 6).alias("char_share"),
+            F.round(F.sum("total_chars").over(w) / F.col("grand"), 6).alias(
                 "cum_share"
             ),
         )
@@ -442,7 +442,7 @@ def op160_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline (op108's moment method, adapted for logs):
     ln() can differ between libm and the JVM in the last ulp, so each
-    log is bround(6)-quantized, lifted to DECIMAL(18,6), and the
+    log is round(6)-quantized, lifted to DECIMAL(18,6), and the
     moments accumulate as exact decimal sums — order-independent and
     bit-stable on both engines; the slope arithmetic then runs on
     identical doubles. Scale: one shuffle of (lang, word) counts, a
@@ -480,6 +480,6 @@ def op160_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "lang",
-        F.bround(slope, 6).alias("zipf_slope"),
+        F.round(slope, 6).alias("zipf_slope"),
         F.col("n").cast("bigint").alias("n_ranks"),
     )

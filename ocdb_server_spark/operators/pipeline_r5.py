@@ -285,7 +285,7 @@ def pq_topk(
         .orderBy(F.col("adc").desc(), "vec_id")
         .limit(_PQ_RERANK)
     )
-    exact = F.bround(
+    exact = F.round(
         F.expr(
             "aggregate(zip_with(embedding, qe,"
             " (x, y) -> cast(x as double) * cast(y as double)),"

@@ -694,10 +694,10 @@ def op192_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter",
             "size_a",
             "size_b",
-            F.bround(F.col("inter").cast("double") / F.col("size_a"), 6).alias(
+            F.round(F.col("inter").cast("double") / F.col("size_a"), 6).alias(
                 "containment_a"
             ),
-            F.bround(F.col("inter").cast("double") / F.col("size_b"), 6).alias(
+            F.round(F.col("inter").cast("double") / F.col("size_b"), 6).alias(
                 "containment_b"
             ),
         )
@@ -882,7 +882,7 @@ def op201_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         "level",
         "key",
         "k",
-        F.bround("est_p25", 6).alias("est_p25"),
-        F.bround("est_p50", 6).alias("est_p50"),
-        F.bround("est_p75", 6).alias("est_p75"),
+        F.round("est_p25", 6).alias("est_p25"),
+        F.round("est_p50", 6).alias("est_p50"),
+        F.round("est_p75", 6).alias("est_p75"),
     )

@@ -2291,10 +2291,10 @@ def op237_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("bigint"),
             F.col("n_union").cast("bigint"),
             F.col("n_inter").cast("bigint"),
-            F.bround(est_a, 2).alias("est_a"),
-            F.bround(est_b, 2).alias("est_b"),
-            F.bround(est_u, 2).alias("est_union"),
-            F.bround(
+            F.round(est_a, 2).alias("est_a"),
+            F.round(est_b, 2).alias("est_b"),
+            F.round(est_u, 2).alias("est_union"),
+            F.round(
                 F.col("n_common_sample") / F.col("ku") * est_u, 2
             ).alias("est_inter"),
         )
@@ -2347,7 +2347,7 @@ def op238_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 (n, k); the interval arithmetic is a fixed dag of
     IEEE ops on exact integers — division, multiply, one SQRT
     (correctly rounded per IEEE-754, identical both engines) —
-    bround(6)'d at the boundary (op144's z-score discipline). One
+    round(6)'d at the boundary (op144's z-score discipline). One
     scan, one partial-agged groupBy; the CI math is per-group
     constant work."""
     ev = load_table(spark, sf_dir, "events")
@@ -2367,9 +2367,9 @@ def op238_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "k",
-        F.bround(p, 6).alias("rate"),
-        F.bround((center - margin) / denom, 6).alias("wilson_lo"),
-        F.bround((center + margin) / denom, 6).alias("wilson_hi"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
     )
 
 
@@ -2505,7 +2505,7 @@ def op240_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "d_num",
         (F.col("n_a") * F.col("n_b")).alias("d_den"),
-        F.bround(
+        F.round(
             F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
         ).alias("ks_d"),
     )
@@ -2559,7 +2559,7 @@ def op241_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE ops in both engines) and summed as integers: integer
     addition commutes, so no engine's aggregation order can flip a
     last digit (round-6 ADVICE retired the earlier
-    sum-doubles-then-bround form, whose coalesce(1) pinned the
+    sum-doubles-then-round form, whose coalesce(1) pinned the
     partition but not the row order within it).
 
     Shape (also round-6 ADVICE — the old form persisted the
@@ -2827,7 +2827,7 @@ def op244_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.bround(F.sum("p"), 6).alias("sum_p"),
+            F.round(F.sum("p"), 6).alias("sum_p"),
         )
     )
 
@@ -2942,7 +2942,7 @@ def op246_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-754 and bit-identical across engines, where a general POW
     carries no such guarantee (the portability rule that picked this
     temperature is the documented point); the normalization sums ≤
-    |langs| doubles — bround(6) absorbs association order.
+    |langs| doubles — round(6) absorbs association order.
 
     Scale: one partial-agged groupBy to |langs| rows; everything
     after is constant work."""
@@ -2956,8 +2956,8 @@ def op246_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_docs",
-            F.bround(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
-            F.bround(
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
+            F.round(
                 F.col("w_raw") / F.col("z")
                 - F.col("n_docs").cast("double") / F.col("n_total"),
                 6,
@@ -3013,7 +3013,7 @@ def op247_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling int64 sums (x is the small day index, so every product is
     exact; the µs-epoch formulation would overflow squares — the
     recentring rule documented here) and one final exact-int IEEE
-    division, bround(6). op108's global regression made rolling; only
+    division, round(6). op108's global regression made rolling; only
     full windows emit. Scale: one keyed ordered window over the day
     spine — series-parallel, constant state per step."""
     from pyspark.sql import Window
@@ -3064,7 +3064,7 @@ def op247_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "t",
         "y",
-        F.bround(
+        F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
             6,
@@ -3147,7 +3147,7 @@ def op248_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.expr("rn = (nb + 1) div 2")).select(
         "event_type",
         F.col("nb").cast("bigint").alias("n_buckets"),
-        F.bround(F.col("bucket_mean") / 1_000_000, 6).alias("mom_mean"),
+        F.round(F.col("bucket_mean") / 1_000_000, 6).alias("mom_mean"),
     )
 
 

@@ -139,7 +139,7 @@ FULL_TABLE_OPS = [
     "op261_zstd_seekable_ingest",
     "op262_demand_classification",
     # round-12: RRF fuses integer ranks from two totally-ordered legs
-    # (quantized BM25 scores, bround-6 sims — both tie-broken by id),
+    # (quantized BM25 scores, round-6 sims — both tie-broken by id),
     # and the CDC merge is a keyed window + keyed join: neither may
     # care how any input was split or how wide the shuffle runs
     "op263_rrf_hybrid_topk",

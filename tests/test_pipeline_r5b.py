@@ -430,7 +430,7 @@ def test_bottomk_sketch_merge_algebra_and_accuracy(spark, sf_dir):
     direct = (
         e.withColumn("rn", F.row_number().over(W.orderBy("tag")))
         .filter(F.col("rn") <= r5b._BK_K)
-        .agg(F.expr("bround(percentile(value, 0.5), 6)").alias("p50"))
+        .agg(F.expr("round(percentile(value, 0.5), 6)").alias("p50"))
         .collect()[0]["p50"]
     )
     assert overall["est_p50"] == direct, "merge != direct global sketch"
