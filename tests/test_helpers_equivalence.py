@@ -182,20 +182,28 @@ def test_mulmod32_matches_bigint_and_never_overflows(spark, ids):
 def test_warm_cache_rewarm_keeps_unrelated_normed_cache(spark, sf_dir):
     """Re-warming a table OTHER than 'embeddings' must not evict the
     derived normed-embeddings cache (round-12 ADVICE: the old loop
-    dropped it for EVERY name, forcing a surprise rebuild)."""
+    dropped it for EVERY name, forcing a surprise rebuild).
+
+    clear_cache() on exit: plan-shape tests elsewhere in the suite
+    assert against COLD loads (test_plans.py's header) — a warm
+    'orders' left behind here flipped their parquet scans to
+    InMemoryTableScan and failed their pruning asserts."""
     from ocdb_server_spark import io as io_mod
 
-    io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
-    io_mod.load_embeddings_normed(spark, sf_dir)
-    normed_key = (sf_dir, "__embeddings_normed__")
-    assert normed_key in io_mod._CACHE
-    generation = io_mod._CACHE[normed_key]
+    try:
+        io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
+        io_mod.load_embeddings_normed(spark, sf_dir)
+        normed_key = (sf_dir, "__embeddings_normed__")
+        assert normed_key in io_mod._CACHE
+        generation = io_mod._CACHE[normed_key]
 
-    io_mod.warm_cache(spark, sf_dir, names=("orders",))
-    assert io_mod._CACHE.get(normed_key) is generation  # survived
+        io_mod.warm_cache(spark, sf_dir, names=("orders",))
+        assert io_mod._CACHE.get(normed_key) is generation  # survived
 
-    io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
-    assert io_mod._CACHE.get(normed_key) is None  # correctly dropped
+        io_mod.warm_cache(spark, sf_dir, names=("embeddings",))
+        assert io_mod._CACHE.get(normed_key) is None  # correctly dropped
+    finally:
+        io_mod.clear_cache()
 
 
 def test_find_datasets_bounds_the_cache_pool(spark, sf_dir):
@@ -212,9 +220,12 @@ def test_find_datasets_bounds_the_cache_pool(spark, sf_dir):
 
     part = load_table(spark, sf_dir, "part")
     cols = SearchColumns(order_key="p_partkey")
-    for size in (1, 2, 3):
-        res = find_datasets(
-            part, DatasetQuery(expr=f"p_size:{size}", count=5), cols
-        )
-        res.datasets.collect()
-        assert len(reg_mod._POOLED_CACHES) <= 1
+    try:
+        for size in (1, 2, 3):
+            res = find_datasets(
+                part, DatasetQuery(expr=f"p_size:{size}", count=5), cols
+            )
+            res.datasets.collect()
+            assert len(reg_mod._POOLED_CACHES) <= 1
+    finally:
+        reg_mod.release_pool()  # leave no persisted frame behind
