@@ -75,11 +75,21 @@ _VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 # indistinguishable from the stock default and got clobbered).
 _TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
+# Sessions whose timezone stance WE control: built by session.get_spark
+# (which pins UTC itself) or sniffed-bare and pinned by
+# _tune_bare_session. An EXTERNAL session that configured its own
+# shuffle/timezone lands in _TUNED without joining either set — the
+# events read must not flip ITS timezone out from under it
+# (round-13 review).
+_OWN: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+_BARE: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
 
 def mark_session_configured(spark: SparkSession) -> None:
     """Exempt a session from bare-session tuning: it picked its own
     shuffle/AQE/timezone stance (session.get_spark calls this)."""
     _TUNED.add(spark)
+    _OWN.add(spark)
 
 
 def _tune_bare_session(spark: SparkSession) -> None:
@@ -95,6 +105,7 @@ def _tune_bare_session(spark: SparkSession) -> None:
     if spark in _TUNED:
         return
     try:
+        tuned_bare = False
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             # Only the never-configured case: our own sessions
             # (session.py) pick shuffle partitions AND an AQE stance per
@@ -114,9 +125,17 @@ def _tune_bare_session(spark: SparkSession) -> None:
             # (round-12 review — the defensive pin lived only on the
             # events load path).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _TUNED.add(spark)
+            tuned_bare = True
+        if tuned_bare:
+            _BARE.add(spark)
     except Exception:
         pass  # never let a conf quirk break a read
+    finally:
+        # membership must stick even when the probe raised: otherwise
+        # EVERY later load_table — warm hits included — re-pays the
+        # failing py4j round trip the set exists to remove
+        # (round-13 review)
+        _TUNED.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -141,13 +160,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet is TIMESTAMP(NANOS), which Spark 4 rejects by
         # default. session.py sets this at build time, but the driver
         # harness may hand us ITS OWN bare session — the conf is
-        # runtime-settable, so set it defensively before the read.
+        # runtime-settable, so set it defensively before the read
+        # (without it the read CRASHES, so this one is unconditional).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The NTZ→LTZ cast in _normalize_events (and every later
         # date_trunc/unix_micros) is session-timezone-dependent; the
-        # DuckDB oracle computes in naive/UTC time. Pin UTC here —
-        # runtime-settable — instead of trusting the container default.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # DuckDB oracle computes in naive/UTC time. Pin UTC on sessions
+        # whose timezone stance is OURS (get_spark-built or
+        # sniffed-bare) — an EXTERNAL session that deliberately chose
+        # its own timezone must not have every later timestamp in its
+        # OWN queries silently shift because it read one table through
+        # us (round-13 review).
+        if spark in _OWN or spark in _BARE:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events(df)
@@ -197,6 +222,16 @@ def warm_cache(
 
     Compute-heavy text/vector tables keep their 16-slice floor (the
     per-row work dominates scheduling there)."""
+    if partitions is not None and partitions != "auto":
+        # a stray string reaches repartition() as a COLUMN name and a
+        # 0/negative silently keeps the scan layout — both caller
+        # errors, surfaced at the boundary (round-13 review)
+        if not isinstance(partitions, int) or isinstance(partitions, bool):
+            raise ValueError(
+                f"partitions must be an int, None or 'auto'; got {partitions!r}"
+            )
+        if partitions <= 0:
+            raise ValueError(f"partitions must be positive; got {partitions}")
     cores = spark.sparkContext.defaultParallelism
     for name in names:
         # Re-warming without clear_cache() must not leak: the frame
@@ -237,10 +272,14 @@ def warm_cache(
         df.count()  # materialize now so queries measure compute, not fill
         _CACHE[(sf_dir, name)] = df
     # cache state changed: registered views must rebind to the warm
-    # frames on the next load_tables, and any captured parameters from
-    # the cold frames are stale
+    # frames on the next load_tables. Captured parameters are
+    # embeddings-derived (__query_vec_N__), so they are stale only
+    # when embeddings itself re-warmed — dropping them on an unrelated
+    # re-warm forced a pointless 1-row head() job on the next plan
+    # build (round-13 review, the normed-cache ADVICE fix's sibling).
     _VIEW_MEMO.clear()
-    _PARAM_CACHE.clear()
+    if "embeddings" in names:
+        _PARAM_CACHE.clear()
 
 
 def clear_cache() -> None:
@@ -257,6 +296,19 @@ def clear_cache() -> None:
     _CACHE.clear()
     _PARAM_CACHE.clear()
     _VIEW_MEMO.clear()
+
+
+def _owns_warm(spark: SparkSession, sf_dir: str) -> bool:
+    """Does THIS session own the warm embeddings entry? The invariant
+    (warm presence + live-session identity + exception-as-miss) lives
+    once — it used to be copy-pasted in query_vector and
+    load_embeddings_normed, where a future fix to one copy would
+    silently miss the other (round-13 review)."""
+    warm = _CACHE.get((sf_dir, "embeddings"))
+    try:
+        return warm is not None and warm.sparkSession is spark
+    except Exception:
+        return False  # dead session object — not an owner
 
 
 def query_vector(
@@ -286,12 +338,7 @@ def query_vector(
         .head()
     )
     vec = None if row is None else [float(x) for x in row[0]]
-    warm = _CACHE.get((sf_dir, "embeddings"))
-    try:
-        owns_warm = warm is not None and warm.sparkSession is spark
-    except Exception:
-        owns_warm = False
-    if owns_warm:
+    if _owns_warm(spark, sf_dir):
         _PARAM_CACHE[key] = (
             weakref.ref(spark),
             None if vec is None else list(vec),
@@ -336,12 +383,7 @@ def load_embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surprise cache+count job AND overwrite another owner's normed
     # handle (a storage leak — the displaced frame stays persisted
     # with no handle left to unpersist it).
-    warm = _CACHE.get((sf_dir, "embeddings"))
-    try:
-        owns_warm = warm is not None and warm.sparkSession is spark
-    except Exception:
-        owns_warm = False
-    if owns_warm:
+    if _owns_warm(spark, sf_dir):
         prev = _CACHE.get(key)
         if prev is not None:
             try:

@@ -66,9 +66,6 @@ def upsert_partitioned(
             f"upsert_partitioned reserves working columns {sorted(clash)}; "
             "rename them in `updates` before merging"
         )
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not touched:
-        return
     try:
         table = spark.read.parquet(path)
     except AnalysisException:
@@ -80,6 +77,16 @@ def upsert_partitioned(
                 f"existing table at {path} carries reserved working "
                 f"columns {sorted(clash)} — not a table this sink wrote"
             )
+    # `updates` is executed twice — the touched-partition collect here
+    # and the merge/write below. For a lazy expensive plan that doubles
+    # the dominant cost (round-13 review); both actions complete inside
+    # this function, so a scoped persist is safe (guards above raise
+    # BEFORE the persist, so no exception path leaks it).
+    updates = updates.persist()
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not touched:
+        updates.unpersist()
+        return
     if table is None:
         current = None
     elif immutable_partitions:
@@ -103,18 +110,23 @@ def upsert_partitioned(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    if not immutable_partitions and current is not None:
-        # movable partitions: the WRITE must be full-table too — a
-        # dynamic overwrite only replaces partitions present in the
-        # output, so the partition a key vacated would keep its stale
-        # copy on disk. Materialize first: a static overwrite deletes
-        # the files `latest`'s lazy plan still has to read.
-        latest = latest.localCheckpoint(eager=True)
-        latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)
-        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
+        if not immutable_partitions and current is not None:
+            # movable partitions: the WRITE must be full-table too — a
+            # dynamic overwrite only replaces partitions present in the
+            # output, so the partition a key vacated would keep its
+            # stale copy on disk. That requires STATIC overwrite mode:
+            # relying on the session default silently resurrected the
+            # stale-copy bug on any session configured dynamic
+            # (round-13 review). Materialize first: a static overwrite
+            # deletes the files `latest`'s lazy plan still has to read.
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            latest = latest.localCheckpoint(eager=True)
+            latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+            return
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        updates.unpersist()

@@ -229,3 +229,54 @@ def test_find_datasets_bounds_the_cache_pool(spark, sf_dir):
             assert len(reg_mod._POOLED_CACHES) <= 1
     finally:
         reg_mod.release_pool()  # leave no persisted frame behind
+
+
+def test_events_read_respects_external_session_timezone(spark, sf_dir):
+    """Round-13 review: the events read used to flip the session-wide
+    timezone to UTC even on an EXTERNAL session that deliberately chose
+    its own — shifting every later timestamp in that session's own
+    queries. Only sessions whose timezone stance is ours (get_spark or
+    sniffed-bare) get the pin."""
+    from ocdb_server_spark.io import load_table
+
+    ext = spark.newSession()  # not registered via mark_session_configured
+    ext.conf.set("spark.sql.shuffle.partitions", "7")  # configured ≠ bare
+    ext.conf.set("spark.sql.session.timeZone", "America/New_York")
+    load_table(ext, sf_dir, "events").limit(1).collect()
+    assert ext.conf.get("spark.sql.session.timeZone") == "America/New_York"
+
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.shuffle.partitions", "200")  # stock default
+    bare.conf.set("spark.sql.session.timeZone", "America/New_York")
+    load_table(bare, sf_dir, "events").limit(1).collect()
+    assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_upsert_movable_full_rewrite_under_dynamic_session(spark, tmp_path):
+    """Round-13 review: the movable-partitions branch relied on the
+    session's partitionOverwriteMode being static; a session configured
+    dynamic silently kept the vacated partition's stale copy."""
+    from ocdb_server_spark.sinks import upsert_partitioned, write_partitioned
+
+    table = str(tmp_path / "movable_dyn")
+    base = spark.createDataFrame(
+        [(1, 1, "old", "a"), (2, 1, "keep", "b")],
+        "id int, version int, val string, part string",
+    )
+    write_partitioned(base, table, "part")
+    moved = spark.createDataFrame(
+        [(1, 2, "moved", "b")], "id int, version int, val string, part string"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upsert_partitioned(
+            spark, table, moved,
+            keys=["id"], order_col="version", partition_col="part",
+            immutable_partitions=False,
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.id, r.val, r.part) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "moved", "b"), (2, "keep", "b")}  # no stale copy in a
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
