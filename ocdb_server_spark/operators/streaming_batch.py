@@ -27,6 +27,12 @@ from ocdb_server_spark.streaming.jobs import (
     SESS_GAP_MS,
     SESS_WM_DELAY_MS,
     SQL_QUANT_VALUE,
+    stream_exactly_once_manifest_sink,
+    stream_tws_centroid_maintenance,
+    stream_tws_mapstate_type_stats,
+    stream_tws_session_timers,
+    stream_tws_topk_liststate,
+    stream_tws_user_stats,
 )
 
 
@@ -289,6 +295,7 @@ def op146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op206_stream_tws_user_stats",
+    deps=(stream_tws_user_stats,),
     oracle=f"""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -322,6 +329,7 @@ def op206_stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op208_stream_centroid_maintenance",
+    deps=(stream_tws_centroid_maintenance,),
     oracle="""
     WITH z AS (
       SELECT label,
@@ -356,6 +364,7 @@ def op208_stream_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "op218_stream_tws_topk",
+    deps=(stream_tws_topk_liststate,),
     oracle=f"""
     WITH q AS (
       SELECT user_id, event_id,
@@ -389,6 +398,7 @@ def op218_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op219_stream_tws_mapstate",
+    deps=(stream_tws_mapstate_type_stats,),
     oracle=f"""
     SELECT user_id, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -451,7 +461,11 @@ WHERE s.grp < l.lg OR (s.end_us // 1000 + {SESS_GAP_MS}) <= wm.wm_ms
 """
 
 
-@register("op226_stream_session_timers", oracle=_op226_sql())
+@register(
+    "op226_stream_session_timers",
+    oracle=_op226_sql(),
+    deps=(stream_tws_session_timers,),
+)
 def op226_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization with TIMER-driven close — the last
     unexercised piece of the TWS surface (registerTimer /
@@ -470,6 +484,7 @@ def op226_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op234_stream_exactly_once_sink",
+    deps=(stream_exactly_once_manifest_sink,),
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

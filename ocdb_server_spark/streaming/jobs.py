@@ -32,6 +32,16 @@ SQL_QUANT_VALUE = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Route the conf side effects through load_table (nanosAsLong —
+    # without which the legacy layout CRASHES the schema probe — plus
+    # the scoped UTC pin and bare-session tuning): a raw read here
+    # meant a session whose FIRST op was streaming missed the batch
+    # path's defensive confs entirely (round-13 review). The returned
+    # frame is discarded; the stream source needs the RAW file schema,
+    # which load_table's normalization would have rewritten.
+    from ocdb_server_spark.io import load_table
+
+    load_table(spark, sf_dir, "events")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # The file stream source requires a *directory*; sf_dir holds one
     # file per table, so scope the scan with pathGlobFilter.
@@ -90,12 +100,16 @@ def _run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    # enroll BEFORE awaiting: a timed-out/failed stream used to leak
+    # its partially-filled sink (and temp view) forever — the exact
+    # pinned-driver-memory case the drop-at-next-call rule exists for
+    # (round-13 review)
+    _MEMORY_TABLES.append((spark, name))
     try:
         _await(q, "_run_to_memory")
     finally:
         if q.isActive:
             q.stop()
-    _MEMORY_TABLES.append((spark, name))
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -145,12 +159,23 @@ def _tws_session(spark: SparkSession):
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op69 as a streaming query: watermark + 1h tumbling windows."""
+    from ocdb_server_spark.operators._helpers import dsum
+
     ev = _stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        # sum_value included: the batch twin certifies it, and decimal
+        # partial sums being order-independent ACROSS MICRO-BATCHES is
+        # the one dimension batch certification can't cover
+        # (round-13 review)
+        .agg(F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
     return _run_to_memory(agg, mode="complete")
 
@@ -215,11 +240,15 @@ def stream_upsert_state(
     pattern minus the transaction log; state is bounded by #users,
     per-batch IO by #touched buckets. Returns the final store as a
     DataFrame."""
-    import tempfile
+    # default store under scratch_dir (per-PID isolation + dead-PID
+    # reaping): a raw mkdtemp left one full per-user state table per
+    # call that nothing ever deleted — the exact LITTER hazard
+    # scratch.py exists to close (round-13 review)
+    if store_dir is None:
+        from ocdb_server_spark.scratch import scratch_dir
 
-    import os
-
-    path = (store_dir or tempfile.mkdtemp(prefix="upsert_store_")) + "/state"
+        store_dir = scratch_dir("upsert_store", sf_dir)
+    path = store_dir + "/state"
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -340,20 +369,10 @@ def run_watermark_drop_demo(spark: SparkSession, tmp_dir: str) -> tuple[int, int
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("ws"), "n")
     )
-    name = "wm" + uuid.uuid4().hex[:10]
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        _await(q, "run_watermark_drop_demo")
-    finally:
-        if q.isActive:
-            q.stop()
-    out = spark.sql(f"SELECT * FROM {name}").collect()
+    # through _run_to_memory: the inline copy of its sink block skipped
+    # the _MEMORY_TABLES enrollment, exempting this one sink from the
+    # drop-at-next-call lifetime rule (round-13 review)
+    out = _run_to_memory(agg, mode="append").collect()
     late_window = [r for r in out if str(r["ws"]).startswith("2024-01-01 00:")]
     # n for the 00:00 window must count only the on-time 00:10 row
     n_late_window = late_window[0]["n"] if late_window else -1
@@ -450,10 +469,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(table_path(sf_dir, "customer"))
         .select("c_custkey", "c_mktsegment")
     )
+    from ocdb_server_spark.operators._helpers import dsum
+
     agg = (
         ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
-        .agg(F.count("*").alias("n"))
+        # sum_value: see stream_tumbling — the cross-micro-batch sum is
+        # the claim the batch twin can't certify (round-13 review)
+        .agg(F.count("*").alias("n"), dsum("value", 18, 6).alias("sum_value"))
     )
     return _run_to_memory(agg, mode="complete")
 
@@ -1074,13 +1097,18 @@ def stream_exactly_once_manifest_sink(spark: SparkSession, sf_dir: str) -> DataF
             q.stop()
 
     manifests = sorted(_committed_manifests(man_dir))
-    assert manifests, "stream committed no batches"
+    # explicit raises, not assert: these ARE the op's certification
+    # ("exercised IN the op, not just claimed") and must survive
+    # python -O (round-13 review)
+    if not manifests:
+        raise RuntimeError("stream committed no batches")
     # REPLAY batch 0 with the same data — must be a no-op
     batch0 = json.load(open(os.path.join(man_dir, manifests[0])))
     replay_df = spark.read.parquet(batch0["path"])
     commit_batch(replay_df, batch0["batch_id"])
     after = sorted(_committed_manifests(man_dir))
-    assert after == manifests, "replay must not create a new commit"
+    if after != manifests:
+        raise RuntimeError("replay must not create a new commit")
 
     paths = [
         json.load(open(os.path.join(man_dir, m)))["path"] for m in after
@@ -1232,9 +1260,12 @@ def stream_cdc_apply_changes(
             q.stop()
 
     committed = sorted(_committed_manifests(man_dir))
-    assert len(committed) == n_feed_files, (
-        f"expected {n_feed_files} committed batches, got {committed}"
-    )
+    # explicit raises, not assert: the replay armor IS the op's
+    # certification and must survive python -O (round-13 review)
+    if len(committed) != n_feed_files:
+        raise RuntimeError(
+            f"expected {n_feed_files} committed batches, got {committed}"
+        )
     # REPLAY the last batch with its own data (the raw copy its commit
     # landed) — must commit nothing and leave the store pointer
     # untouched (op234's certification, here protecting a MUTABLE
@@ -1244,11 +1275,9 @@ def stream_cdc_apply_changes(
         os.path.join(root, "raw", f"batch={last_id}")
     )
     commit_batch(replay_feed, last_id)
-    assert sorted(_committed_manifests(man_dir)) == committed, (
-        "replay must not create a new commit"
-    )
-    assert _latest_committed() == (last_id, last_path), (
-        "replay must not move the store pointer"
-    )
+    if sorted(_committed_manifests(man_dir)) != committed:
+        raise RuntimeError("replay must not create a new commit")
+    if _latest_committed() != (last_id, last_path):
+        raise RuntimeError("replay must not move the store pointer")
 
     return finish_store(spark.read.parquet(last_path), key, seq)

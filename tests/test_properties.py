@@ -169,3 +169,92 @@ def test_normalize_unit_norm_batched(spark):
     df = spark.createDataFrame(vecs, "id int, v array<double>")
     out = df.select(l2_norm_d(normalize(F.col("v"))).alias("n")).collect()
     assert all(r["n"] == pytest.approx(1.0, abs=1e-9) for r in out)
+
+
+# ------------------------------------------- CDC merge (round 13)
+
+
+def test_cdc_incremental_random_feed_batched(spark):
+    """Seeded-random CDC feed, three adversarial batch splits: the
+    incremental store path must end byte-identical to the one-shot
+    apply_changes, and BOTH must match an independent pure-python
+    reference of the MERGE semantics (last-writer-wins by (ts, eid),
+    terminal delete drops, unmatched base passes through). One batched
+    Spark evaluation per split — not per example (module convention)."""
+    import random
+
+    from ocdb_server_spark.functions.cdc import (
+        apply_changes,
+        apply_changes_incremental,
+        finish_store,
+        seed_store,
+    )
+
+    rng = random.Random(20260816)
+    n_keys, n_changes = 40, 300
+    base_rows = [(k, float(k) * 10) for k in range(10, 35)]
+    seqs = rng.sample(range(10_000), n_changes)  # unique seq values
+    feed_rows = [
+        (
+            rng.randrange(n_keys),
+            seqs[i],
+            i,
+            "D" if rng.random() < 0.25 else "U",
+            round(rng.uniform(0, 100), 3),
+        )
+        for i in range(n_changes)
+    ]
+
+    # pure-python reference (independent of both Spark paths)
+    last: dict = {}
+    counts: dict = {}
+    for k, ts, eid, op, val in feed_rows:
+        counts[k] = counts.get(k, 0) + 1
+        if k not in last or (ts, eid) > (last[k][0], last[k][1]):
+            last[k] = (ts, eid, op, val)
+    base_map = dict(base_rows)
+    expected = set()
+    for k, bal in base_map.items():
+        if k not in last:
+            expected.add((k, bal, "unchanged", 0))
+        elif last[k][2] != "D":
+            expected.add((k, last[k][3], "updated", counts[k]))
+    for k, (ts, eid, op, val) in last.items():
+        if k not in base_map and op != "D":
+            expected.add((k, val, "inserted", counts[k]))
+
+    ddl = "user_id int, ts long, event_id long, op string, balance double"
+    base = spark.createDataFrame(base_rows, "user_id int, balance double")
+    feed = spark.createDataFrame(feed_rows, ddl)
+    oneshot = {
+        tuple(r)
+        for r in apply_changes(
+            base, feed, key="user_id", seq=["ts", "event_id"],
+            payload=["balance"],
+        ).collect()
+    }
+    assert oneshot == expected
+
+    splits = [
+        lambda r: r[2] % 3,                # interleaved (op265's shape)
+        lambda r: 0 if r[1] > 5000 else 1,  # newest changes FIRST
+        lambda r: rng.randrange(4),        # seeded-random assignment
+    ]
+    for f in splits:
+        batches: dict = {}
+        for r in feed_rows:
+            batches.setdefault(f(r), []).append(r)
+        store = seed_store(
+            base, "user_id", ["ts", "event_id"], ["long", "long"]
+        )
+        for bid in sorted(batches):
+            b = spark.createDataFrame(batches[bid], ddl)
+            store = apply_changes_incremental(
+                store, b, key="user_id", seq=["ts", "event_id"],
+                payload=["balance"],
+            )
+        got = {
+            tuple(r)
+            for r in finish_store(store, "user_id", ["ts", "event_id"]).collect()
+        }
+        assert got == expected, f"split {f} diverged from the reference"
