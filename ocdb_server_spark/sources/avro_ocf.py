@@ -102,6 +102,11 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:
+            # spec: a long is at most 10 varint bytes — an unbounded
+            # varint let a corrupt stream mint arbitrarily large
+            # counts (round-13 review)
+            raise ValueError("avro: varint longer than 10 bytes")
     return (u >> 1) ^ -(u & 1)
 
 
@@ -109,7 +114,10 @@ def _block_counts(buf: io.BytesIO):
     """Iterate the spec's block counts (arrays, maps, file metadata):
     yields positive item counts until the 0 terminator; a NEGATIVE
     count means abs(count) items preceded by the block's byte size
-    (read and discarded — we never skip blocks)."""
+    (read and discarded — we never skip blocks). Counts are bounded by
+    the buffer's REMAINING bytes ×8: items that decode to zero bytes
+    (array of "null") made a corrupt huge count loop to OOM before any
+    truncation guard could fire (round-13 review)."""
     while True:
         n = _zigzag_decode(buf)
         if n == 0:
@@ -117,6 +125,12 @@ def _block_counts(buf: io.BytesIO):
         if n < 0:
             n = -n
             _zigzag_decode(buf)
+        remaining = len(buf.getbuffer()) - buf.tell()
+        if n > max(remaining, 1) * 8:
+            raise ValueError(
+                f"avro: block count {n} exceeds the plausible budget "
+                f"of the {remaining} remaining bytes"
+            )
         yield n
 
 
@@ -254,6 +268,8 @@ def _encode(t, v) -> bytes:
             raise ValueError(f"avro: non-null value {v!r} for null type")
         return b""
     if k == "boolean":
+        if not isinstance(v, bool):
+            raise ValueError(f"avro: boolean field got {type(v).__name__} {v!r}")
         return b"\x01" if v else b"\x00"
     if k in ("int", "long"):
         # Range-check before encoding: an out-of-range value would
@@ -261,22 +277,39 @@ def _encode(t, v) -> bytes:
         # stream that WE round-trip but spec-strict readers (the JVM
         # avro interop partner) can misread — reject loudly instead
         # (Avro 1.11 spec §"Primitive Types"; round-7 ADVICE).
+        # same type discipline _matches gives union branches: int(2.7)
+        # silently truncated, int(True) encoded a bool as 1, and a
+        # numeric string would parse (round-13 review)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"avro: {k} field got {type(v).__name__} {v!r}")
         iv = int(v)
         bound = 31 if k == "int" else 63
         if not -(1 << bound) <= iv < (1 << bound):
             raise ValueError(f"avro: {iv!r} out of range for {k}")
         return _zigzag_encode(iv)
-    if k == "float":
-        return struct.pack("<f", float(v))
-    if k == "double":
+    if k in ("float", "double"):
+        # ints may widen (the union path's permissive pass allows it),
+        # but float("1.5") parsing a STRING was silent corruption
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"avro: {k} field got {type(v).__name__} {v!r}")
+        if k == "float":
+            return struct.pack("<f", float(v))
         return struct.pack("<d", float(v))
     if k == "string":
-        raw = str(v).encode("utf-8")
+        if not isinstance(v, str):
+            raise ValueError(f"avro: string field got {type(v).__name__} {v!r}")
+        raw = v.encode("utf-8")
         return _zigzag_encode(len(raw)) + raw
     if k == "bytes":
+        if not isinstance(v, (bytes, bytearray)):
+            # bytes(5) semantics wrote five NUL bytes that round-trip
+            # cleanly — invisible corruption
+            raise ValueError(f"avro: bytes field got {type(v).__name__} {v!r}")
         raw = bytes(v)
         return _zigzag_encode(len(raw)) + raw
     if k == "fixed":
+        if not isinstance(v, (bytes, bytearray)):
+            raise ValueError(f"avro: fixed field got {type(v).__name__} {v!r}")
         raw = bytes(v)
         if len(raw) != t["size"]:
             raise ValueError(
@@ -397,10 +430,8 @@ def write_ocf(schema: dict, rows: list[dict], codec: str = "null",
         out += _zigzag_encode(len(v)) + v
     out += _zigzag_encode(0)
     out += _SYNC
-    for start in range(0, len(rows), rows_per_block) or [0]:
+    for start in range(0, len(rows), rows_per_block):
         chunk = rows[start:start + rows_per_block]
-        if not chunk:
-            continue
         payload = bytearray()
         for row in chunk:
             payload += _encode(schema, row)
@@ -675,6 +706,16 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
                 data = zlib.decompress(data, -15)
             except zlib.error as exc:
                 raise ValueError(f"avro: corrupt deflate block: {exc}")
+        if count > max(len(data), 1) * 8:
+            # rows are at least one BIT of information in practice and
+            # a corrupt huge count with zero-byte rows (empty record
+            # schema) used to append items until OOM — the truncation
+            # guard below never fires when decode consumes 0 bytes
+            # (round-13 review); 8x bytes is far above any legal count
+            raise ValueError(
+                f"avro: block row count {count} exceeds the plausible "
+                f"budget of a {len(data)}-byte block"
+            )
         bbuf = io.BytesIO(data)
         for _ in range(count):
             rows.append(row_fn(bbuf))

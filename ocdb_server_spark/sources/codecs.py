@@ -126,6 +126,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         # with no error (review finding)
         raise ValueError(f"bmp: bad dimensions {w}x{h}")
     row_len = (w * 3 + 3) & ~3
+    # data_offset locates the pixel data and was trusted blindly: a
+    # corrupt offset pointing INTO the header silently decoded header
+    # bytes as pixels, and one past the buffer leaked numpy's generic
+    # error instead of this module's taxonomy (round-13 review)
+    if data_offset < 54 or data_offset + row_len * h > len(payload):
+        raise ValueError(
+            f"bmp: data offset {data_offset} out of bounds for "
+            f"{row_len * h} pixel bytes in a {len(payload)}-byte file"
+        )
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_len * h, offset=data_offset
     ).reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)

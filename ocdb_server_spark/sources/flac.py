@@ -518,6 +518,17 @@ def encode_flac(samples: np.ndarray, sample_rate: int, blocksize: int = 256,
     multi-frame stream."""
     if samples.dtype != np.int16:
         raise ValueError("flac: int16 samples only")
+    if not 16 <= blocksize <= 65535:
+        # the frame header and STREAMINFO carry blocksize in 16-bit
+        # fields; _BitWriter masks silently, so an oversized value
+        # used to emit a CORRUPT stream (wrong frame boundaries) that
+        # failed only later with a confusing CRC error — the one
+        # unguarded knob while rate/predictor/stereo_mode/dtype all
+        # reject loudly (round-13 review; spec max 65535, streaming
+        # min 16)
+        raise ValueError(
+            f"flac: blocksize must be in [16, 65535], got {blocksize}"
+        )
     if samples.ndim == 1:
         channels = 1
     elif samples.ndim == 2 and samples.shape[1] == 2:

@@ -112,16 +112,14 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 
 
 def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman for decoding: (length, code) -> symbol."""
-    out: dict[tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """Canonical Huffman for decoding: (length, code) -> symbol —
+    derived from _build_codes so the C.2 walk exists ONCE and the
+    encoder and decoder can never silently diverge (round-13 review:
+    the walk was duplicated verbatim with the key/value swapped)."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _build_codes(bits, vals).items()
+    }
 
 
 _DC_ENC = _build_codes(DC_BITS, DC_VALS)
@@ -198,6 +196,14 @@ def encode_jpeg_gray(qcoeffs: np.ndarray, width: int, height: int) -> bytes:
         diff = int(blk[0]) - pred
         pred = int(blk[0])
         s = _category(diff)
+        if s > 11:
+            # |diff| >= 2048 has no baseline DC category — a bare
+            # KeyError leaked with no context while the decoder side
+            # guards the same bound loudly (round-13 review)
+            raise ValueError(
+                f"jpeg: DC difference {diff} outside baseline range "
+                "(category > 11)"
+            )
         code, length = _DC_ENC[s]
         w.write(code, length)
         w.write(_extend_bits(diff, s), s)
@@ -216,6 +222,12 @@ def encode_jpeg_gray(qcoeffs: np.ndarray, width: int, height: int) -> bytes:
                 w.write(code, length)
                 run -= 16
             s = _category(v)
+            if s > 10:
+                # |v| >= 1024 has no baseline AC category
+                raise ValueError(
+                    f"jpeg: AC coefficient {v} outside baseline range "
+                    "(category > 10)"
+                )
             code, length = _AC_ENC[(run << 4) | s]
             w.write(code, length)
             w.write(_extend_bits(v, s), s)

@@ -127,7 +127,17 @@ def _header_spec(
         raise ValueError(f"{path}: no /end_header in first 200 lines")
     header = parse_header(head_lines[: end + 1])
 
-    delim = _DELIMS.get(header.get("delimiter", "comma"), ",")
+    delim_tok = header.get("delimiter", "comma").strip().lower()
+    if delim_tok not in _DELIMS:
+        # silent comma fallback misattributed the real misconfiguration:
+        # multi-field files then died blaming 'misaligned fields', and
+        # single-field files parsed under the WRONG delimiter with no
+        # diagnostic (round-13 review)
+        raise ValueError(
+            f"{path}: unsupported /delimiter= value {delim_tok!r} "
+            f"(known: {sorted(_DELIMS)})"
+        )
+    delim = _DELIMS[delim_tok]
     fields = [f.strip() for f in header.get("fields", "").split(",") if f.strip()]
     if not fields:
         raise ValueError(f"{path}: missing /fields= header")
@@ -197,7 +207,12 @@ def _parse_body(
     parts = F.split(F.trim(F.col("value")), delim)
     cols = []
     for i, name in enumerate(fields):
-        c = F.trim(F.element_at(parts, i + 1))
+        # try_element_at: under Spark 4's default ANSI mode a plain
+        # element_at THROWS on a ragged (short) row, killing the whole
+        # corpus-scale scan — the module's own taxonomy says one bad
+        # cell maps to NULL (round-13 review; same contract as the
+        # try_cast below)
+        c = F.trim(F.try_element_at(parts, F.lit(i + 1)))
         for tok in null_tokens:
             c = F.nullif(c, F.lit(tok))
         cols.append(c.alias(name))
@@ -338,7 +353,13 @@ def read_seabass_corpus(spark: SparkSession, paths: list[str]) -> DataFrame:
         # directories would otherwise silently pool into one dataset
         # (review finding). Loud catalog-time guard, both paths named.
         stem = _re.sub(r"\.[^.]*$", "", os.path.basename(p))
-        if stem in stems and stems[stem] != p:
+        if stem in stems:
+            if stems[stem] == p:
+                # the SAME path twice (glob + explicit overlap) would
+                # pass the stem guard and spark.read.text([p, p]) then
+                # reads the file twice — every record silently doubled
+                # (round-13 review); skip the duplicate entry
+                continue
             raise ValueError(
                 f"read_seabass_corpus: duplicate dataset stem {stem!r} "
                 f"from {stems[stem]!r} and {p!r} — files must have "

@@ -1609,3 +1609,61 @@ def test_silent_wrong_value_guards():
     )
     with pytest.raises(ValueError, match="outside color table"):
         decode_gif_gray(payload)
+
+
+def test_bmp_corrupt_data_offset_rejected():
+    """Round-13 review: a corrupt data_offset pointing into the header
+    silently decoded header bytes as pixels."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ocdb_server_spark.sources.codecs import decode_bmp, encode_bmp
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(img))
+    struct.pack_into("<I", payload, 10, 0)  # offset into the header
+    with _pytest.raises(ValueError, match="offset"):
+        decode_bmp(bytes(payload))
+    struct.pack_into("<I", payload, 10, 10_000)  # offset past the buffer
+    with _pytest.raises(ValueError, match="offset"):
+        decode_bmp(bytes(payload))
+
+
+def test_flac_blocksize_out_of_range_rejected():
+    """Round-13 review: blocksize > 65535 silently emitted a corrupt
+    stream (16-bit header fields mask); it must reject at entry like
+    every other knob."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocdb_server_spark.sources.flac import encode_flac
+
+    pcm = np.zeros(64, dtype=np.int16)
+    with _pytest.raises(ValueError, match="blocksize"):
+        encode_flac(pcm, 44100, blocksize=70_000)
+    with _pytest.raises(ValueError, match="blocksize"):
+        encode_flac(pcm, 44100, blocksize=8)
+
+
+def test_avro_field_type_mismatches_reject_loudly():
+    """Round-13 review: non-union fields silently coerced (bytes(5) →
+    five NULs, int(2.7) → 2, str(anything)); they must reject with the
+    union path's type discipline."""
+    import pytest as _pytest
+
+    from ocdb_server_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    sch_b = {"type": "record", "name": "r", "fields": [{"name": "b", "type": "bytes"}]}
+    with _pytest.raises(ValueError, match="bytes field"):
+        write_ocf(sch_b, [{"b": 5}])
+    sch_l = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    with _pytest.raises(ValueError, match="long field"):
+        write_ocf(sch_l, [{"x": 2.7}])
+    sch_s = {"type": "record", "name": "r", "fields": [{"name": "t", "type": "string"}]}
+    with _pytest.raises(ValueError, match="string field"):
+        write_ocf(sch_s, [{"t": 42}])
+    # valid values still round-trip
+    ok = write_ocf(sch_l, [{"x": 7}])
+    assert [r["x"] for r in read_ocf(ok)] == [7]

@@ -395,3 +395,48 @@ def test_corpus_dataset_id_decodes_special_filenames(spark, tmp_path):
         .collect()
     }
     assert ids == {"my station", "a+b"}
+
+
+def test_ragged_body_row_maps_to_null(spark, tmp_path):
+    """Round-13 review: under Spark 4's default ANSI mode a plain
+    element_at THROWS on a short row, killing the whole ingest — the
+    module's taxonomy says one bad cell maps to NULL."""
+    from ocdb_server_spark.sources.seabass import read_seabass_raw
+
+    p = tmp_path / "ragged.sb"
+    p.write_text(
+        "/begin_header\n/delimiter=comma\n/fields=a,b,c\n/end_header\n"
+        "1,2,3\n4,5\n"  # second row is short one cell
+    )
+    rows = read_seabass_raw(spark, str(p)).orderBy("a").collect()
+    assert [tuple(r) for r in rows] == [("1", "2", "3"), ("4", "5", None)]
+
+
+def test_unknown_delimiter_raises(spark, tmp_path):
+    """Round-13 review: an unsupported /delimiter= token used to fall
+    back to comma silently, masking the real misconfiguration."""
+    import pytest as _pytest
+
+    from ocdb_server_spark.sources.seabass import read_seabass_raw
+
+    p = tmp_path / "baddelim.sb"
+    p.write_text(
+        "/begin_header\n/delimiter=semicolon\n/fields=a,b\n/end_header\n1;2\n"
+    )
+    with _pytest.raises(ValueError, match="semicolon"):
+        read_seabass_raw(spark, str(p))
+
+
+def test_corpus_duplicate_path_reads_once(spark, tmp_path):
+    """Round-13 review: the same path listed twice (glob + explicit
+    overlap) passed the stem guard and doubled every record."""
+    from ocdb_server_spark.sources.seabass import read_seabass_corpus
+
+    p = tmp_path / "dup.sb"
+    p.write_text(
+        "/begin_header\n/delimiter=comma\n/fields=a,b\n/end_header\n"
+        "1.0,2.0\n3.0,4.0\n"
+    )
+    once = read_seabass_corpus(spark, [str(p)]).count()
+    twice = read_seabass_corpus(spark, [str(p), str(p)]).count()
+    assert once == twice
