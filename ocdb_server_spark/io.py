@@ -84,6 +84,11 @@ _TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _OWN: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _BARE: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
+# Sessions already warned about an explicit non-UTC timezone (the
+# events load leaves their choice alone but must say so LOUDLY once,
+# not on every read — round-14 ADVICE).
+_TZ_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
 
 def mark_session_configured(spark: SparkSession) -> None:
     """Exempt a session from bare-session tuning: it picked its own
@@ -165,14 +170,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The NTZ→LTZ cast in _normalize_events (and every later
         # date_trunc/unix_micros) is session-timezone-dependent; the
-        # DuckDB oracle computes in naive/UTC time. Pin UTC on sessions
-        # whose timezone stance is OURS (get_spark-built or
-        # sniffed-bare) — an EXTERNAL session that deliberately chose
-        # its own timezone must not have every later timestamp in its
-        # OWN queries silently shift because it read one table through
-        # us (round-13 review).
+        # DuckDB oracle computes in naive/UTC time. "Timezone stance is
+        # ours" is decided from the TIMEZONE CONF ITSELF, not inferred
+        # from the shuffle sniff (round-14 ADVICE: an external session
+        # that configured shuffle — so skipped bare tuning — but left
+        # the timezone UNSET silently lost the pin that used to apply
+        # unconditionally, breaking oracle parity for every timestamp
+        # op on that session):
+        #   - _OWN sessions pinned UTC at build; re-pin is a no-op.
+        #   - an UNSET spark.sql.session.timeZone means the session is
+        #     running on the JVM default nobody chose — pin UTC.
+        #   - an EXPLICIT non-UTC setting is a deliberate choice: leave
+        #     it (the caller's own timestamps must not silently shift
+        #     because they read one table through us — round-13
+        #     review), but warn loudly once per session that timestamp
+        #     ops will diverge from the naive/UTC oracle.
         if spark in _OWN or spark in _BARE:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+        else:
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone", None)
+            except Exception:
+                tz = "UTC"  # conf quirk — never break the read
+            if tz is None:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            elif tz != "UTC" and spark not in _TZ_WARNED:
+                import warnings
+
+                warnings.warn(
+                    f"events loaded on a session with explicit "
+                    f"spark.sql.session.timeZone={tz!r}; timestamp "
+                    f"operators assume UTC and will diverge from the "
+                    f"naive/UTC oracle on this session",
+                    stacklevel=2,
+                )
+                _TZ_WARNED.add(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events(df)

@@ -94,23 +94,43 @@ def _walk(p, depth: int, out: list[NodeMetrics]) -> None:
 def _root_output_rows(nodes: list[NodeMetrics]) -> int:
     """Output rows of the plan ROOT. Metric-less single-child wrappers
     (WholeStageCodegen, AdaptiveSparkPlan) pass through to their
-    child; a metric-less MULTI-child combinator (Union concatenates)
-    sums its children — the old 'first node with numOutputRows in
-    pre-order' took only the first Union branch and reported roughly
-    half the real output (round-13 review). `nodes` is the pre-order
-    walk with depths, so child spans are contiguous."""
+    child; a metric-less MULTI-child node sums its children ONLY when
+    it is a KNOWN concatenating combinator (Union) — the old 'first
+    node with numOutputRows in pre-order' took only the first Union
+    branch and reported roughly half the real output (round-13
+    review), but blanket child-summing is itself only correct for
+    concatenation: any other metric-less multi-child combinator falls
+    back to the first descendant that DID record the metric, as a
+    metric-less leaf root does (round-14 ADVICE — the blanket sum
+    would silently misreport a future non-concatenating node, and a
+    metric-less leaf returned 0 where the pre-order scan found a
+    descendant). `nodes` is the pre-order walk with depths, so child
+    spans are contiguous."""
 
     def rows_at(i: int) -> int:
         n = nodes[i]
         if "numOutputRows" in n.metrics:
             return n.metrics["numOutputRows"]
-        total = 0
+        kids = []
         j = i + 1
         while j < len(nodes) and nodes[j].depth > n.depth:
             if nodes[j].depth == n.depth + 1:
-                total += rows_at(j)
+                kids.append(j)
             j += 1
-        return total
+        if len(kids) == 1:
+            return rows_at(kids[0])  # pass-through wrapper
+        if len(kids) > 1 and n.name == "Union":
+            return sum(rows_at(k) for k in kids)  # concatenation
+        # unknown metric-less combinator, or a metric-less leaf root:
+        # first descendant with the metric, pre-order (the node's own
+        # output size is unknowable without combinator semantics —
+        # the nearest recorded metric beats a silently-wrong sum)
+        j = i + 1
+        while j < len(nodes) and nodes[j].depth > n.depth:
+            if "numOutputRows" in nodes[j].metrics:
+                return nodes[j].metrics["numOutputRows"]
+            j += 1
+        return 0
 
     return rows_at(0) if nodes else 0
 

@@ -80,53 +80,72 @@ def upsert_partitioned(
     # `updates` is executed twice — the touched-partition collect here
     # and the merge/write below. For a lazy expensive plan that doubles
     # the dominant cost (round-13 review); both actions complete inside
-    # this function, so a scoped persist is safe (guards above raise
-    # BEFORE the persist, so no exception path leaks it).
+    # this function. EVERY action on it — the collect included — runs
+    # under the unpersisting finally: the collect itself can raise
+    # (missing partition_col → AnalysisException, an executor failure)
+    # and a persist outside the try leaked the frame on exactly that
+    # path (round-14 ADVICE).
     updates = updates.persist()
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not touched:
-        updates.unpersist()
-        return
-    if table is None:
-        current = None
-    elif immutable_partitions:
-        non_null = [t for t in touched if t is not None]
-        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-        if any(t is None for t in touched):
-            cond = cond | F.col(partition_col).isNull()
-        current = table.filter(cond)
-    else:
-        current = table  # movable partitions: correctness over pruning
-    src = F.lit(0).alias("_src")
-    upd = updates.select("*", F.lit(1).alias("_src"))
-    merged = upd if current is None else (
-        current.select("*", src).unionByName(upd)
-    )
-    w = W.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
-    )
-    latest = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
-        if not immutable_partitions and current is not None:
-            # movable partitions: the WRITE must be full-table too — a
-            # dynamic overwrite only replaces partitions present in the
-            # output, so the partition a key vacated would keep its
-            # stale copy on disk. That requires STATIC overwrite mode:
-            # relying on the session default silently resurrected the
-            # stale-copy bug on any session configured dynamic
-            # (round-13 review). Materialize first: a static overwrite
-            # deletes the files `latest`'s lazy plan still has to read.
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-            latest = latest.localCheckpoint(eager=True)
-            latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        if not touched:
             return
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        latest.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        if table is None:
+            current = None
+        elif immutable_partitions:
+            non_null = [t for t in touched if t is not None]
+            cond = (
+                F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            )
+            if any(t is None for t in touched):
+                cond = cond | F.col(partition_col).isNull()
+            current = table.filter(cond)
+        else:
+            current = table  # movable partitions: correctness over pruning
+        src = F.lit(0).alias("_src")
+        upd = updates.select("*", F.lit(1).alias("_src"))
+        merged = upd if current is None else (
+            current.select("*", src).unionByName(upd)
+        )
+        w = W.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col("_src").desc()
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            if not immutable_partitions and current is not None:
+                # movable partitions: the WRITE must be full-table too —
+                # a dynamic overwrite only replaces partitions present in
+                # the output, so the partition a key vacated would keep
+                # its stale copy on disk. That requires STATIC overwrite
+                # mode: relying on the session default silently
+                # resurrected the stale-copy bug on any session
+                # configured dynamic (round-13 review). Materialize
+                # first: a static overwrite deletes the files `latest`'s
+                # lazy plan still has to read.
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                latest = latest.localCheckpoint(eager=True)
+                latest.write.partitionBy(partition_col).mode(
+                    "overwrite"
+                ).parquet(path)
+                return
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            latest.write.partitionBy(partition_col).mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         updates.unpersist()

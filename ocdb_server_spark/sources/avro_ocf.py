@@ -110,14 +110,31 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+# Absolute per-block item budget for ZERO-BYTE items. Items that encode
+# to zero bytes (record of nulls / empty-fields record, array/map of
+# "null") are spec-LEGAL, so a pure bytes×k plausibility bound rejects
+# legal files — round-13's 8×-bytes guard failed write_ocf's own output
+# for an empty-record schema (round-14 ADVICE). The OOM mode the guard
+# exists for is a CORRUPT astronomical count (a random varint is ~2^60)
+# looping with no truncation signal; 2^20 items is orders of magnitude
+# above anything real writers emit per block (write_ocf: 1000), yet
+# bounds worst-case transient memory to ~64 MB of empty rows. Counts at
+# or under the budget are safe even when corrupt: nonzero-size items hit
+# _read_exact truncation, zero-size ones are memory-bounded here and
+# caught by the trailing-bytes / sync checks downstream.
+_ZERO_SIZE_ITEM_BUDGET = 1_048_576
+
+
 def _block_counts(buf: io.BytesIO):
     """Iterate the spec's block counts (arrays, maps, file metadata):
     yields positive item counts until the 0 terminator; a NEGATIVE
     count means abs(count) items preceded by the block's byte size
-    (read and discarded — we never skip blocks). Counts are bounded by
-    the buffer's REMAINING bytes ×8: items that decode to zero bytes
-    (array of "null") made a corrupt huge count loop to OOM before any
-    truncation guard could fire (round-13 review)."""
+    (read and discarded — we never skip blocks). A count is implausible
+    — corrupt, headed for OOM — only when it exceeds BOTH the
+    remaining bytes ×8 (any nonzero-size item needs at least a bit)
+    AND the absolute zero-size-item budget (legal zero-byte items,
+    e.g. array of "null", satisfy any count with no bytes — the ×8
+    bound alone rejected legal files, round-14 ADVICE)."""
     while True:
         n = _zigzag_decode(buf)
         if n == 0:
@@ -126,10 +143,11 @@ def _block_counts(buf: io.BytesIO):
             n = -n
             _zigzag_decode(buf)
         remaining = len(buf.getbuffer()) - buf.tell()
-        if n > max(remaining, 1) * 8:
+        if n > max(remaining, 1) * 8 and n > _ZERO_SIZE_ITEM_BUDGET:
             raise ValueError(
                 f"avro: block count {n} exceeds the plausible budget "
-                f"of the {remaining} remaining bytes"
+                f"of the {remaining} remaining bytes and the "
+                f"{_ZERO_SIZE_ITEM_BUDGET}-item zero-size budget"
             )
         yield n
 
@@ -706,15 +724,21 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
                 data = zlib.decompress(data, -15)
             except zlib.error as exc:
                 raise ValueError(f"avro: corrupt deflate block: {exc}")
-        if count > max(len(data), 1) * 8:
-            # rows are at least one BIT of information in practice and
-            # a corrupt huge count with zero-byte rows (empty record
-            # schema) used to append items until OOM — the truncation
-            # guard below never fires when decode consumes 0 bytes
-            # (round-13 review); 8x bytes is far above any legal count
+        if count > max(len(data), 1) * 8 and count > _ZERO_SIZE_ITEM_BUDGET:
+            # Corrupt huge counts with zero-byte rows (empty-record /
+            # all-null schemas) would append items until OOM — the
+            # truncation guard below never fires when decode consumes
+            # 0 bytes (round-13 review). But zero-byte rows are spec-
+            # LEGAL, so bytes×8 alone rejected write_ocf's own output
+            # for an empty-record schema (round-14 ADVICE): only a
+            # count over BOTH the byte bound and the absolute
+            # zero-size budget is implausible. Under-budget corrupt
+            # counts stay memory-bounded and are caught by the
+            # trailing-bytes / sync checks below.
             raise ValueError(
                 f"avro: block row count {count} exceeds the plausible "
-                f"budget of a {len(data)}-byte block"
+                f"budget of a {len(data)}-byte block and the "
+                f"{_ZERO_SIZE_ITEM_BUDGET}-row zero-size budget"
             )
         bbuf = io.BytesIO(data)
         for _ in range(count):

@@ -247,7 +247,17 @@ def stream_upsert_state(
     if store_dir is None:
         from ocdb_server_spark.scratch import scratch_dir
 
-        store_dir = scratch_dir("upsert_store", sf_dir)
+        # Qualify the default explicitly: scratch_dir is a LOCAL path
+        # (created and reaped through os.*), but a scheme-less string
+        # resolves against fs.defaultFS — on a remote-defaultFS
+        # deployment (hdfs/s3a) the existence probe below would resolve
+        # against the remote FS while scratch.py manages a local dir,
+        # and a probe/writer split declares every batch "first" —
+        # reintroducing the silent-overwrite loss mode the probe was
+        # added to close (round-14 ADVICE). file:// pins every consumer
+        # of `path` — probe, merge read, write, final read — to the
+        # filesystem scratch_dir actually lives on.
+        store_dir = "file://" + scratch_dir("upsert_store", sf_dir)
     path = store_dir + "/state"
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
 

@@ -1099,6 +1099,47 @@ def test_avro_validator_rejects_out_of_subset():
         write_ocf({"type": "array", "items": "long"}, [])
 
 
+def test_avro_zero_byte_rows_legal_and_corrupt_count_rejected():
+    """Round-14 ADVICE: items that encode to ZERO bytes are spec-legal
+    (empty-record rows, all-null records, arrays/maps of "null") — the
+    round-13 bytes×8 plausibility guard rejected write_ocf's OWN output
+    for those schemas, breaking the module's round-trip contract. Legal
+    zero-size shapes must round-trip; a corrupt astronomical count must
+    still raise before allocating anything."""
+    import pytest
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _MAGIC, _SYNC, _ZERO_SIZE_ITEM_BUDGET, _zigzag_encode,
+    )
+
+    assert _MAGIC  # imported for documentation: header layout below
+    empty = {"type": "record", "name": "E", "fields": []}
+    rows = [{} for _ in range(100)]
+    for codec in ("null", "deflate"):
+        assert read_ocf(write_ocf(empty, rows, codec=codec)) == rows
+
+    nulls = {"type": "record", "name": "N",
+             "fields": [{"name": "x", "type": "null"}]}
+    nrows = [{"x": None} for _ in range(64)]
+    assert read_ocf(write_ocf(nulls, nrows)) == nrows
+
+    arr = {"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "null"}},
+        {"name": "m", "type": {"type": "map", "values": "null"}},
+    ]}
+    arows = [{"xs": [None] * 500, "m": {f"k{i}": None for i in range(20)}}]
+    assert read_ocf(write_ocf(arr, arows)) == arows
+
+    # corrupt: a zero-size block whose count is past the absolute
+    # budget must raise up front (the OOM mode the guard targets)
+    payload = bytearray(write_ocf(empty, []))   # header only, no blocks
+    payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET * 1024)  # row count
+    payload += _zigzag_encode(0)                # block byte size: zero
+    payload += _SYNC
+    with pytest.raises(ValueError, match="plausible"):
+        read_ocf(bytes(payload))
+
+
 def test_avro_jvm_interop_complex_types(spark):
     """Complex types against the independent avro-1.12 implementation
     on Spark's classpath: our OCF bytes parse in DataFileReader

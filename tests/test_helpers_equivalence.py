@@ -239,17 +239,42 @@ def test_events_read_respects_external_session_timezone(spark, sf_dir):
     sniffed-bare) get the pin."""
     from ocdb_server_spark.io import load_table
 
+    import warnings as _warnings
+
     ext = spark.newSession()  # not registered via mark_session_configured
     ext.conf.set("spark.sql.shuffle.partitions", "7")  # configured ≠ bare
     ext.conf.set("spark.sql.session.timeZone", "America/New_York")
-    load_table(ext, sf_dir, "events").limit(1).collect()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        load_table(ext, sf_dir, "events").limit(1).collect()
     assert ext.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    # the skipped pin must be LOUD (round-14 ADVICE), and once only
+    assert any("timeZone" in str(w.message) for w in caught), (
+        "no warning for a skipped UTC pin on an explicit non-UTC session"
+    )
+    with _warnings.catch_warnings(record=True) as again:
+        _warnings.simplefilter("always")
+        load_table(ext, sf_dir, "events").limit(1).collect()
+    assert not any("timeZone" in str(w.message) for w in again), (
+        "warned twice for the same session"
+    )
 
     bare = spark.newSession()
     bare.conf.set("spark.sql.shuffle.partitions", "200")  # stock default
     bare.conf.set("spark.sql.session.timeZone", "America/New_York")
     load_table(bare, sf_dir, "events").limit(1).collect()
     assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    # Round-14 ADVICE's exact hole: an external session that configured
+    # shuffle (skips bare tuning) but left the timezone UNSET — the
+    # stance is nobody's, so the pin must apply (it used to be lost
+    # because the _BARE membership sniff stood in for the tz sniff).
+    unset = spark.newSession()
+    unset.conf.set("spark.sql.shuffle.partitions", "7")  # configured ≠ bare
+    unset.conf.unset("spark.sql.session.timeZone")       # JVM default
+    assert unset.conf.get("spark.sql.session.timeZone", None) is None
+    load_table(unset, sf_dir, "events").limit(1).collect()
+    assert unset.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
 def test_upsert_movable_full_rewrite_under_dynamic_session(spark, tmp_path):

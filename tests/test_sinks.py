@@ -425,6 +425,32 @@ def test_upsert_movable_partition_full_merge(spark, tmp_path):
     assert len(rows) == 2 and got[1] == ("moved", "b") and got[2] == ("other", "b")
 
 
+def test_upsert_failing_collect_does_not_leak_persist(spark, tmp_path):
+    """The touched-partition collect itself can raise (missing
+    partition_col → AnalysisException); the persisted `updates` frame
+    must be unpersisted on that path too, not only after a successful
+    write (round-14 ADVICE — the persist sat outside the try/finally)."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "leak")
+    base = spark.createDataFrame(
+        [(1, 1, "x", "a")], "id int, version int, val string, part string"
+    )
+    write_partitioned(base, table, "part")
+    updates = spark.createDataFrame(
+        [(1, 2, "y", "a")], "id int, version int, val string, part string"
+    )
+    with _pytest.raises(Exception):
+        upsert_partitioned(
+            spark, table, updates,
+            keys=["id"], order_col="version",
+            partition_col="no_such_column",   # collect raises mid-merge
+        )
+    assert not updates.storageLevel.useMemory and (
+        not updates.storageLevel.useDisk
+    ), "updates frame left persisted after a failed merge"
+
+
 def test_upsert_reserved_working_columns_raise(spark, tmp_path):
     """An input already carrying _src/_rn would mint duplicate columns
     mid-merge and fail later with AMBIGUOUS_REFERENCE — the boundary

@@ -96,6 +96,38 @@ def test_stream_upsert_end_state_matches_batch(spark, sf_dir, tmp_path):
     assert not mism, f"{len(mism)} users diverge; e.g. {sorted(mism)[:3]}"
 
 
+def test_stream_upsert_default_store_is_local_file_qualified(
+    spark, sf_dir, monkeypatch
+):
+    """Round-14 ADVICE: the DEFAULT store path comes from scratch_dir —
+    a LOCAL path created/reaped through os.* — but a scheme-less string
+    resolves against fs.defaultFS, so on a remote-defaultFS deployment
+    the existence probe, the writes, and scratch.py's reaping would
+    split across filesystems (the probe then declares every batch
+    'first' — the silent-overwrite loss mode). The default must be
+    file://-qualified and the store must land on the local scratch."""
+    import os
+
+    from ocdb_server_spark import scratch
+
+    seen = {}
+    real = scratch.scratch_dir
+
+    def spy(tag, sf):
+        d = real(tag, sf)
+        seen["dir"] = d
+        return d
+
+    monkeypatch.setattr(scratch, "scratch_dir", spy)
+    store = jobs.stream_upsert_state(spark, sf_dir)
+    assert store.count() > 0
+    # the store's files really are on the LOCAL filesystem under the
+    # scratch dir the spy observed
+    assert os.path.isdir(os.path.join(seen["dir"], "state")), (
+        "default upsert store not written to the local scratch dir"
+    )
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """op72's streaming proof: a row arriving after the watermark passed
     its window must not change that window's (already emitted) count."""
