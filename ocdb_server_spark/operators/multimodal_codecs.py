@@ -31,6 +31,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from ocdb_server_spark.registry import register
 
+# Codec KERNELS declared as register deps (round-14, the last
+# invisible-rewrite hole the r12 fingerprint machinery left): each
+# op's certification is built on these parsers, so a kernel rewrite
+# must re-front the op in the driver sweep exactly as an oracle edit
+# does. Whole modules are declared — any edit to the kernel file
+# demotes every op built on it (deps fold inspect.getsource, which
+# accepts modules).
+from ocdb_server_spark.sources import codecs as _codecs_kernel
+from ocdb_server_spark.sources import gif as _gif_kernel
+from ocdb_server_spark.sources import jpeg as _jpeg_kernel
+from ocdb_server_spark.sources import png as _png_kernel
+
 # ------------------------------------------------------------------ WAV
 
 _WAV_N = 200
@@ -90,7 +102,12 @@ def _decode_wav_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op195_wav_decode_features", oracle=_OP195_SQL)
+@register(
+    "op195_wav_decode_features",
+    oracle=_OP195_SQL,
+    # plan + certification live in the helpers and the WAV kernel
+    deps=(_gen_wav, _decode_wav_features, _codecs_kernel),
+)
 def op195_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode, for real: 200 standards-conformant mono PCM16 WAV
     files (samples from a closed-form integer formula) are encoded and
@@ -184,7 +201,11 @@ def _decode_bmp_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op196_bmp_decode_stats", oracle=_OP196_SQL)
+@register(
+    "op196_bmp_decode_stats",
+    oracle=_OP196_SQL,
+    deps=(_gen_bmp, _decode_bmp_stats, _codecs_kernel),
+)
 def op196_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode, for real: 60 conformant 24-bit BMPs (pixel values
     from a closed-form integer formula; widths chosen to exercise the
@@ -259,7 +280,11 @@ def _dominant_freq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op197_audio_dominant_freq", oracle=_OP197_SQL)
+@register(
+    "op197_audio_dominant_freq",
+    oracle=_OP197_SQL,
+    deps=(_gen_sine_wav, _dominant_freq, _codecs_kernel),
+)
 def op197_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSP feature extraction, certified: pure sine tones planted
     EXACTLY on FFT bins (bin 3..81 of a 1024-sample frame) are
@@ -347,7 +372,11 @@ def _resize_bmp_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op198_bmp_resize", oracle=_OP198_SQL)
+@register(
+    "op198_bmp_resize",
+    oracle=_OP198_SQL,
+    deps=(_gen_bmp, _resize_bmp_stats, _codecs_kernel),
+)
 def op198_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE, for real: the decoded BMPs downscale 2× by
     integer-exact box averaging (sum of each 2×2 block, floor-div 4 —
@@ -425,7 +454,11 @@ def _loudest_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op199_audio_loudest_frames", oracle=_OP199_SQL)
+@register(
+    "op199_audio_loudest_frames",
+    oracle=_OP199_SQL,
+    deps=(_gen_wav, _loudest_frames, _codecs_kernel),
+)
 def op199_audio_loudest_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FRAME-SAMPLING, for real: decoded PCM splits into
     32-sample frames and the 3 loudest frames per asset are reported
@@ -469,7 +502,12 @@ FROM wav w JOIN bmp b ON w.asset_id = b.asset_id
 """
 
 
-@register("op200_multimodal_fuse", oracle=_OP200_SQL)
+@register(
+    "op200_multimodal_fuse",
+    oracle=_OP200_SQL,
+    deps=(_gen_wav, _decode_wav_features, _gen_bmp, _decode_bmp_stats,
+          _codecs_kernel),
+)
 def op200_multimodal_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal fusion: decoded AUDIO features join decoded IMAGE
     features on asset_id — the end-to-end multimodal pipeline (two
@@ -594,7 +632,11 @@ FROM dcs d JOIN acs a ON d.i = a.i
 """
 
 
-@register("op202_jpeg_decode_stats", oracle=_op202_sql())
+@register(
+    "op202_jpeg_decode_stats",
+    oracle=_op202_sql(),
+    deps=(_gen_jpeg_ac, _decode_jpeg_coef_stats, _jpeg_kernel),
+)
 def op202_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-format decode, for real (round-5 verdict item 4): 80
     baseline JPEGs are built by the known-coefficient writer (quantized
@@ -680,7 +722,11 @@ FROM blk GROUP BY i
 """
 
 
-@register("op203_jpeg_pixel_decode", oracle=_OP203_SQL)
+@register(
+    "op203_jpeg_pixel_decode",
+    oracle=_OP203_SQL,
+    deps=(_gen_jpeg_dc, _decode_jpeg_pixel_stats, _jpeg_kernel),
+)
 def op203_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG PIXEL path, hash-certified: DC-only baseline JPEGs decode
     to exactly-known flat blocks — a dequantized DC of 16·qdc yields
@@ -766,7 +812,11 @@ FROM px GROUP BY i
 """
 
 
-@register("op205_png_decode_stats", oracle=_OP205_SQL)
+@register(
+    "op205_png_decode_stats",
+    oracle=_OP205_SQL,
+    deps=(_gen_png, _decode_png_stats, _png_kernel),
+)
 def op205_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG decode, for real and LOSSLESS: 60 grayscale PNGs (pixels
     from a closed-form formula, per-row filter types cycling through
@@ -861,7 +911,11 @@ FROM px GROUP BY i
 """
 
 
-@register("op222_gif_decode_stats", oracle=_OP222_SQL)
+@register(
+    "op222_gif_decode_stats",
+    oracle=_OP222_SQL,
+    deps=(_gen_gif, _decode_gif_stats, _gif_kernel),
+)
 def op222_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF decode for real — the THIRD compressed image format and the
     remaining classic compression family: LZW with variable-width

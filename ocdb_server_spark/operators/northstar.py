@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ocdb_server_spark.io import load_embeddings_normed, load_table, load_tables
 from ocdb_server_spark.registry import pool_persist, register
 
+# Codec kernels declared as register deps (round-14): op104's decode
+# dispatch runs the FLAC and PNG parsers, op130's frame sampler the
+# animated-GIF parser — a kernel rewrite must re-front those ops in
+# the driver sweep exactly like an oracle edit.
+from ocdb_server_spark.sources import flac as _flac_kernel
+from ocdb_server_spark.sources import gif as _gif_kernel
+from ocdb_server_spark.sources import png as _png_kernel
+
 # shared vector expressions (JVM higher-order functions)
 from ocdb_server_spark.functions.vector import dot as _dot, l2_norm as _norm, l2_norm_d as _norm_d
 
@@ -503,7 +511,11 @@ SELECT * FROM imgrow UNION ALL SELECT * FROM audrow
 """
 
 
-@register("op104_multimodal_decode", oracle=_OP104_SQL)
+@register(
+    "op104_multimodal_decode",
+    oracle=_OP104_SQL,
+    deps=(_flac_kernel, _png_kernel),
+)
 def op104_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline end-to-end, on REAL codecs
     (round-7 verdict item 3 — this op ran the stubbed kernel until six
@@ -618,7 +630,11 @@ FROM px GROUP BY i
 """
 
 
-@register("op130_multimodal_frame_sample", oracle=_OP130_SQL)
+@register(
+    "op130_multimodal_frame_sample",
+    oracle=_OP130_SQL,
+    deps=(_gif_kernel,),
+)
 def op130_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling on a REAL container (round-7 verdict
     item 3 — synthetic payloads until the GIF codec existed): 24

@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.registry import register
 
+# Codec kernels declared as register deps (round-14): op261 is
+# certified through the seekable-zstd kernel AND the shared
+# line-batching kernel it builds on (deps are shallow by design, so
+# the chain is declared explicitly).
+from ocdb_server_spark.sources import linebatch as _linebatch_kernel
+from ocdb_server_spark.sources import zstd_seekable as _zstd_kernel
+
 # ---------------------------------------------------------------------------
 # op262: ADI / CV² demand-pattern classification (Syntetos-Boylan)
 # ---------------------------------------------------------------------------
@@ -360,7 +367,13 @@ def zstd_single_file_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zstd_read_lang_agg(spark, [path])
 
 
-@register("op261_zstd_seekable_ingest", oracle=_OP261_SQL)
+@register(
+    "op261_zstd_seekable_ingest",
+    oracle=_OP261_SQL,
+    deps=(_write_docs_zstd_file, _zstd_write_docs_part,
+          zstd_export_docs_parallel, _zstd_manifest, _zstd_decode,
+          zstd_read_lang_agg, _zstd_kernel, _linebatch_kernel),
+)
 def op261_zstd_seekable_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITTABLE ZSTD — op260's BGZF story for the codec large
     corpora actually ship (round-9 verdict item 4): the documents

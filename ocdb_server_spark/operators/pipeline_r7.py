@@ -59,6 +59,12 @@ from ocdb_server_spark.io import load_table
 from ocdb_server_spark.registry import register
 from ocdb_server_spark.scratch import scratch_dir
 
+# Codec kernels declared as register deps (round-14): the ops below are
+# hash-certified THROUGH these parsers, so a kernel rewrite re-fronts
+# them in the driver sweep exactly like an oracle edit.
+from ocdb_server_spark.sources import avro_ocf as _avro_kernel
+from ocdb_server_spark.sources import flac as _flac_kernel
+
 
 # --------------------------------------------------------------------------
 # op251: FLAC decode features — lossless compressed audio, closed-form oracle
@@ -160,7 +166,13 @@ def _decode_flac_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("op251_flac_decode_features", oracle=_OP251_SQL)
+@register(
+    "op251_flac_decode_features",
+    oracle=_OP251_SQL,
+    # certification rides the FLAC kernel: a rewrite of the parser
+    # must re-front this op (round-14 — codec kernels as deps)
+    deps=(_gen_flac, _decode_flac_features, _flac_kernel),
+)
 def op251_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC audio decode, for real — the compressed-audio gap closed:
     120 conformant 16-bit FLAC streams (90 mono + 30 STEREO,
@@ -325,7 +337,11 @@ def _avro_read_parts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             })
 
 
-@register("op252_avro_roundtrip", oracle=_OP252_SQL)
+@register(
+    "op252_avro_roundtrip",
+    oracle=_OP252_SQL,
+    deps=(_avro_write_parts, _avro_read_parts, _avro_kernel),
+)
 def op252_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVRO Object Container File round-trip with SCHEMA EVOLUTION —
     the interchange-format gap (round-6 verdict item 5) closed in

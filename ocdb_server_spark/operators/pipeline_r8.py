@@ -27,8 +27,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocdb_server_spark.io import load_table
+from ocdb_server_spark.operators.scans import seabass_fixture_corpus
 from ocdb_server_spark.registry import register
 from ocdb_server_spark.scratch import scratch_dir
+
+# Codec kernels declared as register deps (round-14): op258 is
+# hash-certified through BOTH parsers below — the Avro OCF writer/
+# reader and the SeaBASS corpus ingest that feeds it.
+from ocdb_server_spark.sources import avro_ocf as _avro_kernel
+from ocdb_server_spark.sources import seabass as _seabass_kernel
 
 
 # --------------------------------------------------------------------------
@@ -565,7 +572,12 @@ def _obs_avro_read(it):
                 )
 
 
-@register("op258_avro_records_sink", oracle=_OP258_SQL)
+@register(
+    "op258_avro_records_sink",
+    oracle=_OP258_SQL,
+    deps=(_obs_avro_write, _obs_avro_read, seabass_fixture_corpus,
+          _avro_kernel, _seabass_kernel),
+)
 def op258_avro_records_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCF Avro SINK pairing for the open-schema records table — the
     op204 ↔ op252 gap named in SURVEY §7.8 (the writer existed, only

@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ocdb_server_spark.io import load_table
 from ocdb_server_spark.registry import register
 
+# Codec kernels declared as register deps (round-14, the last
+# invisible-rewrite hole): op03/op204 are certified through the
+# SeaBASS parser, op260 through the BGZF kernel and the shared
+# line-batching kernel it builds on (deps are shallow by design,
+# so the linebatch link is declared explicitly).
+from ocdb_server_spark.sources import bgzf as _bgzf_kernel
+from ocdb_server_spark.sources import linebatch as _linebatch_kernel
+from ocdb_server_spark.sources import seabass as _seabass_kernel
+
 
 @register(
     "op01_scan_parquet",
@@ -66,7 +75,11 @@ FROM (VALUES
 """
 
 
-@register("op03_source_csv_ingest", oracle=_OP03_SQL)
+@register(
+    "op03_source_csv_ingest",
+    oracle=_OP03_SQL,
+    deps=(_seabass_kernel,),
+)
 def op03_source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SeaBASS-style delimited ingest: header-driven delimiter, missing
     token → NULL, typed records (ref: SbFileReader.read [U]).
@@ -358,7 +371,11 @@ GROUP BY o.dataset_id, p.pgroup, o.field
 """
 
 
-@register("op204_records_long_format", oracle=_OP204_SQL)
+@register(
+    "op204_records_long_format",
+    oracle=_OP204_SQL,
+    deps=(seabass_fixture_corpus, _seabass_kernel),
+)
 def op204_records_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL storage model, end to end (round-5
     verdict item 5; SURVEY §1.3/§7.2): three heterogeneous
@@ -820,7 +837,9 @@ def bgzf_read_lang_agg(spark: SparkSession, paths: list[str]) -> DataFrame:
 @register(
     "op260_bgzf_splittable_gzip",
     oracle=_DOCS_LANG_AGG_SQL,
-    deps=(_docs_lang_agg, bgzf_read_lang_agg),
+    deps=(_docs_lang_agg, bgzf_read_lang_agg, _write_docs_bgzf_file,
+          _bgzf_write_docs_part, bgzf_export_docs_parallel, _bgzf_walk,
+          _bgzf_decode, _bgzf_kernel, _linebatch_kernel),
 )
 def op260_bgzf_splittable_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITTABLE GZIP — the op207/op256 story completed for gzip

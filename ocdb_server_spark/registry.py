@@ -498,6 +498,7 @@ def load_all() -> dict[str, Op]:
         pipeline_r10,
         pipeline_r12,
         pipeline_r13,
+        pipeline_r14,
         multimodal_codecs,
         udfs,
         northstar,
