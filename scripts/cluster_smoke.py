@@ -69,6 +69,11 @@ OPS = [
     # from disk across a process boundary).
     "op265_stream_cdc_apply_changes",
     "op266_rrf_hybrid_serving",
+    # round-14 addition: the GeoJSON serving shape — find_datasets'
+    # count+page envelope over a pooled persist (the cached hits frame
+    # is built on one executor topology and must serve both actions),
+    # with the to_json assembly running inside executor codegen.
+    "op267_find_datasets_geojson",
 ]
 
 
