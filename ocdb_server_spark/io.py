@@ -193,6 +193,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             except Exception:
                 tz = "UTC"  # conf quirk — never break the read
             if tz is None:
+                # The pin can still override a DELIBERATE JVM-level
+                # choice (-Duser.timezone / TZ env with the SQL conf
+                # intentionally left to its documented JVM default) —
+                # round-14 review. Oracle parity needs the pin, but it
+                # must not be silent when it actually changes the
+                # effective zone: say so once and name the opt-out
+                # (set the conf explicitly and we leave it alone).
+                try:
+                    jvm_tz = (
+                        spark._jvm.java.util.TimeZone.getDefault().getID()
+                    )
+                except Exception:
+                    jvm_tz = "UTC"
+                if jvm_tz not in ("UTC", "Etc/UTC", "GMT") and (
+                    spark not in _TZ_WARNED
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"events load pins spark.sql.session.timeZone to "
+                        f"UTC for oracle parity, overriding the JVM "
+                        f"default {jvm_tz!r}; set the conf explicitly to "
+                        f"keep a non-UTC zone",
+                        stacklevel=2,
+                    )
+                    _TZ_WARNED.add(spark)
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
             elif tz != "UTC" and spark not in _TZ_WARNED:
                 import warnings

@@ -47,6 +47,7 @@ from __future__ import annotations
 import io
 import json
 import struct
+import threading
 import zlib
 
 _MAGIC = b"Obj\x01"
@@ -110,31 +111,63 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-# Absolute per-block item budget for ZERO-BYTE items. Items that encode
-# to zero bytes (record of nulls / empty-fields record, array/map of
-# "null") are spec-LEGAL, so a pure bytes×k plausibility bound rejects
-# legal files — round-13's 8×-bytes guard failed write_ocf's own output
-# for an empty-record schema (round-14 ADVICE). The OOM mode the guard
-# exists for is a CORRUPT astronomical count (a random varint is ~2^60)
-# looping with no truncation signal; 2^20 items is orders of magnitude
-# above anything real writers emit per block (write_ocf: 1000), yet
-# bounds worst-case transient memory to ~64 MB of empty rows. Counts at
-# or under the budget are safe even when corrupt: nonzero-size items hit
-# _read_exact truncation, zero-size ones are memory-bounded here and
-# caught by the trailing-bytes / sync checks downstream.
+# CUMULATIVE budget for ZERO-BYTE items, per top-level decode. Items
+# that encode to zero bytes (record of nulls / empty-fields record,
+# array/map of "null") are spec-LEGAL, so a pure bytes×k plausibility
+# bound rejects legal files — round-13's 8×-bytes guard failed
+# write_ocf's own output for an empty-record schema (round-14 ADVICE).
+# But zero bytes → unbounded logical items has no information-theoretic
+# bound, so SOME absolute cap is unavoidable; and a per-block cap is
+# not enough — K repeated at-budget blocks multiply it K-fold (the
+# round-14 review's crafted multi-block OOM). The budget is therefore
+# an allowance CONSUMED ACROSS the whole file (read_ocf resets it per
+# call; every consumer — row blocks, arrays, maps, metadata — draws
+# from the same pot), bounding worst-case transient memory to ~64 MB
+# of empty rows per file regardless of block structure. Only counts
+# that EXCEED the bytes×8 bound draw from it: data-bearing blocks are
+# bounded by their own bytes and never touch the allowance. Documented
+# subset limit (alongside "no named-type references"): a legal file
+# carrying >2^20 zero-ENCODED-size items total is rejected; real
+# writers (ours flushes 1000-row blocks) sit orders of magnitude
+# below it.
 _ZERO_SIZE_ITEM_BUDGET = 1_048_576
+
+_ZS_STATE = threading.local()
+
+
+def _zs_reset() -> None:
+    """Start a fresh zero-size allowance (called per read_ocf file)."""
+    _ZS_STATE.left = _ZERO_SIZE_ITEM_BUDGET
+
+
+def _zs_consume(n: int, context: str) -> None:
+    """Draw n zero-size items from the current allowance; loud when the
+    file's cumulative zero-size total passes the budget. Thread-local:
+    decode paths never span threads, and a standalone _decode call
+    (no read_ocf frame) lazily gets its own allowance."""
+    left = getattr(_ZS_STATE, "left", None)
+    if left is None:
+        left = _ZERO_SIZE_ITEM_BUDGET
+    left -= n
+    if left < 0:
+        raise ValueError(
+            f"avro: {context} count {n} exceeds the cumulative "
+            f"{_ZERO_SIZE_ITEM_BUDGET}-item zero-size budget for this file"
+        )
+    _ZS_STATE.left = left
 
 
 def _block_counts(buf: io.BytesIO):
     """Iterate the spec's block counts (arrays, maps, file metadata):
     yields positive item counts until the 0 terminator; a NEGATIVE
     count means abs(count) items preceded by the block's byte size
-    (read and discarded — we never skip blocks). A count is implausible
-    — corrupt, headed for OOM — only when it exceeds BOTH the
+    (read and discarded — we never skip blocks). A count over the
     remaining bytes ×8 (any nonzero-size item needs at least a bit)
-    AND the absolute zero-size-item budget (legal zero-byte items,
-    e.g. array of "null", satisfy any count with no bytes — the ×8
-    bound alone rejected legal files, round-14 ADVICE)."""
+    can only be satisfied by zero-ENCODED-size items — spec-legal
+    (array of "null"), so it is not rejected outright (round-14
+    ADVICE) but drawn from the file's CUMULATIVE zero-size allowance,
+    which caps the total memory a crafted stream of such blocks can
+    demand (round-14 review)."""
     while True:
         n = _zigzag_decode(buf)
         if n == 0:
@@ -143,12 +176,8 @@ def _block_counts(buf: io.BytesIO):
             n = -n
             _zigzag_decode(buf)
         remaining = len(buf.getbuffer()) - buf.tell()
-        if n > max(remaining, 1) * 8 and n > _ZERO_SIZE_ITEM_BUDGET:
-            raise ValueError(
-                f"avro: block count {n} exceeds the plausible budget "
-                f"of the {remaining} remaining bytes and the "
-                f"{_ZERO_SIZE_ITEM_BUDGET}-item zero-size budget"
-            )
+        if n > max(remaining, 1) * 8:
+            _zs_consume(n, "block")
         yield n
 
 
@@ -675,6 +704,7 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
     against reader_schema when given (recursively — see module
     docstring); without one, rows take the writer schema's shape."""
     buf = io.BytesIO(payload)
+    _zs_reset()  # fresh cumulative zero-size allowance for this file
     if buf.read(4) != _MAGIC:
         raise ValueError("avro: bad magic")
     meta: dict[str, bytes] = {}
@@ -724,22 +754,20 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
                 data = zlib.decompress(data, -15)
             except zlib.error as exc:
                 raise ValueError(f"avro: corrupt deflate block: {exc}")
-        if count > max(len(data), 1) * 8 and count > _ZERO_SIZE_ITEM_BUDGET:
+        if count > max(len(data), 1) * 8:
             # Corrupt huge counts with zero-byte rows (empty-record /
             # all-null schemas) would append items until OOM — the
             # truncation guard below never fires when decode consumes
             # 0 bytes (round-13 review). But zero-byte rows are spec-
             # LEGAL, so bytes×8 alone rejected write_ocf's own output
-            # for an empty-record schema (round-14 ADVICE): only a
-            # count over BOTH the byte bound and the absolute
-            # zero-size budget is implausible. Under-budget corrupt
-            # counts stay memory-bounded and are caught by the
-            # trailing-bytes / sync checks below.
-            raise ValueError(
-                f"avro: block row count {count} exceeds the plausible "
-                f"budget of a {len(data)}-byte block and the "
-                f"{_ZERO_SIZE_ITEM_BUDGET}-row zero-size budget"
-            )
+            # for an empty-record schema (round-14 ADVICE): a count
+            # past the byte bound instead draws from the file's
+            # CUMULATIVE zero-size allowance — per-block caps
+            # multiplied under repeated crafted blocks (round-14
+            # review). Under-allowance corrupt counts stay memory-
+            # bounded and are caught by the trailing-bytes / sync
+            # checks below.
+            _zs_consume(count, "block row")
         bbuf = io.BytesIO(data)
         for _ in range(count):
             rows.append(row_fn(bbuf))

@@ -247,17 +247,38 @@ def stream_upsert_state(
     if store_dir is None:
         from ocdb_server_spark.scratch import scratch_dir
 
-        # Qualify the default explicitly: scratch_dir is a LOCAL path
-        # (created and reaped through os.*), but a scheme-less string
-        # resolves against fs.defaultFS — on a remote-defaultFS
-        # deployment (hdfs/s3a) the existence probe below would resolve
-        # against the remote FS while scratch.py manages a local dir,
-        # and a probe/writer split declares every batch "first" —
-        # reintroducing the silent-overwrite loss mode the probe was
-        # added to close (round-14 ADVICE). file:// pins every consumer
-        # of `path` — probe, merge read, write, final read — to the
-        # filesystem scratch_dir actually lives on.
-        store_dir = "file://" + scratch_dir("upsert_store", sf_dir)
+        # Default store placement is SCHEME-AWARE (round-14 ADVICE +
+        # round-14 review, which corrected the first fix):
+        # - local defaultFS (local[...] and single-node tests): pin the
+        #   scratch path with file:// so the probe below, the writes,
+        #   the final read AND scratch.py's create/reap all name the
+        #   same directory even if defaultFS is later reconfigured.
+        # - REMOTE defaultFS (hdfs/s3a cluster): file:// would be
+        #   executor-LOCAL — each task writing its shard to its own
+        #   machine's disk while the driver probes its own (empty) one:
+        #   silent state loss. Keep the scheme-less path instead: probe,
+        #   writer and reader all resolve it against the SAME defaultFS
+        #   (Path.getFileSystem and DataFrameWriter use one resolution),
+        #   so the store is consistent — it merely lives outside
+        #   scratch.py's local reaping, which the warning says out loud
+        #   (pass store_dir explicitly to choose the location).
+        base = scratch_dir("upsert_store", sf_dir)
+        default_fs = spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if default_fs.startswith("file:"):
+            store_dir = "file://" + base
+        else:
+            import warnings
+
+            warnings.warn(
+                f"stream_upsert_state default store {base!r} resolves "
+                f"against remote defaultFS {default_fs!r}; it is shared "
+                f"and consistent but outside local scratch reaping — "
+                f"pass store_dir to place it deliberately",
+                stacklevel=2,
+            )
+            store_dir = base
     path = store_dir + "/state"
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
 

@@ -1130,14 +1130,33 @@ def test_avro_zero_byte_rows_legal_and_corrupt_count_rejected():
     arows = [{"xs": [None] * 500, "m": {f"k{i}": None for i in range(20)}}]
     assert read_ocf(write_ocf(arr, arows)) == arows
 
-    # corrupt: a zero-size block whose count is past the absolute
-    # budget must raise up front (the OOM mode the guard targets)
+    # a MULTI-block zero-size file under the cumulative cap is legal
+    multi = [{} for _ in range(3000)]           # 3 blocks of 1000
+    assert read_ocf(write_ocf(empty, multi)) == multi
+
+    # corrupt: one block whose count is past the whole budget
     payload = bytearray(write_ocf(empty, []))   # header only, no blocks
     payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET * 1024)  # row count
     payload += _zigzag_encode(0)                # block byte size: zero
     payload += _SYNC
-    with pytest.raises(ValueError, match="plausible"):
+    with pytest.raises(ValueError, match="zero-size budget"):
         read_ocf(bytes(payload))
+
+    # corrupt: the budget is CUMULATIVE — K repeated at-budget blocks
+    # must not multiply it K-fold (round-14 review's crafted OOM: each
+    # ~12-byte block claimed 2^20 rows and a per-block cap passed all
+    # of them)
+    payload = bytearray(write_ocf(empty, []))
+    for _ in range(8):
+        payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET // 2)
+        payload += _zigzag_encode(0)
+        payload += _SYNC
+    with pytest.raises(ValueError, match="zero-size budget"):
+        read_ocf(bytes(payload))
+
+    # ...and the allowance does NOT leak across files: the same legal
+    # corpus re-reads clean after the rejected stream above
+    assert read_ocf(write_ocf(empty, multi)) == multi
 
 
 def test_avro_jvm_interop_complex_types(spark):

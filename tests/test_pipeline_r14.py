@@ -32,11 +32,13 @@ def test_geojson_is_valid_point_of_the_row_coords(page):
         assert g == {"type": "Point", "coordinates": [r.x, r.y]}
 
 
-def test_envelope_total_count_is_the_full_hit_count(spark, sf_dir, duck):
+def test_envelope_total_count_is_the_full_hit_count(page, duck):
     """total_count is the WHOLE query's hit count (the page merely
     windows it): constant across rows and equal to an independent
-    DuckDB count of the same predicate."""
-    rows = OPS["op267_find_datasets_geojson"].fn(spark, sf_dir).collect()
+    DuckDB count of the same predicate. Reuses the module fixture —
+    find_datasets runs a persist+count+collect per call (round-14
+    review)."""
+    rows = page
     totals = {r.total_count for r in rows}
     assert len(totals) == 1
     expected = duck.execute(
