@@ -170,7 +170,13 @@ FROM comp GROUP BY component HAVING COUNT(*) > 1
 """
 
 
-@register("op96_dedup_components", oracle=_OP96_SQL)
+@register(
+    "op96_dedup_components",
+    oracle=_OP96_SQL,
+    # both kernels the plan lives in: the candidate-pair generator and
+    # the iterative min-label CC (round-14 helper audit)
+    deps=(connected_components, ngram_jaccard_pairs),
+)
 def op96_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over documents: exact 3-gram-Jaccard ≥ 0.5
     candidate pairs (ngram_jaccard_pairs, cross-source) → connected

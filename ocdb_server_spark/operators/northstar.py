@@ -257,7 +257,13 @@ def minhash_neardup_pairs(
     return pairs
 
 
-@register("op79_minhash_neardup", oracle=None)  # ROWS: LSH banding is approximate
+@register(
+    "op79_minhash_neardup",
+    oracle=None,  # ROWS: LSH banding is approximate
+    # the plan lives in the kernel (round-12 deps rule, applied to the
+    # dedup family in round 14): a signature/banding rewrite re-fronts
+    deps=(minhash_neardup_pairs,),
+)
 def op79_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs over the documents table (see
     minhash_neardup_pairs). At sf0.01 the corpus has no near-dups, so

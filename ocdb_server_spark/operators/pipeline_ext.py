@@ -72,7 +72,11 @@ def simhash_signatures(
     return votes.select(F.col("id").alias(id_col), sh.alias("sh"))
 
 
-@register("op88_simhash_neardup", oracle=None)  # ROWS: xxhash64 has no DuckDB equiv
+@register(
+    "op88_simhash_neardup",
+    oracle=None,  # ROWS: xxhash64 has no DuckDB equiv
+    deps=(simhash_signatures,),  # the plan lives in the kernel
+)
 def op88_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit signatures, pigeonhole
     banding on 4 × 16-bit chunks (any pair with hamming ≤ 3 must share
@@ -249,7 +253,11 @@ def ngram_jaccard_pairs(
     )
 
 
-@register("op89_ngram_jaccard", oracle=_OP89_SQL)
+@register(
+    "op89_ngram_jaccard",
+    oracle=_OP89_SQL,
+    deps=(ngram_jaccard_pairs, ngram_jaccard_pairs_ctes),
+)
 def op89_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard similarity for same-source doc pairs with
     J ≥ 0.1 — exact set-overlap near-dup scoring (see
@@ -315,7 +323,11 @@ def lsh_neardup_pairs(
     )
 
 
-@register("op90_embedding_neardup_lsh", oracle=None)  # ROWS: LSH is approximate
+@register(
+    "op90_embedding_neardup_lsh",
+    oracle=None,  # ROWS: LSH is approximate
+    deps=(lsh_neardup_pairs,),  # the plan lives in the kernel
+)
 def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates over the embeddings table
     (banded random-hyperplane LSH → exact cosine ≥ 0.8 verify; see
@@ -514,7 +526,11 @@ def op93_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- op94
 
 
-@register("op94_doc_fingerprint", oracle=None)  # ROWS: xxhash64 not in DuckDB
+@register(
+    "op94_doc_fingerprint",
+    oracle=None,  # ROWS: xxhash64 not in DuckDB
+    deps=(winnow_fingerprints,),  # the plan lives in the kernel
+)
 def op94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (rolling 5-gram hash, window
     4): the substring-level dedup sketch. Observables: fingerprint
@@ -764,7 +780,10 @@ def _ivf_k_for(sf_dir: str) -> int:
 @register(
     "op95_sim_ivf_knn",
     oracle=None,  # ROWS: IVF probe is approximate
-    deps=(ivf_topk,),  # the plan lives in the kernel (round-12 deps rule)
+    # the plan lives in the kernel (round-12 deps rule); _ivf_k_for
+    # shapes the probe set and was the one undeclared call (round-14
+    # helper audit)
+    deps=(ivf_topk, _ivf_k_for),
 )
 def op95_sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors of the vec_id=0 query
