@@ -911,6 +911,43 @@ def test_avro_roundtrip_property(rows, codec, block):
     assert back == rows
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "x": st.none(),                                # 0 bytes
+                "xs": st.lists(st.none(), max_size=50),        # 0 b/item
+                "m": st.dictionaries(
+                    st.text(min_size=1, max_size=5), st.none(), max_size=8
+                ),
+            }
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 7),
+)
+def test_avro_zero_size_roundtrip_property(rows, codec, block):
+    """Hypothesis over the zero-ENCODED-size shapes the round-14 guard
+    work touched (null fields, arrays/maps of null): every batch must
+    survive the round-trip for both codecs and any block size — the
+    class the r13 bytes×8 guard falsely rejected, and the cumulative
+    allowance must never fire on legal volumes."""
+    schema = {
+        "type": "record", "name": "Z", "fields": [
+            {"name": "x", "type": "null"},
+            {"name": "xs", "type": {"type": "array", "items": "null"}},
+            {"name": "m", "type": {"type": "map", "values": "null"}},
+        ],
+    }
+    back = read_ocf(
+        write_ocf(schema, rows, codec=codec, rows_per_block=block)
+    )
+    assert back == rows
+
+
 def test_avro_resolution_type_mismatch_rejected_and_promotions_applied():
     """Round-7 review: name-match alone is not resolution -- an
     incompatible reader type must raise, and the spec's promotions
