@@ -74,6 +74,16 @@ def main() -> None:
         )
     t_setup = time.perf_counter() - t_start
 
+    # Warm-up: the FIRST timed op used to absorb the session's one-time
+    # costs (py4j bring-up, bare-session tuning, parquet footer cache) —
+    # the r14 dump recorded op03 at 4.6 s vs ~1 s warmed, which skews
+    # the cheapest-first ordering the dump exists to feed. One throwaway
+    # scan amortizes that before any measurement starts.
+    try:
+        spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    except Exception:
+        pass  # warm-up must never break the sweep
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries.items():
