@@ -57,6 +57,45 @@ def test_envelope_total_count_is_the_full_hit_count(page, duck):
     assert keys == sorted(keys)
 
 
+def test_geojson_composes_with_keyset_cursor(spark, sf_dir, page):
+    """The docstring's deep-pagination claim, proven: walking the same
+    query with the keyset cursor (q.after) yields exactly the
+    offset-page's rows — same keys, same geojson bytes — in two
+    non-overlapping cursor pages."""
+    from pyspark.sql import functions as F
+
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.search import (
+        DatasetQuery,
+        SearchColumns,
+        find_datasets,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 360 - 180).alias("x"),
+        ((F.col("c_custkey") * 7) % 180 - 90).alias("y"),
+    )
+    cols = SearchColumns(x="x", y="y", order_key="c_custkey")
+    base = dict(
+        expr="c_mktsegment:BUILDING",
+        region=(-120, -60, 120, 60),
+        geojson=True,
+    )
+    half = max(1, len(page) // 2)
+    p1 = find_datasets(
+        c, DatasetQuery(count=half, **base), cols
+    ).datasets.collect()
+    cursor = (p1[-1].c_custkey,)
+    p2 = find_datasets(
+        c, DatasetQuery(count=len(page) - half, after=cursor, **base), cols
+    ).datasets.collect()
+    walked = [(r.c_custkey, r.geojson) for r in p1 + p2]
+    assert walked == [(r.c_custkey, r.geojson) for r in page]
+    assert len({k for k, _ in walked}) == len(walked)  # no overlap
+
+
 def test_plan_shape_pushdown_topk_no_shuffle_no_pyudf(spark, sf_dir):
     """The 100 TB claims, asserted: segment equality reaches the scan
     (PushedFilters), the scan reads ONLY the two needed columns
