@@ -84,10 +84,13 @@ _TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _OWN: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _BARE: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
-# Sessions already warned about an explicit non-UTC timezone (the
-# events load leaves their choice alone but must say so LOUDLY once,
-# not on every read — round-14 ADVICE).
-_TZ_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+# Sessions already warned, once per session per WARNING KIND — the
+# two warnings are different facts about different states (we pinned
+# UTC over your JVM default / we left your explicit non-UTC alone and
+# the oracle will diverge), so one shared set let the first suppress
+# the second on the same session (round-14 review).
+_TZ_PIN_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+_TZ_SKIP_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def mark_session_configured(spark: SparkSession) -> None:
@@ -207,7 +210,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 except Exception:
                     jvm_tz = "UTC"
                 if jvm_tz not in ("UTC", "Etc/UTC", "GMT") and (
-                    spark not in _TZ_WARNED
+                    spark not in _TZ_PIN_WARNED
                 ):
                     import warnings
 
@@ -218,9 +221,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                         f"keep a non-UTC zone",
                         stacklevel=2,
                     )
-                    _TZ_WARNED.add(spark)
+                    _TZ_PIN_WARNED.add(spark)
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
-            elif tz != "UTC" and spark not in _TZ_WARNED:
+            elif tz != "UTC" and spark not in _TZ_SKIP_WARNED:
                 import warnings
 
                 warnings.warn(
@@ -230,7 +233,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f"naive/UTC oracle on this session",
                     stacklevel=2,
                 )
-                _TZ_WARNED.add(spark)
+                _TZ_SKIP_WARNED.add(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events(df)

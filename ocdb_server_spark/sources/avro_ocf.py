@@ -111,48 +111,67 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-# CUMULATIVE budget for ZERO-BYTE items, per top-level decode. Items
-# that encode to zero bytes (record of nulls / empty-fields record,
-# array/map of "null") are spec-LEGAL, so a pure bytes×k plausibility
-# bound rejects legal files — round-13's 8×-bytes guard failed
-# write_ocf's own output for an empty-record schema (round-14 ADVICE).
-# But zero bytes → unbounded logical items has no information-theoretic
-# bound, so SOME absolute cap is unavoidable; and a per-block cap is
-# not enough — K repeated at-budget blocks multiply it K-fold (the
-# round-14 review's crafted multi-block OOM). The budget is therefore
-# an allowance CONSUMED ACROSS the whole file (read_ocf resets it per
-# call; every consumer — row blocks, arrays, maps, metadata — draws
-# from the same pot), bounding worst-case transient memory to ~64 MB
-# of empty rows per file regardless of block structure. Only counts
-# that EXCEED the bytes×8 bound draw from it: data-bearing blocks are
-# bounded by their own bytes and never touch the allowance. Documented
-# subset limit (alongside "no named-type references"): a legal file
-# carrying >2^20 zero-ENCODED-size items total is rejected; real
+# CUMULATIVE budget for ZERO-ADVANCE decodes, per file. Items that
+# encode to zero bytes (record of nulls / empty-fields record, array of
+# "null") are spec-LEGAL, so a bytes×k plausibility bound on the COUNT
+# rejects legal files — round-13's 8×-bytes guard failed write_ocf's
+# own output for an empty-record schema (round-14 ADVICE). But zero
+# bytes → unbounded logical items has no information-theoretic bound,
+# so SOME absolute cap is unavoidable; and no count-based gate works:
+# a per-block cap multiplies K-fold over K crafted blocks, and a
+# bytes×8 exemption is bypassed by padding a block with junk bytes the
+# items never consume (both round-14 review findings). The guard is
+# therefore exactly what the ADVICE originally prescribed — detect the
+# NON-ADVANCING DECODE itself: every decode loop (file row blocks,
+# arrays, resolver arrays) checks whether the item consumed bytes, and
+# only zero-advance items draw from ONE allowance shared across the
+# whole file (read_ocf opens/closes it; maps and metadata always
+# advance via their length-prefixed keys and need no accounting).
+# Data-consuming items are bounded by the payload's own bytes via
+# _read_exact truncation. Worst-case transient memory per file is
+# ~64 MB of empty rows regardless of block structure or counts.
+# Documented subset limit (alongside "no named-type references"): a
+# file carrying >2^20 zero-encoded-size items total is rejected; real
 # writers (ours flushes 1000-row blocks) sit orders of magnitude
 # below it.
 _ZERO_SIZE_ITEM_BUDGET = 1_048_576
 
+# Per-block decompressed-size cap: zlib inflates up to ~1032× its
+# input, so an unbounded decompress lets a 64 KB crafted deflate block
+# allocate gigabytes before any row decodes (round-14 review). 256 MiB
+# is orders of magnitude above any real writer's block (ours: ≤1000
+# rows per block) while bounding the amplification.
+_MAX_BLOCK_BYTES = 1 << 28
+
 _ZS_STATE = threading.local()
 
 
-def _zs_reset() -> None:
-    """Start a fresh zero-size allowance (called per read_ocf file)."""
+def _zs_open() -> None:
+    """Open a fresh zero-advance allowance (read_ocf, per file)."""
     _ZS_STATE.left = _ZERO_SIZE_ITEM_BUDGET
 
 
-def _zs_consume(n: int, context: str) -> None:
-    """Draw n zero-size items from the current allowance; loud when the
-    file's cumulative zero-size total passes the budget. Thread-local:
-    decode paths never span threads, and a standalone _decode call
-    (no read_ocf frame) lazily gets its own allowance."""
+def _zs_close() -> None:
+    """Close the file's allowance so the next consumer — another file,
+    or a standalone _decode chain — starts fresh (round-14 review: a
+    drained allowance leaking past read_ocf spuriously rejected later
+    standalone decodes on the same thread)."""
+    _ZS_STATE.left = None
+
+
+def _zs_tick(context: str) -> None:
+    """Record ONE zero-advance decode; loud when the file's cumulative
+    zero-advance total passes the budget. Thread-local: decode paths
+    never span threads; a standalone decode chain (no read_ocf frame)
+    lazily opens its own allowance, kept until the next read_ocf."""
     left = getattr(_ZS_STATE, "left", None)
     if left is None:
         left = _ZERO_SIZE_ITEM_BUDGET
-    left -= n
+    left -= 1
     if left < 0:
         raise ValueError(
-            f"avro: {context} count {n} exceeds the cumulative "
-            f"{_ZERO_SIZE_ITEM_BUDGET}-item zero-size budget for this file"
+            f"avro: {context} items decode to zero bytes past the "
+            f"cumulative {_ZERO_SIZE_ITEM_BUDGET}-item budget for this file"
         )
     _ZS_STATE.left = left
 
@@ -161,13 +180,12 @@ def _block_counts(buf: io.BytesIO):
     """Iterate the spec's block counts (arrays, maps, file metadata):
     yields positive item counts until the 0 terminator; a NEGATIVE
     count means abs(count) items preceded by the block's byte size
-    (read and discarded — we never skip blocks). A count over the
-    remaining bytes ×8 (any nonzero-size item needs at least a bit)
-    can only be satisfied by zero-ENCODED-size items — spec-legal
-    (array of "null"), so it is not rejected outright (round-14
-    ADVICE) but drawn from the file's CUMULATIVE zero-size allowance,
-    which caps the total memory a crafted stream of such blocks can
-    demand (round-14 review)."""
+    (read and discarded — we never skip blocks). Counts are NOT
+    plausibility-gated here: any count-based bound either rejects
+    legal zero-size items (round-14 ADVICE) or is bypassed by junk
+    padding (round-14 review) — the CALLER's decode loop accounts for
+    actual zero-advance items via _zs_tick, and data-consuming items
+    hit _read_exact truncation."""
     while True:
         n = _zigzag_decode(buf)
         if n == 0:
@@ -175,9 +193,6 @@ def _block_counts(buf: io.BytesIO):
         if n < 0:
             n = -n
             _zigzag_decode(buf)
-        remaining = len(buf.getbuffer()) - buf.tell()
-        if n > max(remaining, 1) * 8:
-            _zs_consume(n, "block")
         yield n
 
 
@@ -438,11 +453,19 @@ def _decode(t, buf: io.BytesIO):
         return syms[idx]
     if k == "array":
         out = []
+        prev = buf.tell()
         for n in _block_counts(buf):
             for _ in range(n):
                 out.append(_decode(t["items"], buf))
+                pos = buf.tell()
+                if pos == prev:
+                    _zs_tick("array")  # zero-advance item (e.g. null)
+                else:
+                    prev = pos
         return out
     if k == "map":
+        # map items always advance: the key is length-prefixed (≥1
+        # byte of varint) — no zero-advance accounting needed
         out = {}
         for n in _block_counts(buf):
             for _ in range(n):
@@ -586,9 +609,15 @@ def _make_resolver(wt, rt):
 
         def read_array(buf):
             out = []
+            prev = buf.tell()
             for n in _block_counts(buf):
                 for _ in range(n):
                     out.append(item_fn(buf))
+                    pos = buf.tell()
+                    if pos == prev:
+                        _zs_tick("array")  # zero-advance resolved item
+                    else:
+                        prev = pos
             return out
         return read_array
 
@@ -703,8 +732,17 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
     """Parse OCF bytes into rows, applying the spec's schema resolution
     against reader_schema when given (recursively — see module
     docstring); without one, rows take the writer schema's shape."""
+    _zs_open()  # fresh cumulative zero-advance allowance for this file
+    try:
+        return _read_ocf_inner(payload, reader_schema)
+    finally:
+        _zs_close()  # never leak a drained allowance past this file
+
+
+def _read_ocf_inner(
+    payload: bytes, reader_schema: dict | None
+) -> list[dict]:
     buf = io.BytesIO(payload)
-    _zs_reset()  # fresh cumulative zero-size allowance for this file
     if buf.read(4) != _MAGIC:
         raise ValueError("avro: bad magic")
     meta: dict[str, bytes] = {}
@@ -750,27 +788,40 @@ def read_ocf(payload: bytes, reader_schema: dict | None = None) -> list[dict]:
             raise ValueError(f"avro: bad block row count {count}")
         data = _read_exact(buf, size)
         if codec == "deflate":
+            # bounded inflate: an unbounded decompress lets a ~64 KB
+            # crafted block allocate gigabytes (zlib amplifies up to
+            # ~1032×) before any row decodes (round-14 review)
             try:
-                data = zlib.decompress(data, -15)
+                dec = zlib.decompressobj(-15)
+                out = dec.decompress(data, _MAX_BLOCK_BYTES)
+                if not dec.unconsumed_tail:
+                    out += dec.flush()  # drain any buffered remainder
+                if dec.unconsumed_tail or len(out) > _MAX_BLOCK_BYTES:
+                    raise ValueError(
+                        f"avro: deflate block inflates past the "
+                        f"{_MAX_BLOCK_BYTES}-byte budget"
+                    )
+                data = out
             except zlib.error as exc:
                 raise ValueError(f"avro: corrupt deflate block: {exc}")
-        if count > max(len(data), 1) * 8:
-            # Corrupt huge counts with zero-byte rows (empty-record /
-            # all-null schemas) would append items until OOM — the
-            # truncation guard below never fires when decode consumes
-            # 0 bytes (round-13 review). But zero-byte rows are spec-
-            # LEGAL, so bytes×8 alone rejected write_ocf's own output
-            # for an empty-record schema (round-14 ADVICE): a count
-            # past the byte bound instead draws from the file's
-            # CUMULATIVE zero-size allowance — per-block caps
-            # multiplied under repeated crafted blocks (round-14
-            # review). Under-allowance corrupt counts stay memory-
-            # bounded and are caught by the trailing-bytes / sync
-            # checks below.
-            _zs_consume(count, "block row")
+        # No count-based plausibility gate here: any such bound either
+        # rejects legal zero-size rows (round-14 ADVICE) or is bypassed
+        # by junk padding the rows never consume (round-14 review).
+        # Corrupt huge counts with zero-byte rows (empty-record /
+        # all-null schemas) would append items until OOM — the
+        # truncation guard never fires when decode consumes 0 bytes
+        # (round-13 review) — so the loop accounts for every ACTUAL
+        # zero-advance decode against the file's cumulative allowance;
+        # data-consuming rows are bounded by the block's own bytes.
         bbuf = io.BytesIO(data)
+        prev = bbuf.tell()
         for _ in range(count):
             rows.append(row_fn(bbuf))
+            pos = bbuf.tell()
+            if pos == prev:
+                _zs_tick("block row")
+            else:
+                prev = pos
         if bbuf.read(1):
             # count smaller than the rows actually serialized would
             # silently drop the tail of the block

@@ -279,6 +279,17 @@ def stream_upsert_state(
                 stacklevel=2,
             )
             store_dir = base
+            # Fresh-per-call contract on the REMOTE side too (round-14
+            # review): scratch_dir wipes only the LOCAL dir, so a second
+            # call in this process — or a recycled PID — would find the
+            # previous call's remote store existing and silently merge
+            # stale state into this run's result. Mirror the wipe on
+            # the filesystem the path actually resolves to.
+            sc0 = spark.sparkContext
+            jp = sc0._jvm.org.apache.hadoop.fs.Path(store_dir)
+            rfs = jp.getFileSystem(sc0._jsc.hadoopConfiguration())
+            if rfs.exists(jp):
+                rfs.delete(jp, True)
     path = store_dir + "/state"
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
 

@@ -1171,12 +1171,13 @@ def test_avro_zero_byte_rows_legal_and_corrupt_count_rejected():
     multi = [{} for _ in range(3000)]           # 3 blocks of 1000
     assert read_ocf(write_ocf(empty, multi)) == multi
 
-    # corrupt: one block whose count is past the whole budget
+    # corrupt: one block whose count is past the whole budget (the
+    # loop detects the non-advancing decodes and stops at the cap)
     payload = bytearray(write_ocf(empty, []))   # header only, no blocks
     payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET * 1024)  # row count
     payload += _zigzag_encode(0)                # block byte size: zero
     payload += _SYNC
-    with pytest.raises(ValueError, match="zero-size budget"):
+    with pytest.raises(ValueError, match="budget"):
         read_ocf(bytes(payload))
 
     # corrupt: the budget is CUMULATIVE — K repeated at-budget blocks
@@ -1188,12 +1189,68 @@ def test_avro_zero_byte_rows_legal_and_corrupt_count_rejected():
         payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET // 2)
         payload += _zigzag_encode(0)
         payload += _SYNC
-    with pytest.raises(ValueError, match="zero-size budget"):
+    with pytest.raises(ValueError, match="budget"):
+        read_ocf(bytes(payload))
+
+    # corrupt: the round-14 review's bytes×8 BYPASS — pad the block
+    # with junk the zero-size rows never consume, so any count-vs-bytes
+    # plausibility gate passes; only advance accounting catches it
+    junk = b"\x5a" * 262_144                    # 256 KiB of padding
+    payload = bytearray(write_ocf(empty, []))
+    payload += _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET + 4096)  # ≤ 8×bytes
+    payload += _zigzag_encode(len(junk))
+    payload += junk
+    payload += _SYNC
+    with pytest.raises(ValueError, match="budget"):
         read_ocf(bytes(payload))
 
     # ...and the allowance does NOT leak across files: the same legal
-    # corpus re-reads clean after the rejected stream above
+    # corpus re-reads clean after the rejected streams above
     assert read_ocf(write_ocf(empty, multi)) == multi
+
+
+def test_avro_deflate_bomb_and_array_zero_advance_rejected():
+    """Round-14 review: (a) an unbounded zlib inflate let a small
+    crafted deflate block allocate ~1032× its size before any row
+    decoded — blocks must stop at the decompressed-size budget; (b) a
+    corrupt array-of-null count must stop at the zero-advance budget
+    even in a STANDALONE decode (no read_ocf frame), and read_ocf's
+    frame must leave later standalone decodes a fresh allowance."""
+    import io as _io
+    import zlib as _zlib
+
+    import pytest
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _MAX_BLOCK_BYTES,
+        _SYNC,
+        _ZERO_SIZE_ITEM_BUDGET,
+        _decode,
+        _zigzag_encode,
+    )
+
+    # (a) deflate bomb: one block claiming 1 row whose payload inflates
+    # past the budget
+    bomb_plain_len = _MAX_BLOCK_BYTES + 1024
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    bomb = co.compress(b"\x00" * bomb_plain_len) + co.flush()
+    empty = {"type": "record", "name": "E", "fields": []}
+    payload = bytearray(write_ocf(empty, [], codec="deflate"))
+    payload += _zigzag_encode(1)
+    payload += _zigzag_encode(len(bomb))
+    payload += bomb
+    payload += _SYNC
+    with pytest.raises(ValueError, match="inflates past"):
+        read_ocf(bytes(payload))
+
+    # (b) standalone array decode with a corrupt huge count of nulls
+    buf = _io.BytesIO(_zigzag_encode(1 << 40) + _zigzag_encode(0))
+    with pytest.raises(ValueError, match="budget"):
+        _decode({"type": "array", "items": "null"}, buf)
+    # a read_ocf frame must reset the thread's allowance afterwards:
+    # a legal file with zero-size rows still reads clean
+    legal = [{} for _ in range(min(1000, _ZERO_SIZE_ITEM_BUDGET))]
+    assert read_ocf(write_ocf(empty, legal)) == legal
 
 
 def test_avro_jvm_interop_complex_types(spark):
