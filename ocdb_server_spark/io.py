@@ -223,7 +223,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                     _TZ_PIN_WARNED.add(spark)
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
-            elif tz != "UTC" and spark not in _TZ_SKIP_WARNED:
+            elif (
+                # same UTC-equivalence whitelist as the jvm_tz branch
+                # above: an explicit 'Etc/UTC'/'GMT' causes no oracle
+                # divergence, so warning on it was a false alarm the
+                # JVM-default path already avoided (round-15 ADVICE)
+                tz not in ("UTC", "Etc/UTC", "GMT")
+                and spark not in _TZ_SKIP_WARNED
+            ):
                 import warnings
 
                 warnings.warn(

@@ -169,6 +169,14 @@ def _zs_tick(context: str) -> None:
         left = _ZERO_SIZE_ITEM_BUDGET
     left -= 1
     if left < 0:
+        # Close the allowance BEFORE raising: inside read_ocf the
+        # finally-side _zs_close makes this redundant, but a STANDALONE
+        # _decode chain has no closing frame — the drained allowance
+        # (left stuck at 0 from the previous tick) would persist on the
+        # thread and spuriously reject every later legal standalone
+        # decode until the next read_ocf (round-15 ADVICE; the same
+        # leak class the read_ocf _zs_close fix addressed).
+        _ZS_STATE.left = None
         raise ValueError(
             f"avro: {context} items decode to zero bytes past the "
             f"cumulative {_ZERO_SIZE_ITEM_BUDGET}-item budget for this file"
@@ -800,6 +808,26 @@ def _read_ocf_inner(
                     raise ValueError(
                         f"avro: deflate block inflates past the "
                         f"{_MAX_BLOCK_BYTES}-byte budget"
+                    )
+                # The one-shot zlib.decompress this bounded path
+                # replaced raised on a truncated stream; decompressobj
+                # does NOT — flush() on a mid-stream cut succeeds with
+                # partial output and empty unconsumed_tail, and a
+                # zero-byte-row schema would then decode its declared
+                # count from partial data without any error (round-15
+                # ADVICE). The stream-end flag is the truncation check.
+                if not dec.eof:
+                    raise ValueError(
+                        "avro: corrupt deflate block: truncated stream"
+                    )
+                if dec.unused_data:
+                    # bytes after the deflate stream's end inside the
+                    # block's declared size: the writer never emits
+                    # them and rows can't account for them — the
+                    # compressed-side twin of the trailing-bytes check
+                    # on the decoded side below
+                    raise ValueError(
+                        "avro: trailing bytes after deflate stream in block"
                     )
                 data = out
             except zlib.error as exc:

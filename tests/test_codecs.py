@@ -1253,6 +1253,84 @@ def test_avro_deflate_bomb_and_array_zero_advance_rejected():
     assert read_ocf(write_ocf(empty, legal)) == legal
 
 
+def test_avro_standalone_decode_allowance_resets_after_rejection():
+    """Round-15 ADVICE: a drained zero-advance allowance from a
+    STANDALONE _decode chain (no read_ocf frame to close it) used to
+    persist on the thread with left=0, so ONE rejected decode
+    spuriously rejected every later LEGAL standalone decode until the
+    next read_ocf. The raise path must hand back a fresh allowance."""
+    import io as _io
+
+    import pytest
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _decode,
+        _zigzag_encode,
+    )
+
+    arr_of_null = {"type": "array", "items": "null"}
+    # drain: corrupt huge count of zero-advance items → budget raise
+    bad = _io.BytesIO(_zigzag_encode(1 << 40) + _zigzag_encode(0))
+    with pytest.raises(ValueError, match="budget"):
+        _decode(arr_of_null, bad)
+    # a small LEGAL standalone decode on the same thread must succeed
+    # (pre-fix: left stuck at 0 → first zero-advance item rejected)
+    ok = _io.BytesIO(_zigzag_encode(3) + _zigzag_encode(0))
+    assert _decode(arr_of_null, ok) == [None, None, None]
+
+
+def test_avro_truncated_deflate_block_rejected():
+    """Round-15 ADVICE: the bounded-inflate path (decompressobj) never
+    checked dec.eof — a deflate stream cut mid-block leaves
+    unconsumed_tail empty and flush() succeeds with PARTIAL output,
+    where the one-shot zlib.decompress it replaced raised. With a
+    zero-byte-row schema the partial (empty) output then 'decodes' the
+    declared count without any error — silent fabricated rows."""
+    import zlib as _zlib
+
+    import pytest
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _SYNC,
+        _zigzag_encode,
+    )
+
+    empty = {"type": "record", "name": "E", "fields": []}
+    # (a) truncated stream producing ZERO output bytes: deflate of b""
+    # is b"\x03\x00"; its 1-byte prefix inflates to b"" with eof unset.
+    # Pre-fix this read "succeeded" with 5 rows minted from a corrupt
+    # block; now it must be loud.
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    full = co.compress(b"") + co.flush()
+    assert full == b"\x03\x00"
+    cut = full[:1]
+    payload = bytearray(write_ocf(empty, [], codec="deflate"))
+    payload += _zigzag_encode(5)        # block claims 5 zero-byte rows
+    payload += _zigzag_encode(len(cut))
+    payload += cut
+    payload += _SYNC
+    with pytest.raises(ValueError, match="truncated stream"):
+        read_ocf(bytes(payload))
+
+    # (b) junk bytes AFTER a complete deflate stream inside the block's
+    # declared size: the decoded rows can never account for them, so
+    # the compressed side must reject them like the decoded side does
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    good = co.compress(b"") + co.flush()
+    blob = good + b"\xde\xad"
+    payload = bytearray(write_ocf(empty, [], codec="deflate"))
+    payload += _zigzag_encode(1)
+    payload += _zigzag_encode(len(blob))
+    payload += blob
+    payload += _SYNC
+    with pytest.raises(ValueError, match="trailing bytes after deflate"):
+        read_ocf(bytes(payload))
+
+    # (c) a legal deflate file still round-trips after the guards
+    rows = [{} for _ in range(7)]
+    assert read_ocf(write_ocf(empty, rows, codec="deflate")) == rows
+
+
 def test_avro_jvm_interop_complex_types(spark):
     """Complex types against the independent avro-1.12 implementation
     on Spark's classpath: our OCF bytes parse in DataFileReader

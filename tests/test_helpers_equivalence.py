@@ -276,6 +276,22 @@ def test_events_read_respects_external_session_timezone(spark, sf_dir):
     load_table(unset, sf_dir, "events").limit(1).collect()
     assert unset.conf.get("spark.sql.session.timeZone") == "UTC"
 
+    # Round-15 ADVICE: an explicit UTC-EQUIVALENT alias (Etc/UTC, GMT)
+    # causes no oracle divergence — the JVM-default branch whitelists
+    # exactly those aliases, so the explicit branch must stay quiet on
+    # them too (it used to fire the divergence warning).
+    alias = spark.newSession()
+    alias.conf.set("spark.sql.shuffle.partitions", "7")  # configured ≠ bare
+    alias.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    with _warnings.catch_warnings(record=True) as quiet:
+        _warnings.simplefilter("always")
+        load_table(alias, sf_dir, "events").limit(1).collect()
+    # the explicit choice is still left alone — only the warning goes
+    assert alias.conf.get("spark.sql.session.timeZone") == "Etc/UTC"
+    assert not any("timeZone" in str(w.message) for w in quiet), (
+        "warned for an explicit UTC-equivalent timezone alias"
+    )
+
 
 def test_upsert_movable_full_rewrite_under_dynamic_session(spark, tmp_path):
     """Round-13 review: the movable-partitions branch relied on the
