@@ -74,6 +74,14 @@ OPS = [
     # is built on one executor topology and must serve both actions),
     # with the to_json assembly running inside executor codegen.
     "op267_find_datasets_geojson",
+    # round-15 additions: the avro OCF round-trips after the r15
+    # kernel guards (truncated-deflate eof check, zero-advance
+    # allowance reset) — the pure-Python encode/decode runs inside
+    # mapInPandas on executor-forked Python workers across real JVM
+    # boundaries, with the per-partition OCF files written and read
+    # back executor-side.
+    "op252_avro_roundtrip",
+    "op258_avro_records_sink",
 ]
 
 
