@@ -92,6 +92,12 @@ _BARE: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _TZ_PIN_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 _TZ_SKIP_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
+# Zone IDs equivalent to UTC for oracle parity — shared by the
+# JVM-default and explicit-conf branches below so the two can never
+# drift apart again (session review: the round-15 ADVICE fix copied
+# the tuple into the second branch; one list, one edit point).
+_UTC_ALIASES = ("UTC", "Etc/UTC", "GMT")
+
 
 def mark_session_configured(spark: SparkSession) -> None:
     """Exempt a session from bare-session tuning: it picked its own
@@ -209,7 +215,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 except Exception:
                     jvm_tz = "UTC"
-                if jvm_tz not in ("UTC", "Etc/UTC", "GMT") and (
+                if jvm_tz not in _UTC_ALIASES and (
                     spark not in _TZ_PIN_WARNED
                 ):
                     import warnings
@@ -228,7 +234,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # above: an explicit 'Etc/UTC'/'GMT' causes no oracle
                 # divergence, so warning on it was a false alarm the
                 # JVM-default path already avoided (round-15 ADVICE)
-                tz not in ("UTC", "Etc/UTC", "GMT")
+                tz not in _UTC_ALIASES
                 and spark not in _TZ_SKIP_WARNED
             ):
                 import warnings

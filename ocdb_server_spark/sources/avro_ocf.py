@@ -169,13 +169,12 @@ def _zs_tick(context: str) -> None:
         left = _ZERO_SIZE_ITEM_BUDGET
     left -= 1
     if left < 0:
-        # Close the allowance BEFORE raising: inside read_ocf the
-        # finally-side _zs_close makes this redundant, but a STANDALONE
-        # _decode chain has no closing frame — the drained allowance
-        # (left stuck at 0 from the previous tick) would persist on the
-        # thread and spuriously reject every later legal standalone
-        # decode until the next read_ocf (round-15 ADVICE; the same
-        # leak class the read_ocf _zs_close fix addressed).
+        # Close the allowance BEFORE raising (round-15 ADVICE). The
+        # _decode frame and read_ocf's finally both make this redundant
+        # on their paths; it remains as the degrade-gracefully backstop
+        # for any OTHER chain that lazily opened through this function
+        # (e.g. a resolver read-fn invoked standalone) so a drained
+        # allowance never outlives its budget error on those paths.
         _ZS_STATE.left = None
         raise ValueError(
             f"avro: {context} items decode to zero bytes past the "
@@ -426,6 +425,28 @@ def _encode(t, v) -> bytes:
 
 
 def _decode(t, buf: io.BytesIO):
+    """Decode one value. When no zero-advance allowance is active on
+    the thread (i.e. this is a STANDALONE decode chain, not a call
+    under a read_ocf frame), open a fresh per-chain allowance and
+    close it on EVERY exit path. The round-15 ADVICE fix reset the
+    allowance only in _zs_tick's budget-raise branch; the session
+    review showed any OTHER exception after the allowance drained —
+    e.g. a truncated varint right after the last legal zero-advance
+    item — still leaked left=0 to the thread and spuriously rejected
+    the next legal standalone decode. A frame (try/finally), exactly
+    like read_ocf's, covers all exit paths at once; nested recursive
+    calls see the open allowance and pass through, preserving
+    cumulative accounting within the chain."""
+    if getattr(_ZS_STATE, "left", None) is None:
+        _zs_open()
+        try:
+            return _decode_inner(t, buf)
+        finally:
+            _zs_close()
+    return _decode_inner(t, buf)
+
+
+def _decode_inner(t, buf: io.BytesIO):
     k = _kind(t)
     if k == "union":
         idx = _zigzag_decode(buf)
@@ -820,12 +841,19 @@ def _read_ocf_inner(
                     raise ValueError(
                         "avro: corrupt deflate block: truncated stream"
                     )
-                if dec.unused_data:
-                    # bytes after the deflate stream's end inside the
-                    # block's declared size: the writer never emits
-                    # them and rows can't account for them — the
-                    # compressed-side twin of the trailing-bytes check
-                    # on the decoded side below
+                if len(dec.unused_data) > 4:
+                    # Bytes after the deflate stream's end inside the
+                    # block's declared size. A SHORT tail is valid in
+                    # the wild and must be tolerated (session review):
+                    # the Apache Avro Python library and fastavro both
+                    # write deflate blocks as zlib.compress(data)[2:-1]
+                    # — zlib header stripped, but 3 of the 4 Adler-32
+                    # trailer bytes left in the block (verified: such a
+                    # block inflates clean with eof set and 3 bytes of
+                    # unused_data). 4 covers the full-trailer [2:]
+                    # variant. Anything longer is junk no known writer
+                    # emits — the compressed-side twin of the decoded
+                    # trailing-bytes check below.
                     raise ValueError(
                         "avro: trailing bytes after deflate stream in block"
                     )

@@ -1268,6 +1268,8 @@ def test_avro_standalone_decode_allowance_resets_after_rejection():
         _zigzag_encode,
     )
 
+    from ocdb_server_spark.sources.avro_ocf import _ZERO_SIZE_ITEM_BUDGET
+
     arr_of_null = {"type": "array", "items": "null"}
     # drain: corrupt huge count of zero-advance items → budget raise
     bad = _io.BytesIO(_zigzag_encode(1 << 40) + _zigzag_encode(0))
@@ -1277,6 +1279,18 @@ def test_avro_standalone_decode_allowance_resets_after_rejection():
     # (pre-fix: left stuck at 0 → first zero-advance item rejected)
     ok = _io.BytesIO(_zigzag_encode(3) + _zigzag_encode(0))
     assert _decode(arr_of_null, ok) == [None, None, None]
+
+    # Session review's residual: the allowance must also survive a
+    # NON-budget failure after an exact drain. A block declaring
+    # exactly the budget of nulls ticks left to 0 LEGALLY, then the
+    # stream truncates before the terminator varint — the raise path
+    # is 'truncated varint', which the in-tick reset never sees; only
+    # the _decode frame's finally hands back a fresh allowance.
+    drained = _io.BytesIO(_zigzag_encode(_ZERO_SIZE_ITEM_BUDGET))  # no 0-end
+    with pytest.raises(ValueError, match="truncated varint"):
+        _decode(arr_of_null, drained)
+    ok2 = _io.BytesIO(_zigzag_encode(2) + _zigzag_encode(0))
+    assert _decode(arr_of_null, ok2) == [None, None]
 
 
 def test_avro_truncated_deflate_block_rejected():
@@ -1314,10 +1328,11 @@ def test_avro_truncated_deflate_block_rejected():
 
     # (b) junk bytes AFTER a complete deflate stream inside the block's
     # declared size: the decoded rows can never account for them, so
-    # the compressed side must reject them like the decoded side does
+    # the compressed side rejects tails LONGER than the 4-byte
+    # checksum allowance (see (d) — short tails are valid in the wild)
     co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
     good = co.compress(b"") + co.flush()
-    blob = good + b"\xde\xad"
+    blob = good + b"\xde\xad\xbe\xef\x00"  # 5 > the 4-byte allowance
     payload = bytearray(write_ocf(empty, [], codec="deflate"))
     payload += _zigzag_encode(1)
     payload += _zigzag_encode(len(blob))
@@ -1329,6 +1344,28 @@ def test_avro_truncated_deflate_block_rejected():
     # (c) a legal deflate file still round-trips after the guards
     rows = [{} for _ in range(7)]
     assert read_ocf(write_ocf(empty, rows, codec="deflate")) == rows
+
+    # (d) INTEROP (session review): the Apache Avro Python library and
+    # fastavro write deflate blocks as zlib.compress(data)[2:-1] —
+    # raw stream plus 3 of the 4 Adler-32 trailer bytes. Such a block
+    # leaves eof SET and 3 bytes of unused_data; it must read clean.
+    from ocdb_server_spark.sources.avro_ocf import _encode
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "x", "type": "long"}]}
+    drows = [{"x": i * 7} for i in range(5)]
+    body = b"".join(_encode(schema, r) for r in drows)
+    shaped = _zlib.compress(body)[2:-1]  # the avro-python/fastavro shape
+    dec = _zlib.decompressobj(-15)
+    dec.decompress(shaped)
+    dec.flush()
+    assert dec.eof and len(dec.unused_data) == 3  # the shape under test
+    payload = bytearray(write_ocf(schema, [], codec="deflate"))
+    payload += _zigzag_encode(5)
+    payload += _zigzag_encode(len(shaped))
+    payload += shaped
+    payload += _SYNC
+    assert read_ocf(bytes(payload)) == drows
 
 
 def test_avro_jvm_interop_complex_types(spark):
