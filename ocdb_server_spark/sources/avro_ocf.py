@@ -16,7 +16,10 @@ sources/flac.py applied to a data format):
   - OCF: magic Obj\\x01, file-metadata map (avro.schema + avro.codec),
     16-byte sync marker, then blocks of (row count, byte size,
     payload, sync); codecs "null" and "deflate" (raw RFC 1951 via
-    zlib, wbits=-15, exactly as the spec requires);
+    zlib, wbits=-15, exactly as the spec requires — plus read-side
+    tolerance for the ≤4-byte Adler-32 tail the Apache Avro Python
+    library and fastavro leave after the stream, their
+    zlib.compress(data)[2:-1] shape);
   - SCHEMA RESOLUTION on read (the spec's evolution rules), applied
     RECURSIVELY at schema-compile time: record fields match by NAME
     at every nesting level (reorder transparent, writer-only fields
