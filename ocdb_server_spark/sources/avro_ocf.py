@@ -455,7 +455,7 @@ def _decode_inner(t, buf: io.BytesIO):
         idx = _zigzag_decode(buf)
         if not 0 <= idx < len(t):
             raise ValueError(f"avro: union branch {idx} out of range")
-        return _decode(t[idx], buf)
+        return _decode_inner(t[idx], buf)
     if k == "null":
         return None
     if k == "boolean":
@@ -488,7 +488,7 @@ def _decode_inner(t, buf: io.BytesIO):
         prev = buf.tell()
         for n in _block_counts(buf):
             for _ in range(n):
-                out.append(_decode(t["items"], buf))
+                out.append(_decode_inner(t["items"], buf))
                 pos = buf.tell()
                 if pos == prev:
                     _zs_tick("array")  # zero-advance item (e.g. null)
@@ -503,10 +503,10 @@ def _decode_inner(t, buf: io.BytesIO):
             for _ in range(n):
                 klen = _zigzag_decode(buf)
                 key = _read_exact(buf, klen).decode("utf-8")
-                out[key] = _decode(t["values"], buf)
+                out[key] = _decode_inner(t["values"], buf)
         return out
     if k == "record":
-        return {f["name"]: _decode(f["type"], buf) for f in t["fields"]}
+        return {f["name"]: _decode_inner(f["type"], buf) for f in t["fields"]}
     raise ValueError(f"avro: unsupported type {t}")
 
 
