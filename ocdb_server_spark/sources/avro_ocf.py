@@ -575,14 +575,39 @@ def _make_resolver(wt, rt):
     """Compile (writer type, reader type) into a decoder fn(buf) that
     produces reader-shaped values, applying the spec's resolution
     rules recursively. Raises the resolution error at COMPILE time
-    whenever the pair can never resolve."""
+    whenever the pair can never resolve.
+
+    The returned TOP-LEVEL fn carries the same conditional allowance
+    frame as _decode (round-16 ADVICE): invoked standalone — outside a
+    read_ocf or _decode frame — it opens a fresh zero-advance
+    allowance and closes it on every exit path, so a successfully
+    completed standalone resolver chain never leaks a lazily-opened,
+    partially-drained allowance to the thread. Under read_ocf (the
+    only in-repo caller) the allowance is already open and the frame
+    passes through; recursive sub-resolvers are compiled by
+    _make_resolver_inner and stay unframed so cumulative accounting
+    within one chain is preserved."""
+    fn = _make_resolver_inner(wt, rt)
+
+    def framed(buf, _fn=fn):
+        if getattr(_ZS_STATE, "left", None) is None:
+            _zs_open()
+            try:
+                return _fn(buf)
+            finally:
+                _zs_close()
+        return _fn(buf)
+    return framed
+
+
+def _make_resolver_inner(wt, rt):
     wk, rk = _kind(wt), _kind(rt)
 
     if wk == "union":
         # every writer branch must resolve (stricter than the spec's
         # value-time error — a branch that can never resolve is a
         # schema bug we'd rather surface at compile time)
-        branch_fns = [_make_resolver(b, rt) for b in wt]
+        branch_fns = [_make_resolver_inner(b, rt) for b in wt]
 
         def read_wunion(buf):
             idx = _zigzag_decode(buf)
@@ -596,7 +621,7 @@ def _make_resolver(wt, rt):
         # accepts it (spec rule)
         for rb in rt:
             try:
-                return _make_resolver(wt, rb)
+                return _make_resolver_inner(wt, rb)
             except ValueError:
                 continue
         raise _resolution_error(wt, rt)
@@ -614,7 +639,8 @@ def _make_resolver(wt, rt):
                 plan.append((None, lambda buf, t=wt_f: _decode(t, buf)))
             else:
                 matched.add(wf["name"])
-                plan.append((wf["name"], _make_resolver(wf["type"], rf["type"])))
+                plan.append(
+                    (wf["name"], _make_resolver_inner(wf["type"], rf["type"])))
         defaults = []
         for rf in rt["fields"]:
             if rf["name"] in matched:
@@ -637,7 +663,7 @@ def _make_resolver(wt, rt):
         return read_record
 
     if wk == "array" and rk == "array":
-        item_fn = _make_resolver(wt["items"], rt["items"])
+        item_fn = _make_resolver_inner(wt["items"], rt["items"])
 
         def read_array(buf):
             out = []
@@ -654,7 +680,7 @@ def _make_resolver(wt, rt):
         return read_array
 
     if wk == "map" and rk == "map":
-        val_fn = _make_resolver(wt["values"], rt["values"])
+        val_fn = _make_resolver_inner(wt["values"], rt["values"])
 
         def read_map(buf):
             out = {}
@@ -856,7 +882,16 @@ def _read_ocf_inner(
                     # unused_data). 4 covers the full-trailer [2:]
                     # variant. Anything longer is junk no known writer
                     # emits — the compressed-side twin of the decoded
-                    # trailing-bytes check below.
+                    # trailing-bytes check below. DELIBERATE divergence
+                    # from upstream read tolerance (round-16 ADVICE
+                    # adjudication: KEEP): Java's nowrap Inflater — and
+                    # so upstream Spark/avro readers — ignore ALL
+                    # post-stream bytes, but >4 bytes of tail means the
+                    # block's declared size disagrees with its content
+                    # in a way no known writer produces, i.e. likely
+                    # corruption this engine would rather surface than
+                    # read through. Pinned by the truncation-taxonomy
+                    # test.
                     raise ValueError(
                         "avro: trailing bytes after deflate stream in block"
                     )

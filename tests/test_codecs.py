@@ -1293,6 +1293,73 @@ def test_avro_standalone_decode_allowance_resets_after_rejection():
     assert _decode(arr_of_null, ok2) == [None, None]
 
 
+def test_avro_standalone_resolver_chain_framed():
+    """Round-16 ADVICE: a standalone resolver read-fn chain (invoked
+    without a read_ocf or _decode frame) that completed SUCCESSFULLY
+    still leaked its lazily-opened, partially-drained zero-advance
+    allowance to the thread — _zs_tick's in-raise reset and the
+    _decode frame only cover raise paths and _decode entry points.
+    _make_resolver's returned top-level fn now carries the same
+    conditional open/close frame as _decode."""
+    import io as _io
+
+    import pytest
+
+    from ocdb_server_spark.sources.avro_ocf import (
+        _ZERO_SIZE_ITEM_BUDGET,
+        _ZS_STATE,
+        _decode,
+        _make_resolver,
+        _zigzag_encode,
+    )
+
+    arr_of_null = {"type": "array", "items": "null"}
+    fn = _make_resolver(arr_of_null, arr_of_null)
+
+    # (a) the leak the ADVICE names: a standalone resolver chain that
+    # SUCCEEDS after draining the whole allowance. Pre-fix, left=0
+    # persisted on the thread and the next legal standalone decode was
+    # spuriously rejected at its first zero-advance item.
+    drain_all = _io.BytesIO(
+        _zigzag_encode(_ZERO_SIZE_ITEM_BUDGET) + _zigzag_encode(0))
+    out = fn(drain_all)
+    assert len(out) == _ZERO_SIZE_ITEM_BUDGET
+    assert getattr(_ZS_STATE, "left", None) is None  # frame closed it
+    ok = _io.BytesIO(_zigzag_encode(3) + _zigzag_encode(0))
+    assert _decode(arr_of_null, ok) == [None, None, None]
+
+    # (b) raise paths through the frame: a budget rejection and a
+    # truncated varint after an exact drain must each hand back a
+    # fresh allowance (the finally, not just _zs_tick's in-raise
+    # reset, covers the second)
+    bad = _io.BytesIO(_zigzag_encode(1 << 40) + _zigzag_encode(0))
+    with pytest.raises(ValueError, match="budget"):
+        fn(bad)
+    assert getattr(_ZS_STATE, "left", None) is None
+    cut = _io.BytesIO(_zigzag_encode(_ZERO_SIZE_ITEM_BUDGET))  # no 0-end
+    with pytest.raises(ValueError, match="truncated varint"):
+        fn(cut)
+    assert getattr(_ZS_STATE, "left", None) is None
+    ok2 = _io.BytesIO(_zigzag_encode(2) + _zigzag_encode(0))
+    assert fn(ok2) == [None, None]
+
+    # (c) pass-through under an open frame: cumulative accounting
+    # within one chain is preserved — a single standalone chain whose
+    # NESTED arrays jointly exceed the budget still rejects (the
+    # inner resolver must NOT open/close its own frame per item)
+    nested = {"type": "array", "items": arr_of_null}
+    nfn = _make_resolver(nested, nested)
+    # each inner array's FIRST null lands right after its count varint
+    # (advance-from-prev), so an inner of K nulls ticks K-1 times; two
+    # inners of BUDGET//2+2 jointly tick BUDGET+2 — past the budget
+    half = _ZERO_SIZE_ITEM_BUDGET // 2 + 2
+    inner = _zigzag_encode(half) + _zigzag_encode(0)
+    blob = _io.BytesIO(_zigzag_encode(2) + inner + inner + _zigzag_encode(0))
+    with pytest.raises(ValueError, match="budget"):
+        nfn(blob)
+    assert getattr(_ZS_STATE, "left", None) is None
+
+
 def test_avro_truncated_deflate_block_rejected():
     """Round-15 ADVICE: the bounded-inflate path (decompressobj) never
     checked dec.eof — a deflate stream cut mid-block leaves
