@@ -37,7 +37,14 @@ silent drift):
     hash changed): the persisted-PQ-served hybrid retrieval twin of
     op263 — ROWS-only because the dense leg's ADC scores are
     approximate by design; deterministic given the fixed testdata
-    (codes/centroids/tie-breaks all keyed)."""
+    (codes/centroids/tie-breaks all keyed).
+  - round 16: op90_embedding_neardup_lsh (0 rows → 4): the driver
+    query path now plants 4 derived near-dups (ids -(k)-1 for the 4
+    lowest vec_ids; ×2 scaled copies for even k, +0.02 first-component
+    perturbations for odd k) so the driver's ROWS row certifies
+    actual recovery instead of clean execution on an empty result
+    (round-16 verdict item 6). Deterministic: fixed hyperplane seed,
+    fixture derived from the corpus itself. Kernel untouched."""
 
 from __future__ import annotations
 
