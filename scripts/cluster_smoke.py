@@ -82,6 +82,11 @@ OPS = [
     # back executor-side.
     "op252_avro_roundtrip",
     "op258_avro_records_sink",
+    # round-16 addition: op90 after the planted-fixture change — the
+    # TakeOrdered-4 fixture derivation, the union, and the persisted
+    # LSH signature self-join all crossing real executor JVMs; the
+    # planted pairs must be recovered identically across transports.
+    "op90_embedding_neardup_lsh",
 ]
 
 
