@@ -133,12 +133,13 @@ def test_op90_pairs_are_high_similarity(spark, sf_dir):
 def test_op90_driver_path_recovers_planted_fixture(spark, sf_dir):
     """Round-16 verdict item 6: the driver corpus has no natural
     ≥0.8-cosine pairs, so op90's ROWS row used to certify only clean
-    execution on 0 rows. The op's driver path now plants 4 derived
-    near-dups (ids -(k)-1 for the 4 lowest vec_ids k; ×2 scaled copies
-    for even k — recovery guaranteed by hyperplane sign invariance —
-    and +0.02 first-component perturbations for odd k) and must
-    recover EXACTLY those 4 pairs: one per planted vector, nothing
-    else (natural max off-diagonal cosine ≈ 0.51)."""
+    execution on 0 rows. The op's driver path plants 4 derived
+    near-dups (ids -(k)-1 for the 4 lowest vec_ids k) and must recover
+    EXACTLY those 4 pairs: one per planted vector, nothing else
+    (natural max off-diagonal cosine ≈ 0.51). Round-17 (r16 ADVICE
+    low): all 4 plants are power-of-two scaled copies (×2 even k, ×0.5
+    odd k), so every sim is EXACTLY 1.0 and co-bucketing is exact by
+    IEEE sign invariance — no empirical perturbation recovery left."""
     from ocdb_server_spark.io import load_table
 
     lows = [
@@ -154,10 +155,26 @@ def test_op90_driver_path_recovers_planted_fixture(spark, sf_dir):
     }
     assert set(got) == {(-k - 1, k) for k in lows}
     for k in lows:
-        if k % 2 == 0:  # scaled copy: cosine exactly 1 (round(.,6))
-            assert got[(-k - 1, k)] == 1.0
-        else:  # perturbed copy: near-parallel, comfortably past 0.8
-            assert got[(-k - 1, k)] >= 0.99
+        assert got[(-k - 1, k)] == 1.0  # scaled copy: cosine exactly 1
+
+
+def test_op90_plant_flag_off_gives_faithful_corpus_answer(spark, sf_dir, monkeypatch):
+    """Round-16 ADVICE medium: the plant must be gateable so the plain
+    op90 output can stay faithful to the corpus. SPARK_GRAFT_OP90_PLANT=0
+    must yield exactly the ungated kernel answer over the raw
+    embeddings table — at the test SFs that is 0 pairs (natural max
+    off-diagonal cosine ≈ 0.51), and in particular NO planted negative
+    ids ever appear."""
+    from ocdb_server_spark.io import load_table
+    from ocdb_server_spark.operators.pipeline_ext import lsh_neardup_pairs
+
+    monkeypatch.setenv("SPARK_GRAFT_OP90_PLANT", "0")
+    out = OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    faithful = lsh_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, faithful))
+    assert out == []  # the raw test corpora have no ≥0.8 pairs
 
 
 def test_lsh_recovers_planted_neardups(spark):

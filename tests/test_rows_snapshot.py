@@ -44,7 +44,16 @@ silent drift):
     perturbations for odd k) so the driver's ROWS row certifies
     actual recovery instead of clean execution on an empty result
     (round-16 verdict item 6). Deterministic: fixed hyperplane seed,
-    fixture derived from the corpus itself. Kernel untouched."""
+    fixture derived from the corpus itself. Kernel untouched.
+  - round 17: op90_embedding_neardup_lsh 1fd0d36e→2fb86f7f (n_rows
+    stays 4): r16 ADVICE low — the odd-k +0.02 additive perturbation's
+    recovery was empirical (a hyperplane sign could flip at an
+    untested SF); all 4 plants are now power-of-two scaled copies
+    (×2 even k, ×0.5 odd k), making co-bucketing exact by IEEE sign
+    invariance at ANY scale factor. Hash moves because odd-k sims go
+    0.999801→1.0. Same commit adds the SPARK_GRAFT_OP90_PLANT gate
+    (default on → snapshot path unchanged; =0 gives the faithful
+    corpus-only answer, r16 ADVICE medium). Kernel untouched."""
 
 from __future__ import annotations
 
