@@ -202,6 +202,44 @@ def test_lsh_recovers_planted_neardups(spark):
     assert all(a >= 100 or b >= 100 for (a, b) in got)
 
 
+def test_lsh_scaled_copies_recall_is_total(spark):
+    """The r17 by-construction guarantee, pinned at the KERNEL level
+    (op90's driver fixture relies on it): a power-of-two scaled copy
+    (×0.5 / ×2) of ANY vector co-buckets with its source in EVERY LSH
+    table — scaling by 2^±1 is exact in IEEE float, so every
+    hyperplane dot is exactly 2^±1 × the source's dot, same sign,
+    same bucket. Therefore recall over scaled plants must be 100%,
+    for arbitrary vector sets — 3 independent random sets planted in
+    one frame, every (source, ×0.5, ×2) triple's 3 pairs recovered
+    with sim 1.0. A kernel regression that broke sign invariance
+    (different hashing, reordered fold, lossy cast) fails here."""
+    import numpy as np
+
+    from ocdb_server_spark.operators.pipeline_ext import lsh_neardup_pairs
+
+    rows = []
+    expected = set()
+    for s, seed in enumerate((3, 17, 99)):
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((10, 64)).astype(np.float32)
+        off = 1000 * s
+        for i in range(10):
+            src, half, dbl = off + i, off + 100 + i, off + 200 + i
+            rows.append((src, base[i].tolist()))
+            rows.append((half, (base[i] * np.float32(0.5)).tolist()))
+            rows.append((dbl, (base[i] * np.float32(2.0)).tolist()))
+            expected |= {(src, half), (src, dbl), (half, dbl)}
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in lsh_neardup_pairs(df, threshold=0.8).collect()
+    }
+    missed = expected - set(got)
+    assert not missed, f"scaled-copy pairs missed (sign invariance broken): {missed}"
+    for pair in expected:
+        assert got[pair] == 1.0
+
+
 def test_op95_ivf_vs_exact_top10(spark, sf_dir):
     """IVF (K=√n, nprobe=⌈K/4⌉) must return 10 valid neighbors sorted
     by similarity; its top hit can't beat the exact scan's top hit, and
