@@ -954,10 +954,27 @@ def op132_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a relative threshold (dist / max-length ≤ 0.7; the character-level
     lens that complements op79/op88/op89's token-level signatures).
     Both engines implement the same classical DP, so distances and the
-    single IEEE divide are identical. Scale: the O(len²) verify runs
-    ONLY inside blocks (the same contain-the-quadratic contract as
-    op89's gram blocking); at 100 TB the blocking key tightens (add a
-    content prefix hash) before block sizes grow."""
+    single IEEE divide are identical.
+
+    SCALE BOUNDARY (measured round 17, BASELINE.md 17f/17g): the
+    blocking key's cardinality is value-bounded (1629 blocks at sf0.1
+    AND at 30× — DuckDB-verified), so block size grows linearly with
+    the corpus and the quadratic verify explodes (candidate pairs
+    ×1102 for ×30 rows; one 30× execution DNF'd at 30 min). An earlier
+    revision of this note proposed tightening the key with a content
+    prefix hash; round 17 MEASURED that idea non-viable at this
+    threshold — only 1 of the 2051 sf0.1 result pairs shares a 16-char
+    prefix (99.95% recall loss), because at edit-ratio ≤ 0.7 matching
+    pairs can differ almost anywhere, so NO content-equality block key
+    retains recall (loose-threshold edit similarity needs metric
+    indexing, not equality blocking). The 100 TB path is therefore
+    COMPOSITION, not a tighter key: this op's Levenshtein verify stage
+    consumes candidates from a signature generator (op79 MinHash /
+    op88 SimHash — corpus-stable bucket sizes) exactly as the
+    op96/op221 dedup pipeline composes candidates→verify→components;
+    the shape-block candidate generator here is the certified
+    small-scale convenience that keeps the op self-contained and
+    ANSI-mirrorable."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
