@@ -896,13 +896,23 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-path fanout on skewed graphs — id-orientation keeps the oracle
     portable here and is exact either way).
 
-    Scale notes: the risky step is the bipartite PROJECTION (a part
-    with k suppliers emits k²/2 edges) — bounded by the data model
-    here (few suppliers per part); web-scale projections cap or
-    sample hub parts first (op192's df-cap pattern). After that,
-    every join is an equi-join on supplier ids: shuffles carry
-    (int, int) edges only. Exact integer counts — nothing to
-    quantize; the oracle is the same algebra in DuckDB."""
+    Scale notes (MEASURED round 17, BASELINE.md 17j): the risky step
+    is the bipartite PROJECTION (a part with k suppliers emits k²/2
+    edges), and on THIS testdata it is not small — ~30 suppliers/part
+    saturates the projection to the COMPLETE K_1000 graph at sf0.1
+    (499,500 edges = C(1000,2), DuckDB-verified), so the enumeration
+    walks all C(1000,3) ≈ 166M triangles (~80 s fresh at local[32];
+    the sf0.01 gate graph is K_100, milliseconds). An earlier
+    revision of this note claimed the data model bounds the
+    projection — measurement says otherwise, and on a complete graph
+    degree-orientation cannot help (all degrees equal). The real
+    production bound for dense projections is capping/sampling hub
+    parts BEFORE projecting (op192's df-cap pattern) — triangle
+    enumeration is Θ(Σ d(v)²) and no orientation trick beats a dense
+    input. After the projection, every join is an equi-join on
+    supplier ids: shuffles carry (int, int) edges only. Exact integer
+    counts — nothing to quantize; the oracle is the same algebra in
+    DuckDB."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     a = pairs.alias("a")
