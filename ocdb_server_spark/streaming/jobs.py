@@ -15,6 +15,7 @@ dedup state eviction), which is the requirement for unbounded input.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -31,6 +32,33 @@ SESS_WM_DELAY_MS = 1_000  # op226's watermark delay
 SQL_QUANT_VALUE = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
 
 
+def _stream_source(spark: SparkSession, sf_dir: str, name: str):
+    """Layout-aware file-stream source for table `name` under sf_dir.
+
+    Two on-disk layouts exist: the driver testdata keeps ONE FILE per
+    table directly in sf_dir (`<sf_dir>/<name>.parquet` is a file), so
+    the directory-scoped stream source needs a pathGlobFilter; the
+    production/stress layout makes `<name>.parquet` a DIRECTORY of
+    part-files, which the source reads directly. The glob branch must
+    never be used for the directory layout: pathGlobFilter matches
+    LEAF file names, so it matches nothing there and the stream
+    silently processes 0 rows (round-17 finding — every TWS op "ran
+    clean" on the 30× stress dataset while streaming an empty source;
+    op234's no-batches guard was the one that surfaced it, and the
+    embeddings stream in stream_centroid_maintenance had the same
+    bug). Result-neutral for the certified gate layout: single-file
+    dirs take the exact branch the code always had."""
+    path = table_path(sf_dir, name)
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Route the conf side effects through load_table (nanosAsLong —
     # without which the legacy layout CRASHES the schema probe — plus
@@ -42,14 +70,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocdb_server_spark.io import load_table
 
     load_table(spark, sf_dir, "events")
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # The file stream source requires a *directory*; sf_dir holds one
-    # file per table, so scope the scan with pathGlobFilter.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_source(spark, sf_dir, "events")
     ts = (
         F.expr("timestamp_micros(ts div 1000)")
         if dict(stream.dtypes)["ts"] in ("bigint", "long")
@@ -733,12 +754,7 @@ def stream_tws_centroid_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         def close(self) -> None:
             pass
 
-    schema = spark.read.parquet(table_path(sf_dir, "embeddings")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_source(spark, sf_dir, "embeddings")
     exploded = stream.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     ).select(

@@ -34,6 +34,53 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Round-17 regression: _stream_events used pathGlobFilter
+    ('events.parquet') unconditionally, which matches LEAF file names —
+    on the production/stress layout where events.parquet is a
+    DIRECTORY of part-files it matched nothing and every TWS op
+    silently streamed 0 rows (caught only by op234's no-batches
+    guard on the 30× dataset). The source must now read BOTH layouts
+    identically: same rows from the single-file driver layout and
+    from a directory-of-part-files copy."""
+    import os
+    import shutil
+
+    single = jobs._run_to_memory(jobs._stream_events(spark, sf_dir))
+    n_single = single.count()
+    assert n_single > 0
+
+    # rebuild the same sf_dir with events as a 2-part DIRECTORY
+    dir_sf = str(tmp_path / "sfdir")
+    os.makedirs(dir_sf)
+    from ocdb_server_spark.io import table_path
+
+    spark.read.parquet(table_path(sf_dir, "events")).repartition(2).write.parquet(
+        os.path.join(dir_sf, "events.parquet")
+    )
+    streamed = jobs._run_to_memory(jobs._stream_events(spark, dir_sf))
+    assert streamed.count() == n_single
+    assert sorted(r["event_id"] for r in streamed.collect()) == sorted(
+        r["event_id"] for r in single.collect()
+    )
+
+    # the embeddings stream (op208's source) had the identical bug —
+    # cover it through the shared helper
+    single_emb = jobs._run_to_memory(
+        jobs._stream_source(spark, sf_dir, "embeddings").select("vec_id")
+    )
+    n_emb = single_emb.count()
+    assert n_emb > 0
+    spark.read.parquet(table_path(sf_dir, "embeddings")).repartition(2).write.parquet(
+        os.path.join(dir_sf, "embeddings.parquet")
+    )
+    dir_emb = jobs._run_to_memory(
+        jobs._stream_source(spark, dir_sf, "embeddings").select("vec_id")
+    )
+    assert dir_emb.count() == n_emb
+    shutil.rmtree(dir_sf, ignore_errors=True)
+
+
 def test_tumbling_bucket_form_equals_window_form(spark, sf_dir):
     """op69's date_trunc bucket groupBy must be bit-identical (all
     columns, sum_value included) to the `window(ts, '1 hour')` form it
