@@ -47,10 +47,25 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str):
     op234's no-batches guard was the one that surfaced it, and the
     embeddings stream in stream_centroid_maintenance had the same
     bug). Result-neutral for the certified gate layout: single-file
-    dirs take the exact branch the code always had."""
+    dirs take the exact branch the code always had.
+
+    The layout probe goes through the HADOOP FileSystem API, never
+    os.path.isdir (round-17 ADVICE medium): a remote or
+    scheme-qualified sf_dir (hdfs://, s3a://, even file:) is
+    invisible to the LOCAL filesystem probe, so isdir returned False
+    for every remote directory-layout table and the glob branch —
+    whose filter matches no leaf files there — silently streamed 0
+    rows, the exact bug this helper exists to close. Same probe
+    pattern as the op190 store-existence check (jobs.py round-12
+    ADVICE, further down this file). The getFileStatus call cannot
+    raise FileNotFoundException in practice: the batch schema probe
+    on the line above already failed loudly if the table is absent."""
     path = table_path(sf_dir, name)
     schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.getFileStatus(jpath).isDirectory():
         return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)

@@ -78,6 +78,18 @@ def test_stream_events_reads_directory_layout(spark, sf_dir, tmp_path):
         jobs._stream_source(spark, dir_sf, "embeddings").select("vec_id")
     )
     assert dir_emb.count() == n_emb
+
+    # Round-18 regression (round-17 ADVICE medium): the layout probe
+    # must go through the Hadoop FileSystem API, not os.path.isdir.
+    # A scheme-qualified sf_dir ("file:/..." here, standing in for
+    # hdfs:// / s3a://) is invisible to the local-path probe —
+    # os.path.isdir("file:/tmp/...") is False — so the pre-fix code
+    # took the pathGlobFilter branch on the DIRECTORY layout and
+    # silently streamed 0 rows. The Hadoop probe resolves the scheme
+    # and must return the full row set.
+    scheme_sf = f"file:{dir_sf}"
+    scheme_ev = jobs._run_to_memory(jobs._stream_events(spark, scheme_sf))
+    assert scheme_ev.count() == n_single
     shutil.rmtree(dir_sf, ignore_errors=True)
 
 
