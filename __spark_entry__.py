@@ -40,8 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: op.fn for name, op in _ops().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    One driver-surface override: op90's entry is `op90_gate_planted`,
+    which runs the registered op with the planted recall fixture
+    explicitly enabled (round-17 ADVICE low — the library/registry
+    default is the faithful corpus-only answer; the GATE is the one
+    consumer that opts into the fixture, so its ROWS row certifies
+    near-dup recovery per round-16 verdict item 6). Semantics are
+    documented in the op90 docstring; an explicit
+    SPARK_GRAFT_OP90_PLANT env setting wins in either direction."""
+    from ocdb_server_spark.operators.pipeline_ext import op90_gate_planted
+
+    q = {name: op.fn for name, op in _ops().items()}
+    q["op90_embedding_neardup_lsh"] = op90_gate_planted
+    return q
 
 
 def oracle_sql() -> dict[str, str]:

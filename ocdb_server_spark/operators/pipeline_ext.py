@@ -338,14 +338,17 @@ def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs above 0.8, max off-diagonal cosine ≈ 0.51 measured, so the
     op used to pass on 0 rows at gate scale).
 
-    SEMANTICS ADDENDUM (part of op90's contract since r16; kept in
-    lockstep with the SURVEY §2 row and the rows snapshot): by default
-    the driver path answers "near-dups over corpus ∪ 4 planted rows",
-    not the raw corpus. Set SPARK_GRAFT_OP90_PLANT=0 for the faithful
-    corpus-only answer (round-16 ADVICE medium: production output must
-    not conflate fixture recovery with workload results — the flag is
-    the gate; the default stays on so the driver's ROWS certification
-    keeps certifying recovery).
+    SEMANTICS ADDENDUM (part of op90's contract since r16; default
+    INVERTED round 18 per round-17 ADVICE low; kept in lockstep with
+    the SURVEY §2 row and the rows snapshot): the library/registry
+    default is now the FAITHFUL corpus-only answer — a consumer who
+    has never heard of the env var gets real workload results, never
+    fabricated negative-id rows. The planted recall fixture is opt-in
+    (SPARK_GRAFT_OP90_PLANT=1), and the one surface that opts in
+    EXPLICITLY is the driver gate (`op90_gate_planted`, wired into
+    `__spark_entry__.queries()`), so the driver's ROWS row keeps
+    certifying actual near-dup RECOVERY (round-16 verdict item 6)
+    while the production-facing default stays faithful.
 
     Fixture construction: the 4 lowest-vec_id vectors re-enter under
     planted ids -(vec_id)-1 (never collides with the natural
@@ -365,7 +368,7 @@ def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing changes at 100 TB; the kernel and its scale shape are
     untouched."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if os.environ.get("SPARK_GRAFT_OP90_PLANT", "1") == "0":
+    if os.environ.get("SPARK_GRAFT_OP90_PLANT", "0") != "1":
         return lsh_neardup_pairs(emb)
     base = emb.orderBy("vec_id").limit(4)
     planted = base.select(
@@ -378,6 +381,27 @@ def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     return lsh_neardup_pairs(emb.unionByName(planted))
+
+
+def op90_gate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate surface for op90 (`__spark_entry__.queries()` maps
+    the op90 key here, NOT to the registered library default): enables
+    the planted recall fixture EXPLICITLY, per round-17 ADVICE low —
+    the gate harness opts in, instead of every production consumer
+    having to opt out. An explicit SPARK_GRAFT_OP90_PLANT already in
+    the environment still wins in either direction (=0 forces the
+    faithful corpus answer even through the gate; this wrapper only
+    supplies the default the gate wants). Restores the environment on
+    exit: the plant decision is taken eagerly at plan-build time
+    inside the call, so the scope is exact."""
+    had = "SPARK_GRAFT_OP90_PLANT" in os.environ
+    if not had:
+        os.environ["SPARK_GRAFT_OP90_PLANT"] = "1"
+    try:
+        return op90_embedding_neardup_lsh(spark, sf_dir)
+    finally:
+        if not had:
+            os.environ.pop("SPARK_GRAFT_OP90_PLANT", None)
 
 
 # --------------------------------------------------------------- op91

@@ -124,24 +124,35 @@ def test_winnow_shared_substring_guarantee(spark):
 
 
 def test_op90_pairs_are_high_similarity(spark, sf_dir):
-    out = OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    # gate surface: the planted pairs must all clear the 0.8 bar
+    from ocdb_server_spark.operators.pipeline_ext import op90_gate_planted
+
+    out = op90_gate_planted(spark, sf_dir).collect()
+    assert out  # the gate path is never empty — it recovers the plant
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert r["sim"] >= 0.8
 
 
-def test_op90_driver_path_recovers_planted_fixture(spark, sf_dir):
+def test_op90_driver_path_recovers_planted_fixture(spark, sf_dir, monkeypatch):
     """Round-16 verdict item 6: the driver corpus has no natural
     ≥0.8-cosine pairs, so op90's ROWS row used to certify only clean
-    execution on 0 rows. The op's driver path plants 4 derived
+    execution on 0 rows. The DRIVER path — `__spark_entry__.queries()`
+    maps op90 to `op90_gate_planted` since round 18 — plants 4 derived
     near-dups (ids -(k)-1 for the 4 lowest vec_ids k) and must recover
     EXACTLY those 4 pairs: one per planted vector, nothing else
     (natural max off-diagonal cosine ≈ 0.51). Round-17 (r16 ADVICE
     low): all 4 plants are power-of-two scaled copies (×2 even k, ×0.5
     odd k), so every sim is EXACTLY 1.0 and co-bucketing is exact by
-    IEEE sign invariance — no empirical perturbation recovery left."""
+    IEEE sign invariance — no empirical perturbation recovery left.
+    The gate must also leave the process environment untouched."""
+    import os
+
+    import __spark_entry__ as entry
+
     from ocdb_server_spark.io import load_table
 
+    monkeypatch.delenv("SPARK_GRAFT_OP90_PLANT", raising=False)
     lows = [
         r["vec_id"]
         for r in load_table(spark, sf_dir, "embeddings")
@@ -151,30 +162,41 @@ def test_op90_driver_path_recovers_planted_fixture(spark, sf_dir):
     ]
     got = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+        for r in entry.queries()["op90_embedding_neardup_lsh"](
+            spark, sf_dir
+        ).collect()
     }
+    assert "SPARK_GRAFT_OP90_PLANT" not in os.environ  # no env leak
     assert set(got) == {(-k - 1, k) for k in lows}
     for k in lows:
         assert got[(-k - 1, k)] == 1.0  # scaled copy: cosine exactly 1
 
 
-def test_op90_plant_flag_off_gives_faithful_corpus_answer(spark, sf_dir, monkeypatch):
-    """Round-16 ADVICE medium: the plant must be gateable so the plain
-    op90 output can stay faithful to the corpus. SPARK_GRAFT_OP90_PLANT=0
-    must yield exactly the ungated kernel answer over the raw
-    embeddings table — at the test SFs that is 0 pairs (natural max
-    off-diagonal cosine ≈ 0.51), and in particular NO planted negative
-    ids ever appear."""
+def test_op90_default_is_faithful_corpus_answer(spark, sf_dir, monkeypatch):
+    """Round-17 ADVICE low (default inverted round 18): a consumer who
+    has never heard of SPARK_GRAFT_OP90_PLANT — i.e. the registered
+    library op with NO env set — must get exactly the ungated kernel
+    answer over the raw embeddings table: at the test SFs that is 0
+    pairs (natural max off-diagonal cosine ≈ 0.51), and in particular
+    NO planted negative ids ever appear. An explicit =0 forces the
+    same faithful answer even through the driver gate."""
+    import __spark_entry__ as entry
+
     from ocdb_server_spark.io import load_table
     from ocdb_server_spark.operators.pipeline_ext import lsh_neardup_pairs
 
-    monkeypatch.setenv("SPARK_GRAFT_OP90_PLANT", "0")
-    out = OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
     faithful = lsh_neardup_pairs(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).collect()
-    assert sorted(map(tuple, out)) == sorted(map(tuple, faithful))
-    assert out == []  # the raw test corpora have no ≥0.8 pairs
+    assert faithful == []  # the raw test corpora have no ≥0.8 pairs
+
+    monkeypatch.delenv("SPARK_GRAFT_OP90_PLANT", raising=False)
+    out = OPS["op90_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    assert out == []  # library default: no env var, no plant
+
+    monkeypatch.setenv("SPARK_GRAFT_OP90_PLANT", "0")
+    gated = entry.queries()["op90_embedding_neardup_lsh"](spark, sf_dir).collect()
+    assert gated == []  # explicit opt-out wins over the gate default
 
 
 def test_lsh_recovers_planted_neardups(spark):
