@@ -929,6 +929,58 @@ def op131_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op132: edit-distance near-dup verification
 # --------------------------------------------------------------------------
 
+
+def editdist_verify_pairs(
+    docs: DataFrame, pairs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """op132's Levenshtein verify stage, decoupled from its shape-block
+    candidate generator — the 100 TB COMPOSITION path (BASELINE.md
+    17g/18c): `pairs` (columns id_a < id_b) comes from a corpus-stable
+    signature generator (op79 MinHash banding / op88 SimHash chunks,
+    exactly as the op96/op221 dedup pipeline sources its candidates),
+    the texts join back by doc_id, and the same edit-distance +
+    relative-threshold predicate as op132 decides. Output schema is
+    op132's (id_a, id_b, edit_dist, edit_ratio).
+
+    Scale shape: two hash joins of a small pair set against the
+    documents table on its key (candidates from signatures are
+    O(near-dups), not O(n²)), then a per-row Levenshtein — no
+    self-join, no value-shape blocking, bucket sizes corpus-stable.
+
+    Relation to op132, measured round 18 (BASELINE.md 18a) and pinned
+    by tests/test_components.py: in the near-dup regime
+    (edit_ratio ≤ 0.3) this path STRICTLY DOMINATES the shape block —
+    it recovers every regime pair op132 finds with identical
+    (edit_dist, edit_ratio) values, and finds the near-dups the
+    equality block structurally misses (a single-token edit usually
+    changes the word count or the n_chars/10 bucket, so at sf0.1 the
+    shape block sees 1 of the corpus's 256 true near-dup pairs; this
+    path sees all 256). The shape block's 0.6–0.7 tail — same-shape,
+    token-wise unrelated texts — is a threshold artifact this path
+    does not (and should not) reproduce."""
+    d = docs.select("doc_id", "text")
+    j = pairs.select("id_a", "id_b").join(
+        d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")),
+        "id_a",
+    ).join(
+        d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")),
+        "id_b",
+    )
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    ratio = lev.cast("double") / F.greatest(
+        F.length(F.col("text_a")), F.length(F.col("text_b"))
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            lev.cast("bigint").alias("edit_dist"),
+            ratio.alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= threshold)
+    )
+
+
 _OP132_SQL = """
 WITH d AS (
   SELECT doc_id, lang, text,
@@ -974,7 +1026,29 @@ def op132_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     op96/op221 dedup pipeline composes candidates→verify→components;
     the shape-block candidate generator here is the certified
     small-scale convenience that keeps the op self-contained and
-    ANSI-mirrorable."""
+    ANSI-mirrorable.
+
+    COMPOSITION SCOPE (measured round 18, BASELINE.md 18a; the
+    composed stage itself is `editdist_verify_pairs`, pinned by
+    tests/test_components.py): the claim above holds for the NEAR-DUP
+    REGIME, not for this op's full loose-threshold output — and there
+    composition doesn't just match the shape block, it strictly
+    dominates it. At sf0.1 the shape block emits 2051 pairs of which
+    exactly 1 has edit_ratio ≤ 0.3; the op79∪op88 composed path
+    recovers that pair AND the 255 further true near-dups the
+    equality block structurally misses (a one-token edit usually
+    changes nw or the n_chars/10 bucket — same asymmetry at every SF:
+    composed finds 28/25/256 regime pairs at sf0.001/0.01/0.1, the
+    shape block 0/0/1). The shape block's other 2050 pairs sit at
+    ratio ≈ 0.45–0.70 — same-shape but token-wise UNRELATED texts the
+    signatures rightly never candidate (composed recall on that tail:
+    0, at every SF). So composition replaces this op at scale for
+    near-duplicate detection — the semantics a dedup pipeline needs,
+    with better recall than this op's own generator — while the
+    0.6–0.7 tail is a threshold artifact of the bounded shape block,
+    certified here at gate scale but with no recall-preserving scale
+    path (per the 17g measurement, none can exist by equality
+    blocking or signatures)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

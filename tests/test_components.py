@@ -217,3 +217,120 @@ SELECT id, MIN(r) FROM reach GROUP BY id
             ).fetchall()
         )
         assert got == want, f"trial {trial}: {sorted(elist)}"
+
+
+# ---------------------------------------------------------------------------
+# op132 composition path (round-17 verdict item 4; BASELINE.md 17g/18a)
+# ---------------------------------------------------------------------------
+
+
+def _composed_neardups(spark, sf_dir, docs):
+    """The measured 100 TB path for edit-distance near-dup detection:
+    op79 MinHash ∪ op88 SimHash candidates → op132's Levenshtein
+    verify stage (editdist_verify_pairs)."""
+    from ocdb_server_spark.operators.northstar import minhash_neardup_pairs
+    from ocdb_server_spark.operators.pipeline_r2 import editdist_verify_pairs
+
+    mh = minhash_neardup_pairs(docs).selectExpr(
+        "doc_a AS id_a", "doc_b AS id_b"
+    )
+    sh = OPS["op88_simhash_neardup"].fn(spark, sf_dir).selectExpr(
+        "least(doc_a, doc_b) AS id_a", "greatest(doc_a, doc_b) AS id_b"
+    )
+    return editdist_verify_pairs(docs, mh.unionByName(sh).distinct())
+
+
+def test_op132_composition_recovers_planted_neardups(spark, tmp_path):
+    """17g documents composition (op79/op88 signatures → Levenshtein
+    verify) as op132's 100 TB path; this pins it with a planted
+    fixture, matching the op96/op221 precedent. Two plants over a
+    corpus of mutually-unrelated docs (distinct word pools AND
+    distinct word counts, so the shape block yields no cross-base
+    pairs):
+
+    - doc 100 = doc 0 with one word swapped for an equal-length word:
+      SAME (lang, nw, cb) shape block, so BOTH paths must find it —
+      with identical (edit_dist, edit_ratio) values.
+    - doc 101 = doc 1 with one word appended: word count changes, so
+      the shape block STRUCTURALLY misses it (the round-18 measured
+      recall asymmetry: 1-vs-256 regime pairs at sf0.1) while the
+      composed path must still find it."""
+    import random
+
+    rng = random.Random(18)
+    words = lambda pool, n: [  # noqa: E731
+        f"{pool}{rng.randint(0, 40):02d}x" for _ in range(n)
+    ]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(words(f"p{i}q", 20 + i))))
+    base0 = rows[0][1].split(" ")
+    swapped = list(base0)
+    swapped[7] = "zzzzzz"[: len(swapped[7])].ljust(len(swapped[7]), "z")
+    rows.append((100, " ".join(swapped)))
+    rows.append((101, rows[1][1] + " extraw"))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfcomp")
+    import os
+
+    os.makedirs(sf)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    shape = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_ratio"])
+        for r in OPS["op132_editdist_neardup"].fn(spark, sf).collect()
+    }
+    from ocdb_server_spark.io import load_table
+
+    loaded = load_table(spark, sf, "documents")
+    composed = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_ratio"])
+        for r in _composed_neardups(spark, sf, loaded).collect()
+    }
+    # same-shape plant: both paths, identical values
+    assert (0, 100) in shape and shape[(0, 100)][1] <= 0.3
+    assert composed[(0, 100)] == shape[(0, 100)]
+    # different-shape plant: composition only
+    assert (1, 101) in composed and composed[(1, 101)][1] <= 0.3
+    assert (1, 101) not in shape
+    # no fabricated regime pairs on either side
+    regime = lambda d: {k for k, v in d.items() if v[1] <= 0.3}  # noqa: E731
+    assert regime(shape) == {(0, 100)}
+    assert regime(composed) == {(0, 100), (1, 101)}
+
+
+def test_op132_composition_dominates_at_gate_scale(spark, sf_dir):
+    """Round-18 measurement (BASELINE.md 18a) asserted on the real
+    corpus: in the near-dup regime (edit_ratio ≤ 0.3) the composed
+    path recovers every pair the shape block finds — with identical
+    values — and strictly more (28 regime pairs vs 0 at sf0.001,
+    25 vs 0 at sf0.01, 256 vs 1 at sf0.1: one-token edits usually
+    change nw or the n_chars/10 bucket, so the equality block misses
+    them). The shape block's 0.6–0.7 tail is same-shape UNRELATED
+    text — signatures never candidate it, and that is correct
+    behavior, not a recall bug (17g: no recall-preserving blocking
+    exists at this threshold)."""
+    from ocdb_server_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shape = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_ratio"])
+        for r in OPS["op132_editdist_neardup"].fn(spark, sf_dir).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_ratio"])
+        for r in _composed_neardups(spark, sf_dir, docs).collect()
+    }
+    shape_regime = {k: v for k, v in shape.items() if v[1] <= 0.3}
+    composed_regime = {k: v for k, v in composed.items() if v[1] <= 0.3}
+    for k, v in shape_regime.items():  # recovery, with identical values
+        assert composed_regime.get(k) == v
+    # strict dominance: the corpus has real near-dups the block misses
+    assert len(composed_regime) > len(shape_regime)
+    assert len(composed_regime) >= 25
+    # the loose tail is an artifact: signatures never candidate it
+    tail = set(shape) - set(shape_regime)
+    assert not (tail & set(composed))
