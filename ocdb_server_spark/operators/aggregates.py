@@ -143,11 +143,35 @@ def op19_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op20_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
     distinct would shuffle every key (Spark-native sketch, mergeable
-    map-side; rsd 1%)."""
+    map-side; rsd 1%).
+
+    Shape (round 18, guide §1.2): both aggregates run over the
+    DISTINCT key set, not the raw column. Values are bit-identical —
+    HLL registers are max-folds of a deterministic per-value hash, so
+    duplicate inserts are idempotent, and COUNT(key) over the distinct
+    non-null keys IS COUNT(DISTINCT key) — but the old one-Aggregate
+    form (approx + countDistinct side by side) triggered Catalyst's
+    distinct-aggregate rewrite, which materialized a PARTIAL HLL
+    SKETCH PER KEY: at rsd 1% the sketch buffer is ~1536 longs, wide
+    enough that the HashAggregate drops out of whole-stage codegen,
+    and 20k per-key interpreted sketch buffers cost 6.2 s at sf0.1
+    (isolated: both-in-one 6.16 s, approx alone 1.91 s, exact alone
+    0.25 s). Distinct-first runs the codegen two-phase distinct once
+    and updates ONE sketch from 20k unique keys: 1.11 s sweep-best /
+    0.86 s isolated, same two output values (equality asserted
+    against the one-Aggregate form at all 3 SFs). The residual
+    ~0.65 s is the interpreted HLL update itself — at rsd 1% the
+    declarative buffer is ~1536 slots and every input row pays the
+    full-width interpreted update regardless of partitioning
+    (measured flat under coalesce(1)); irreducible without changing
+    the op's declared rsd. Same win at 100 TB: the partial-distinct
+    map side dedupes before the shuffle either way, but the per-key
+    sketch army never exists."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    d = li.select("l_partkey").distinct()
+    return d.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("l_partkey").alias("exact_parts"),
     )
 
 

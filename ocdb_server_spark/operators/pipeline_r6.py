@@ -887,32 +887,38 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     community-density primitive, and a third graph-algorithm family
     beside op186's fixpoint and op213's traversal.
 
-    Algorithm: ORIENTED triangle enumeration — every edge stored once
-    as (lo < hi), triangles found by the 2-path join e1(a,b)⋈e2(b,c)
-    closed by the membership join e3(a,c); orientation means each
-    triangle is produced exactly once and the join never explores
-    both directions (the standard distributed-triangle trick; a
-    production variant orients by DEGREE instead of id to bound the
-    2-path fanout on skewed graphs — id-orientation keeps the oracle
-    portable here and is exact either way).
+    Algorithm (REWRITTEN round 18, optimization guide §1.2/§2.3 —
+    change the distributed algorithm before tuning anything): the
+    EDGE-ITERATOR form. Per undirected edge (u,v) the number of
+    triangles through it is |N(u) ∩ N(v)|; per-node counts follow as
+    n_tri(v) = Σ_{edges e incident to v} t(e) / 2, because each
+    triangle containing v is seen by exactly its two v-incident
+    edges. Adjacency lists are built once (groupBy node,
+    collect_list), each edge joins the two endpoint lists, and the
+    intersection count is a single JVM ``array_intersect`` — no
+    Python boundary, and NO materialized wedge rows. Nodes in no
+    triangle never appear (sum 0 filtered), matching the
+    enumeration's output exactly; DIV 2 stays in integer arithmetic.
 
-    Scale notes (MEASURED round 17, BASELINE.md 17j): the risky step
-    is the bipartite PROJECTION (a part with k suppliers emits k²/2
-    edges), and on THIS testdata it is not small — ~30 suppliers/part
-    saturates the projection to the COMPLETE K_1000 graph at sf0.1
-    (499,500 edges = C(1000,2), DuckDB-verified), so the enumeration
-    walks all C(1000,3) ≈ 166M triangles (~80 s fresh at local[32];
-    the sf0.01 gate graph is K_100, milliseconds). An earlier
-    revision of this note claimed the data model bounds the
-    projection — measurement says otherwise, and on a complete graph
-    degree-orientation cannot help (all degrees equal). The real
-    production bound for dense projections is capping/sampling hub
-    parts BEFORE projecting (op192's df-cap pattern) — triangle
-    enumeration is Θ(Σ d(v)²) and no orientation trick beats a dense
-    input. After the projection, every join is an equi-join on
-    supplier ids: shuffles carry (int, int) edges only. Exact integer
-    counts — nothing to quantize; the oracle is the same algebra in
-    DuckDB."""
+    Rounds 12–17 used the oriented 3-way self-join (e1(a,b)⋈e2(b,c)
+    closed by e3(a,c)) — exact, but it MATERIALIZES AND SHUFFLES one
+    row per wedge. Measured round 17 (BASELINE 17j): ~30 suppliers/
+    part saturates the bipartite projection to the COMPLETE K_1000
+    graph at sf0.1 (499,500 edges = C(1000,2), DuckDB-verified), so
+    the wedge join emitted all C(1000,3) ≈ 166M rows: 44.5 s noop
+    (r18 sweep). The edge-iterator does the same Θ(Σ d(v)²) element
+    work as in-memory array intersections inside codegen instead of
+    166M shuffled rows — measured r18: 5.1 s sweep-best / 3.5 s
+    steady-state after JIT warm (8.8×), bit-identical result at
+    sf0.001/0.01/0.1 (plans/r18/op220_*.txt). At 100 TB the
+    shuffle payload is O(Σ d(v)) adjacency ints instead of O(Σ d²)
+    wedge rows; the residual risk is a hub node's adjacency array,
+    and the production bound for dense projections is unchanged —
+    cap/sample hub parts BEFORE projecting (op192's df-cap pattern);
+    no triangle algorithm beats a dense input's Θ(Σ d²) element
+    work. Exact integer counts — nothing to quantize; the oracle is
+    the original enumeration algebra in DuckDB, which round 18's
+    hash-equivalence run re-certified against this form."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     a = pairs.alias("a")
@@ -928,32 +934,50 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # e1/e2/e3 reference this 3×: persist so the projection+distinct
-    # runs once (op186's graph-structure rule), not per alias
-    edges = pool_persist(edges)
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+    # referenced 3× below (adjacency build ×2 + the edge probe):
+    # persist so the projection+distinct runs once (op186's rule).
+    # The repartition sizes the intersect stage — the Θ(Σ d²)
+    # element-work stage — to the session's core count (the broadcast
+    # join below preserves the stream side's partitioning, so the
+    # cached layout IS that stage's task count; at 8 interactive
+    # shuffle partitions the stage left 3/4 of local[32] idle —
+    # measured 9.2 s vs 3.5 s interleaved).
+    edges = pool_persist(
+        edges.repartition(spark.sparkContext.defaultParallelism)
+    )
+    # undirected adjacency lists; sort_array for a deterministic
+    # layout (content is a set — intersection is order-insensitive).
+    # Broadcast: the adjacency side is node-dimension-sized (O(Σ d)
+    # total payload — each neighbor list ships ONCE per node, never
+    # per edge) and the forced hint both keeps the big edge side
+    # un-shuffled and lets the intersect stage inherit the cached
+    # edge layout. On a graph whose adjacency outgrows the broadcast
+    # budget, drop the hint and the planner's shuffle join keeps the
+    # same algebra (the shuffle then carries O(Σ d) arrays once).
+    adj = F.broadcast(
+        edges.select(F.col("s1").alias("s"), F.col("s2").alias("n"))
+        .unionAll(edges.select(F.col("s2").alias("s"), F.col("s1").alias("n")))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("n")).alias("nbrs"))
+    )
+    per_edge = (
+        edges.join(
+            adj.select(F.col("s").alias("s1"), F.col("nbrs").alias("n1")), "s1"
+        )
         .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1"))
-            & (F.col("e3.s2") == F.col("e2.s2")),
+            adj.select(F.col("s").alias("s2"), F.col("nbrs").alias("n2")), "s2"
         )
         .select(
-            F.col("e1.s1").alias("a"),
-            F.col("e1.s2").alias("b"),
-            F.col("e2.s2").alias("c"),
+            "s1", "s2", F.size(F.array_intersect("n1", "n2")).alias("t")
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("s"))
-        .unionAll(tri.select(F.col("b").alias("s")))
-        .unionAll(tri.select(F.col("c").alias("s")))
-    )
-    return nodes.groupBy(F.col("s").alias("s_suppkey")).agg(
-        F.count("*").cast("bigint").alias("n_triangles")
+    # one pass over per_edge (a unionAll of two projections would
+    # re-execute the join+intersect subtree per branch)
+    incident = per_edge.select(F.explode(F.array("s1", "s2")).alias("s"), "t")
+    return (
+        incident.groupBy(F.col("s").alias("s_suppkey"))
+        .agg(F.expr("sum(t) div 2").cast("bigint").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
     )
 
 

@@ -640,11 +640,36 @@ def test_kmeans_centroids_broadcast_not_shuffled(spark, sf_dir):
 
 def test_triangle_edges_cached_and_no_cartesian(spark, sf_dir):
     """op220: the 3× referenced edge frame reads the persisted cache
-    (one projection+distinct execution), and the oriented 3-way join
-    never degenerates into a cartesian product."""
+    (one projection+distinct execution), no join degenerates into a
+    cartesian product, and — since the round-18 edge-iterator rewrite
+    — the per-edge count is an in-JVM array_intersect over BROADCAST
+    adjacency lists: no wedge row is ever materialized (the old
+    oriented 3-way self-join emitted one row per 2-path, 166M at
+    sf0.1's K_1000 projection)."""
     plan = _plan(OPS["op220_triangle_count"].fn(spark, sf_dir))
     assert "InMemoryTableScan" in plan, plan[:800]
     assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan, "edge-iterator intersect missing"
+    # both adjacency attaches broadcast; the edge side is never shuffled
+    # by a join (the only exchanges are the edge build + final agg)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_approx_distinct_no_per_key_sketch(spark, sf_dir):
+    """op20: both aggregates run over the distinct key set — the plan
+    must NOT contain a partial approx sketch keyed per l_partkey (the
+    Catalyst distinct-rewrite shape that built one ~1536-slot HLL
+    buffer per key, 6.2 s at sf0.1; round-18 rewrite)."""
+    plan = _plan(OPS["op20_agg_approx_count_distinct"].fn(spark, sf_dir))
+    import re as _re
+
+    # every partial_approx_count_distinct must sit in a KEYLESS
+    # aggregate: no "Keys [1]: [l_partkey...]" block may also carry a
+    # partial_approx function (the per-key sketch army)
+    for m in _re.finditer(r"Keys \[1\]: \[l_partkey[^\]]*\]", plan):
+        window = plan[m.start() : m.start() + 400]
+        assert "approx_count_distinct" not in window, window
 
 
 def test_skyline_single_merge_exchange(spark, sf_dir):
