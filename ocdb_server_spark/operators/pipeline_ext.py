@@ -52,7 +52,19 @@ def simhash_signatures(
     per-token work runs inside whole-stage codegen instead of Spark's
     interpreted higher-order-function evaluator (64 interpreted
     aggregate passes per row measured 3.5 s at sf0.1; this is ~0.5 s).
-    Docs with no tokens produce no signature row."""
+    Docs with no tokens produce no signature row.
+
+    The 64 vote aggregates and the 64-term signature fold are built
+    as JVM-parsed expression STRINGS (op39/op79's flattening rule,
+    applied round 18): the Column-API loop issued ~650 py4j round
+    trips per plan build — op88's build measured 1.3 s, vs 0.76 s
+    flattened — for a bit-identical Catalyst plan (same
+    conditional-sum aggregates, same left-associated shiftleft sum;
+    parity re-asserted against functions/text.simhash64 at
+    sf0.001/0.01: 0 mismatches). The residual build cost is JVM
+    analysis of the 64-wide aggregate itself (a single
+    array-of-sums aggregate measured only 0.68 s build and a slower
+    execution — rejected)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
@@ -60,16 +72,20 @@ def simhash_signatures(
     h = toks.select("id", F.xxhash64("t").alias("h"))
     votes = h.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftrightunsigned(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    sh = F.lit(0).cast("long")
-    for i in range(64):
-        sh = sh + F.shiftleft(F.when(F.col(f"v{i}") > 0, 1).otherwise(0).cast("long"), i)
+    sh = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"shiftleft(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i in range(64)
+        )
+    )
     return votes.select(F.col("id").alias(id_col), sh.alias("sh"))
 
 
