@@ -87,6 +87,13 @@ OPS = [
     # LSH signature self-join all crossing real executor JVMs; the
     # planted pairs must be recovered identically across transports.
     "op90_embedding_neardup_lsh",
+    # round-18 addition: the op220 edge-iterator rewrite — its forced
+    # broadcast of the adjacency-list aggregate and the persisted edge
+    # frame feeding two broadcast joins are new cross-process paths
+    # (the old wedge enumeration shuffled everything); counts must be
+    # identical when the adjacency relation ships over real netty
+    # transport instead of an in-JVM reference.
+    "op220_triangle_count",
 ]
 
 
@@ -292,6 +299,14 @@ def run_suite(master: str, sf_dir: str, label: str) -> dict[str, dict]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Run op90 the way the gate surface does (plant ON) unless the
+    # caller already chose: since the round-18 default inversion the
+    # registry default is the faithful corpus answer, which is EMPTY
+    # at smoke SFs — a 0=0 cross-transport comparison certifies
+    # nothing. The planted fixture is the path with executor-side
+    # work (TakeOrdered-4 + union + persisted LSH self-join) worth
+    # smoking across real JVMs.
+    os.environ.setdefault("SPARK_GRAFT_OP90_PLANT", "1")
     procs, workdirs = start_cluster()
     try:
         cluster = run_suite(MASTER_URL, sf_dir, "standalone")
