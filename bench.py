@@ -204,10 +204,23 @@ def main() -> None:
         floor_df.toArrow()
         floor = min(floor, time.perf_counter() - t0)
 
+    # r18-verdict item 1 (ADDITIONS-ONLY — nothing here reaches the
+    # contract line): the r17/r18 driver-vs-builder legacy gap sat at
+    # ~30% while the two existing floors looked solo-level, so the
+    # 1-task floor alone does not capture whatever differed in the
+    # driver's environment. Record (a) the OS load average at the
+    # measurement boundaries and (b) a per-query 1-task floor sampled
+    # IMMEDIATELY AFTER each query's legacy-noop reps (the existing
+    # job_floor_per_query samples after the fresh reps, BEFORE the
+    # legacy loop) — so a load burst inside the legacy loop is pinned
+    # to the exact query it inflated instead of averaged away.
+    loadavg_start = tuple(round(x, 2) for x in os.getloadavg())
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     maxima: dict[str, float] = {}
     floor_local: dict[str, float] = {}
+    floor_at_legacy_local: dict[str, float] = {}
     noop_timings: dict[str, float] = {}
     build_times: dict[str, float] = {}
     build_total = 0.0
@@ -272,6 +285,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         noop_timings[name] = round(best, 4)
+        # interleaved per-query legacy floor (r18-verdict item 1): a
+        # 1-task floor co-measured right after THIS query's legacy
+        # reps — elevated here but not in job_floor_per_query means
+        # the load arrived during the legacy loop itself
+        lf2 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            floor_df.toArrow()
+            lf2 = min(lf2, time.perf_counter() - t0)
+        floor_at_legacy_local[name] = round(lf2, 4)
 
     # Load indicator (round-6 verdict item 2): re-measure the 1-task
     # job floor AFTER the legacy loop. BASELINE.md records ~0.018 s
@@ -283,6 +306,7 @@ def main() -> None:
         t0 = time.perf_counter()
         floor_df.toArrow()
         floor_after = min(floor_after, time.perf_counter() - t0)
+    loadavg_end = tuple(round(x, 2) for x in os.getloadavg())
 
     total = round(sum(timings.values()), 4)
     adjusted = {n: round(max(0.0, t - floor), 4) for n, t in timings.items()}
@@ -333,6 +357,17 @@ def main() -> None:
             sum(YARDSTICK_MS.values()) / 1000, 4
         ),
         "queries_noop_write_legacy": noop_timings,
+        "job_floor_at_legacy_per_query": floor_at_legacy_local,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "loadavg_note": (
+            "os.getloadavg() (1/5/15-min) at bench start and right "
+            "after the legacy loop, plus job_floor_at_legacy_per_query "
+            "(a 1-task floor co-measured after EACH query's legacy "
+            "reps): r17/r18 showed a driver-vs-builder legacy gap the "
+            "two run-level floors could not attribute — these pin any "
+            "elevation to the exact query and name the box state"
+        ),
         "job_floor_at_legacy_sec": round(floor_after, 4),
         "load_note": (
             "job_floor_at_legacy_sec is the same 1-task floor "

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ocdb_server_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    let_once,
     token_hits,
     tokens,
     winnow_fingerprints,
@@ -345,7 +346,9 @@ def lsh_neardup_pairs(
     oracle=None,  # ROWS: LSH is approximate
     deps=(lsh_neardup_pairs,),  # the plan lives in the kernel
 )
-def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op90_embedding_neardup_lsh(
+    spark: SparkSession, sf_dir: str, plant: bool | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup candidates over the embeddings table
     (banded random-hyperplane LSH → exact cosine ≥ 0.8 verify; see
     lsh_neardup_pairs), augmented with a PLANTED micro-fixture so the
@@ -382,9 +385,17 @@ def op90_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     their sources' cosine (< 0.8) and are filtered. The fixture is
     O(1) rows derived from the corpus itself (TakeOrdered-4 scan) —
     nothing changes at 100 TB; the kernel and its scale shape are
-    untouched."""
+    untouched.
+
+    ``plant=None`` (the registered default) reads the env var; the
+    driver-gate wrapper passes the decision EXPLICITLY instead of
+    mutating process-global environment around the call (r18-verdict
+    item 7 — the old set/restore dance was correct for today's eager
+    plan build but racy under any concurrent plan construction)."""
+    if plant is None:
+        plant = os.environ.get("SPARK_GRAFT_OP90_PLANT", "0") == "1"
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if os.environ.get("SPARK_GRAFT_OP90_PLANT", "0") != "1":
+    if not plant:
         return lsh_neardup_pairs(emb)
     base = emb.orderBy("vec_id").limit(4)
     planted = base.select(
@@ -407,17 +418,13 @@ def op90_gate_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     having to opt out. An explicit SPARK_GRAFT_OP90_PLANT already in
     the environment still wins in either direction (=0 forces the
     faithful corpus answer even through the gate; this wrapper only
-    supplies the default the gate wants). Restores the environment on
-    exit: the plant decision is taken eagerly at plan-build time
-    inside the call, so the scope is exact."""
-    had = "SPARK_GRAFT_OP90_PLANT" in os.environ
-    if not had:
-        os.environ["SPARK_GRAFT_OP90_PLANT"] = "1"
-    try:
-        return op90_embedding_neardup_lsh(spark, sf_dir)
-    finally:
-        if not had:
-            os.environ.pop("SPARK_GRAFT_OP90_PLANT", None)
+    supplies the default the gate wants). The decision is threaded as
+    a PARAMETER (r18-verdict item 7) — no process-global env mutation,
+    so concurrent plan builds can never observe a foreign plant
+    state."""
+    env = os.environ.get("SPARK_GRAFT_OP90_PLANT")
+    plant = env == "1" if env is not None else True
+    return op90_embedding_neardup_lsh(spark, sf_dir, plant=plant)
 
 
 # --------------------------------------------------------------- op91
@@ -617,15 +624,24 @@ def op94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (rolling 5-gram hash, window
     4): the substring-level dedup sketch. Observables: fingerprint
     count + min/max (the set itself is exercised by the locality tests
-    in tests/test_pipeline_ext.py)."""
+    in tests/test_pipeline_ext.py).
+
+    The three observables are read out of ONE let-bound evaluation of
+    the fingerprint array (round 19 — three textual references used
+    to evaluate the whole winnow chain three times per row under the
+    interpreted HOF evaluator; with the doubling steps' own bindings
+    this op measured 0.93 s → 0.17 s at sf0.1, values identical)."""
     d = load_table(spark, sf_dir, "documents")
     fp = winnow_fingerprints(F.col("text"))
-    return d.select(
-        "doc_id",
-        F.size(fp).cast("bigint").alias("n_fingerprints"),
-        F.array_min(fp).alias("fp_min"),
-        F.array_max(fp).alias("fp_max"),
+    s = let_once(
+        fp,
+        lambda a: F.struct(
+            F.size(a).cast("bigint").alias("n_fingerprints"),
+            F.array_min(a).alias("fp_min"),
+            F.array_max(a).alias("fp_max"),
+        ),
     )
+    return d.select("doc_id", s.alias("s")).select("doc_id", "s.*")
 
 
 # --------------------------------------------------------------- op95

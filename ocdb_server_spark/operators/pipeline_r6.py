@@ -310,13 +310,33 @@ def op213_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     match certifies the loop against a genuinely independent
     recursion implementation, not a restatement of our own unrolling.
 
-    Per hop: frontier ⋈ edges (shuffle on src) → anti-join against
-    the visited set (BFS's "first discovery is min dist" invariant)
-    → union into visited. Distances and keys are integers end to end
-    — nothing to quantize. Scale: the classic Pregel/message-passing
-    shape; edges persist()ed once and shuffle-joined per hop, visited
-    stays (node, dist) — at a 10^10-edge graph each hop is one
-    edges⋈frontier shuffle, and the hop count bounds total work.
+    REWRITTEN round 19 (optimization guide §2.4 — remove shuffles/
+    stages outright): the loop now implements the oracle's OWN
+    algebra directly. walk-level k = {nodes with a walk of length
+    exactly k from a seed} (frontier ⋈ edges → distinct, nothing
+    else), and BFS distance = MIN(dist) over the unioned levels — one
+    aggregation at the end instead of the per-hop anti-join against a
+    growing visited set that rounds 6–18 ran ("first discovery is min
+    dist" enforced eagerly). Equivalence is by construction: the
+    DuckDB recursion's walk contains (node, d) iff a length-d walk
+    exists; level k is precisely that set, and the final min is the
+    oracle's `best` CTE verbatim. Measured at sf0.1 (interleaved
+    best-of-5, noop): 2.55 s → 1.28 s — the anti-join version paid a
+    per-hop broadcast build + anti probe whose only effect was to
+    shrink late frontiers on an almost-fully-reached graph.
+
+    Per hop: frontier ⋈ edges (the persisted edge table) → distinct —
+    one exchange. Distances and keys are integers end to end —
+    nothing to quantize. Scale: still the classic Pregel/message-
+    passing shape; edges persist()ed once and joined per hop, the hop
+    count bounds total work, and the min-dist rollup replaces 4
+    anti-join shuffles/broadcasts of the visited set (which at a
+    10^10-edge graph is itself node-set-sized — the rollup ships each
+    (node, dist) pair once instead of probing visited every hop). On
+    parity-alternating graphs like this bipartite one, level k
+    re-lists nodes first seen at k-2 — bounded by the reachable set,
+    the same O(Σ deg(reachable)) join volume per hop the anti-join
+    form pays on its widest hops.
 
     Output: per (dist, node_type) — node count + key checksum."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -331,26 +351,29 @@ def op213_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pool_persist(fwd.unionAll(rev))
     sup = load_table(spark, sf_dir, "supplier")
-    visited = sup.filter(F.col("s_suppkey") <= _BFS_SEEDS).select(
-        (2 * F.col("s_suppkey") + 1).alias("node"), F.lit(0).alias("dist")
+    frontier = sup.filter(F.col("s_suppkey") <= _BFS_SEEDS).select(
+        (2 * F.col("s_suppkey") + 1).alias("node")
     )
-    frontier = visited
+    levels = [frontier.withColumn("dist", F.lit(0))]
     for hop in range(1, _BFS_HOPS + 1):
-        reached = (
+        frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        # persist each discovered frontier: without it the lazy union
-        # re-derives every earlier hop per iteration (quadratic
-        # recomputation — same lesson as op96's localCheckpoint)
-        new = pool_persist(
-            reached.join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-        )
-        visited = visited.unionByName(new)
-        frontier = new
-    return visited.groupBy(
+        if hop < _BFS_HOPS:
+            # persist every level the NEXT hop builds on: without it
+            # the lazy union re-derives every earlier hop per level
+            # (quadratic recomputation — same lesson as op96's
+            # localCheckpoint). The last level is referenced once
+            # (the union) — nothing to share, skip the cache.
+            frontier = pool_persist(frontier)
+        levels.append(frontier.withColumn("dist", F.lit(hop)))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    best = walk.groupBy("node").agg(F.min("dist").alias("dist"))
+    return best.groupBy(
         "dist",
         F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias(
             "node_type"
@@ -680,6 +703,14 @@ def op216_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's argmax is a 1-row TakeOrdered broadcast-joined into the
     sequence update — the whole 3-round program is one lazy plan.
 
+    The vocab-sized seqs table is persist()ed (round 19): the unrolled
+    plan references it from every round's pair branch AND every output
+    branch, and exchange reuse only unified 4 of the 7 corpus
+    re-derivations (plans/r19/op216_bpe_train_before.txt: 7 cached-
+    corpus scans, TWO separate word exchanges) — the persist makes
+    "the corpus is touched once" true in the physical plan, exactly
+    the compression this docstring already claimed.
+
     Output: (merge_rank, lhs, rhs, merged, pair_count) — the learned
     merge table, i.e. the artifact a tokenizer ships."""
     docs = load_table(spark, sf_dir, "documents")
@@ -689,10 +720,14 @@ def op216_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seqs = words.select(
-        "word",
-        "freq",
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    seqs = pool_persist(
+        words.select(
+            "word",
+            "freq",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias(
+                "seq"
+            ),
+        )
     )
     merge_rows = []
     for k in range(1, _BPE_ROUNDS + 1):
@@ -792,7 +827,12 @@ def op217_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exploded corpus. That join is vocab⋈corpus — broadcast
     the cost side at any real scale. The merge loop re-derives
     op216's argmax pairs inside the same lazy plan, so train+apply
-    is still one Catalyst program with no driver round-trip."""
+    is still one Catalyst program with no driver round-trip. The
+    vocab-sized seqs table is persist()ed (round 19, op216's fix):
+    the unrolled apply plan re-derived the corpus wordcount THIRTEEN
+    times across its branches (plans/r19/op217_bpe_apply_before.txt)
+    — now the corpus is scanned once for the vocab and once for the
+    doctoks leg, the op's own documented shape."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -800,10 +840,14 @@ def op217_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seqs = words.select(
-        "word",
-        "freq",
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    seqs = pool_persist(
+        words.select(
+            "word",
+            "freq",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias(
+                "seq"
+            ),
+        )
     )
     for _ in range(_BPE_ROUNDS):
         pairs = (
@@ -880,7 +924,97 @@ FROM nodes GROUP BY s
 """
 
 
-@register("op220_triangle_count", oracle=_OP220_SQL)
+def _parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ('67108864', '10MB', '1g', '-1')."""
+    s = s.strip().lower()
+    for suf, mult in (
+        ("kb", 1024),
+        ("mb", 1024**2),
+        ("gb", 1024**3),
+        ("tb", 1024**4),
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(float(s))
+
+
+def _triangle_counts(edges: DataFrame, broadcast_adj: bool) -> DataFrame:
+    """Edge-iterator per-node triangle counts over an undirected edge
+    list (s1 < s2, deduplicated): build adjacency lists once, count
+    |N(u)∩N(v)| per edge with a JVM ``array_intersect``, roll up per
+    node as Σ t(e) div 2. ``broadcast_adj`` picks how the adjacency
+    relation attaches to the edge probe — broadcast (edge side never
+    shuffles, intersect stage inherits the cached edge layout) vs the
+    planner's shuffle join (same algebra, O(Σ d) arrays shuffled once;
+    the guarded fallback for graphs whose adjacency outgrows the
+    broadcast budget — r18-verdict item 2)."""
+    adj = (
+        edges.select(F.col("s1").alias("s"), F.col("s2").alias("n"))
+        .unionAll(edges.select(F.col("s2").alias("s"), F.col("s1").alias("n")))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("n")).alias("nbrs"))
+    )
+    if broadcast_adj:
+        adj = F.broadcast(adj)
+    per_edge = (
+        edges.join(
+            adj.select(F.col("s").alias("s1"), F.col("nbrs").alias("n1")), "s1"
+        )
+        .join(
+            adj.select(F.col("s").alias("s2"), F.col("nbrs").alias("n2")), "s2"
+        )
+        .select(
+            "s1", "s2", F.size(F.array_intersect("n1", "n2")).alias("t")
+        )
+    )
+    # one pass over per_edge (a unionAll of two projections would
+    # re-execute the join+intersect subtree per branch)
+    incident = per_edge.select(F.explode(F.array("s1", "s2")).alias("s"), "t")
+    return (
+        incident.groupBy(F.col("s").alias("s_suppkey"))
+        .agg(F.expr("sum(t) div 2").cast("bigint").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
+    )
+
+
+def _adjacency_fits_broadcast(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> bool:
+    """Size guard for op220's forced adjacency broadcast (r18-verdict
+    item 2 — an unguarded F.broadcast OOMs on a hub-heavy graph at
+    scale). Budget = the session's autoBroadcastJoinThreshold, the
+    same scale-adaptive knob the planner's own decisions use.
+
+    Tier 1 (no extra job on the data): worst-case adjacency payload is
+    bounded by the supplier dimension — the projection graph's node
+    set — at n² neighbor int64s (complete graph). When even that fits,
+    broadcast without counting anything. Tier 2 (only reached at
+    scales where tier 1's bound overflows): exact payload from the
+    already-persisted edge frame — each edge contributes its two
+    endpoints' adjacency entries exactly once, so payload ≈ 2·|E|·8
+    bytes (+ per-node row overhead, subsumed by the ×2 headroom the
+    byte estimate leaves vs Spark's actual broadcast cap)."""
+    threshold = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if threshold <= 0:
+        return False
+    n_nodes = load_table(spark, sf_dir, "supplier").count()
+    if n_nodes * n_nodes * 8 <= threshold:
+        return True
+    return 2 * edges.count() * 8 <= threshold
+
+
+@register(
+    "op220_triangle_count",
+    oracle=_OP220_SQL,
+    deps=(_triangle_counts, _adjacency_fits_broadcast),
+)
 def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node TRIANGLE COUNTS over the supplier co-supply graph
     (suppliers sharing ≥1 part) — the clustering-coefficient /
@@ -947,37 +1081,22 @@ def op220_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # undirected adjacency lists; sort_array for a deterministic
     # layout (content is a set — intersection is order-insensitive).
-    # Broadcast: the adjacency side is node-dimension-sized (O(Σ d)
-    # total payload — each neighbor list ships ONCE per node, never
-    # per edge) and the forced hint both keeps the big edge side
+    # Broadcast WHEN IT FITS: the adjacency side is node-dimension-
+    # sized (O(Σ d) total payload — each neighbor list ships ONCE per
+    # node, never per edge) and the hint both keeps the big edge side
     # un-shuffled and lets the intersect stage inherit the cached
-    # edge layout. On a graph whose adjacency outgrows the broadcast
-    # budget, drop the hint and the planner's shuffle join keeps the
-    # same algebra (the shuffle then carries O(Σ d) arrays once).
-    adj = F.broadcast(
-        edges.select(F.col("s1").alias("s"), F.col("s2").alias("n"))
-        .unionAll(edges.select(F.col("s2").alias("s"), F.col("s1").alias("n")))
-        .groupBy("s")
-        .agg(F.sort_array(F.collect_list("n")).alias("nbrs"))
-    )
-    per_edge = (
-        edges.join(
-            adj.select(F.col("s").alias("s1"), F.col("nbrs").alias("n1")), "s1"
-        )
-        .join(
-            adj.select(F.col("s").alias("s2"), F.col("nbrs").alias("n2")), "s2"
-        )
-        .select(
-            "s1", "s2", F.size(F.array_intersect("n1", "n2")).alias("t")
-        )
-    )
-    # one pass over per_edge (a unionAll of two projections would
-    # re-execute the join+intersect subtree per branch)
-    incident = per_edge.select(F.explode(F.array("s1", "s2")).alias("s"), "t")
-    return (
-        incident.groupBy(F.col("s").alias("s_suppkey"))
-        .agg(F.expr("sum(t) div 2").cast("bigint").alias("n_triangles"))
-        .filter(F.col("n_triangles") > 0)
+    # edge layout. r18 forced the hint unconditionally — an OOM on a
+    # hub-heavy graph whose adjacency outgrows the broadcast budget;
+    # the guard (r18-verdict item 2) sizes it against the session's
+    # autoBroadcastJoinThreshold (worst-case node² bound first — free
+    # at bench scale — exact 2·|E|·8 from the persisted edge frame
+    # only when that overflows) and falls back to the planner's
+    # shuffle join, which keeps the same algebra (the shuffle then
+    # carries O(Σ d) arrays once). Both paths are value-identical —
+    # pinned by tests/test_plans.py (broadcast shape at bench scale)
+    # and the synthetic hub-graph fallback test.
+    return _triangle_counts(
+        edges, broadcast_adj=_adjacency_fits_broadcast(spark, sf_dir, edges)
     )
 
 

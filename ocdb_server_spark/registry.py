@@ -120,9 +120,14 @@ def register(
         src_fp = hashlib.sha256(src.encode()).hexdigest()[:16] if src else ""
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, *args, **kwargs
+        ) -> DataFrame:
+            # pass-through for optional op parameters (op90's threaded
+            # `plant` flag, r18-verdict item 7) — the registry contract
+            # stays (spark, sf_dir); extras are the op's own business
             release_pool()
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         REGISTRY[name] = Op(
             name=name,

@@ -307,6 +307,17 @@ def main() -> int:
     # work (TakeOrdered-4 + union + persisted LSH self-join) worth
     # smoking across real JVMs.
     os.environ.setdefault("SPARK_GRAFT_OP90_PLANT", "1")
+    # r18 ADVICE low: an inherited SPARK_GRAFT_OP90_PLANT!=1 silently
+    # reverts op90 to the faithful-empty path and the 0=0 comparison
+    # certifies nothing — make a fixture-off run visibly distinguishable
+    op90_plant = os.environ["SPARK_GRAFT_OP90_PLANT"]
+    if op90_plant != "1":
+        print(
+            f"WARNING: SPARK_GRAFT_OP90_PLANT={op90_plant!r} inherited from "
+            "the environment — op90 runs the faithful corpus path, which is "
+            "EMPTY at smoke SFs; its row below certifies nothing.",
+            file=sys.stderr,
+        )
     procs, workdirs = start_cluster()
     try:
         cluster = run_suite(MASTER_URL, sf_dir, "standalone")
@@ -329,6 +340,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "cluster_smoke",
         "sf_dir": sf_dir,
+        "op90_plant": op90_plant,
         "transport": "standalone 2 workers x 8 cores (separate executor JVMs, netty shuffle)",
         "all_row_identical": all_match,
         "ops": {n: cluster[n] for n in OPS},

@@ -1101,3 +1101,95 @@ def test_corpus_build_stage_invariants(spark, sf_dir):
     n_train = sum(r.n_docs for r in got.values() if r.split == "train")
     n_all = sum(r.n_docs for r in got.values())
     assert n_train / n_all > 0.9  # 98/1/1 target, hash variance allowed
+
+
+def test_triangle_shuffle_fallback_matches_broadcast_on_hub_graph(spark):
+    """op220's broadcast guard (r18-verdict item 2): the shuffle-join
+    fallback for adjacency relations that outgrow the broadcast budget
+    must be value-identical to the broadcast path. Synthetic hub graph
+    — node 0 adjacent to everyone (the skew case the guard exists
+    for), a triangle fan off the hub, plus one hub-free triangle."""
+    import itertools
+
+    edge_list = [(0, k) for k in range(1, 21)]           # hub spokes
+    edge_list += [(k, k + 1) for k in range(1, 20)]       # fan: (0,k,k+1)
+    edge_list += [(30, 31), (30, 32), (31, 32)]           # hub-free triangle
+    edges = spark.createDataFrame(edge_list, "s1 int, s2 int")
+
+    bcast = {
+        (r.s_suppkey, r.n_triangles)
+        for r in r6._triangle_counts(edges, broadcast_adj=True).collect()
+    }
+    # broadcast_adj=False drops the hint; the PLANNER would still
+    # auto-broadcast a relation this tiny, so pin the threshold off to
+    # actually exercise the shuffle-join path the guard falls back to
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        fallback_df = r6._triangle_counts(edges, broadcast_adj=False)
+        fallback = {
+            (r.s_suppkey, r.n_triangles) for r in fallback_df.collect()
+        }
+    finally:
+        spark.conf.set(key, saved)
+    assert fallback == bcast and bcast  # identical, non-empty
+
+    # independent reference: brute-force triangle enumeration
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    expect: Counter = Counter()
+    for a, b, c in itertools.combinations(sorted(nbrs), 3):
+        if b in nbrs[a] and c in nbrs[a] and c in nbrs[b]:
+            expect.update((a, b, c))
+    assert bcast == set(expect.items())
+
+    # the fallback plan must actually attach adjacency by shuffle join
+    plan = fallback_df._sc._jvm.PythonSQLUtils.explainString(
+        fallback_df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_triangle_broadcast_guard_tiers(spark, sf_dir):
+    """_adjacency_fits_broadcast: tier 1 (node² bound) admits the bench
+    graph without touching the edge frame; a tiny budget forces the
+    exact tier-2 count, and a disabled budget (-1/0) never broadcasts."""
+    from ocdb_server_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        # tier 1: the suppliers² worst case fits the session budget
+        assert r6._adjacency_fits_broadcast(spark, sf_dir, edges) is True
+        # disabled budget: never broadcast
+        spark.conf.set(key, "-1")
+        assert r6._adjacency_fits_broadcast(spark, sf_dir, edges) is False
+        # budget too small even for the exact tier-2 payload
+        spark.conf.set(key, "16")
+        assert r6._adjacency_fits_broadcast(spark, sf_dir, edges) is False
+    finally:
+        spark.conf.set(key, saved)
+    assert r6._parse_size_bytes("10MB") == 10 * 1024**2
+    assert r6._parse_size_bytes("64m") == 64 * 1024**2
+    assert r6._parse_size_bytes("67108864") == 67108864
+    assert r6._parse_size_bytes("1g") == 1024**3

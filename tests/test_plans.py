@@ -656,6 +656,21 @@ def test_triangle_edges_cached_and_no_cartesian(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_bfs_no_per_hop_anti_join(spark, sf_dir):
+    """op213 (round-19 rewrite): the loop implements the oracle's own
+    walk/min-dist algebra — per hop ONLY frontier⋈edges + distinct;
+    the per-hop LeftAnti probe against the growing visited set (and
+    its broadcast build) is gone, replaced by one final MIN(dist)
+    aggregation. 2.55 s → 1.28 s at sf0.1 (interleaved best-of-5)."""
+    plan = _plan(OPS["op213_bfs_reachability"].fn(spark, sf_dir))
+    assert "LeftAnti" not in plan, "per-hop anti-join is back"
+    assert "CartesianProduct" not in plan
+    # levels the next hop builds on read the persisted cache
+    assert "InMemoryTableScan" in plan, plan[:800]
+    # the min-dist rollup exists exactly once
+    assert "min(dist" in plan, plan[:800]
+
+
 def test_approx_distinct_no_per_key_sketch(spark, sf_dir):
     """op20: both aggregates run over the distinct key set — the plan
     must NOT contain a partial approx sketch keyed per l_partkey (the
