@@ -705,11 +705,10 @@ def op216_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The vocab-sized seqs table is persist()ed (round 19): the unrolled
     plan references it from every round's pair branch AND every output
-    branch, and exchange reuse only unified 4 of the 7 corpus
-    re-derivations (plans/r19/op216_bpe_train_before.txt: 7 cached-
-    corpus scans, TWO separate word exchanges) — the persist makes
-    "the corpus is touched once" true in the physical plan, exactly
-    the compression this docstring already claimed.
+    branch, and exchange reuse left TWO separate corpus scans feeding
+    two word-level exchanges (plans/r19/op216_bpe_train_before.txt) —
+    the persist makes "the corpus is touched once" true in the
+    physical plan, exactly the compression this docstring claimed.
 
     Output: (merge_rank, lhs, rhs, merged, pair_count) — the learned
     merge table, i.e. the artifact a tokenizer ships."""
@@ -829,10 +828,11 @@ def op217_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     op216's argmax pairs inside the same lazy plan, so train+apply
     is still one Catalyst program with no driver round-trip. The
     vocab-sized seqs table is persist()ed (round 19, op216's fix):
-    the unrolled apply plan re-derived the corpus wordcount THIRTEEN
-    times across its branches (plans/r19/op217_bpe_apply_before.txt)
-    — now the corpus is scanned once for the vocab and once for the
-    doctoks leg, the op's own documented shape."""
+    the unrolled apply plan carried FOUR corpus-scan nodes — three
+    re-derivations of the wordcount plus the doctoks leg
+    (plans/r19/op217_bpe_apply_before.txt) — now the corpus is
+    scanned once for the vocab and once for doctoks, the op's own
+    documented shape."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
